@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Each query executes end-to-end into the noop
+sink (full plan, no driver collect). Prints:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: The queries that represent the engine's load-bearing paths: batch spine,
+#: fact⋈fact join, window aggs, merge, and each LLM-pipeline extension tier.
+HEADLINE = [
+    "flagship_region_share",
+    "pricing_summary",
+    "star_join_3way",
+    "snapshot_merge",
+    "asof_state_at_date",
+    "top_n_per_group",
+    "pivot_by_year",
+    "skill_freq",
+    "tumbling_window_count",
+    "sliding_window_avg",
+    "exact_dedup",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash_near_dup",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from vacancy_analyser_spark.plans import queries
+    from vacancy_analyser_spark.session import get_spark
+
+    spark = get_spark("vacancy-analyser-bench")
+    qs = queries()
+
+    # Warm the JVM/codegen once on a trivial plan so per-query numbers
+    # measure the queries, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Readers and writers (SURVEY.md §2.1 sources/sinks, Spark-first).
+
+Reference parity notes:
+- CSV snapshots embed newlines inside quoted cells (get_vacancies.py:169) →
+  ``multiLine`` + explicit schema, never inference (feeder_postgres.py:119-131
+  hand-parses; Spark's reader subsumes the empty→NULL / bool / timestamp
+  coercions via options + casts).
+- Parquet sink splits at 50,000 rows/file (feeder_hadoop.py:19-20,87) —
+  same option name in Spark.
+- JDBC source (feeder_hadoop.py:79-86) — thin wrapper; partitioned read
+  options exposed so a 100 TB table does not arrive through one connection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_SCHEMAS
+from .session import MAX_RECORDS_PER_FILE
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness testdata table.
+
+    Plain ``spark.read.parquet`` — the parquet footer carries the schema, so
+    Catalyst gets column pruning + filter pushdown for free. TESTDATA_SCHEMAS
+    is used by tests to assert the files still match our expectations.
+
+    Nanosecond-timestamp columns arrive as LongType (see the nanosAsLong
+    conf in session.py) and are converted here to microsecond timestamps
+    with integer division — float division would lose precision above 2^53.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # Runtime-settable SQL conf: the harness driver hands us its own vanilla
+    # session, which would otherwise reject TIMESTAMP(NANOS) parquet files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    expected = TESTDATA_SCHEMAS.get(name)
+    if expected is not None:
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        for f in expected.fields:
+            if isinstance(f.dataType, T.TimestampType) and isinstance(actual.get(f.name), T.LongType):
+                df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_snapshot_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S7: typed CSV snapshot source (feeder_postgres.py:119-131 semantics).
+
+    multiLine handles embedded newlines in quoted text cells; emptyValue→NULL
+    replaces the reference's ``"" → None``; timestamps/booleans are parsed by
+    the schema-directed reader instead of per-row Python.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("nullValue", "")
+        .option("emptyValue", "")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+        .csv(path)
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S8: JDBC source (feeder_hadoop.py:79-86), with partitioned-read support.
+
+    The reference reads the whole table through a single connection; at scale
+    pass (partition_column, bounds, num_partitions) so executors read ranges
+    in parallel — the same range-splitting idea as the reference's date
+    bisection scan (get_vacancies.py:48-59), but handled by Spark.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    return reader.load()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = MAX_RECORDS_PER_FILE,
+) -> None:
+    """S9 parquet sink. Atomicity (the reference's tempfile+rename dance,
+    get_hist_vacancies.py:191-216) comes from Spark's task-commit protocol."""
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5 CSV snapshot sink (get_vacancies.py:224-236)."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("escape", '"')
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+__all__ = [
+    "TESTDATA_SCHEMAS",
+    "load_table",
+    "load_tables",
+    "read_snapshot_csv",
+    "read_jdbc",
+    "table_path",
+    "write_csv",
+    "write_parquet",
+]

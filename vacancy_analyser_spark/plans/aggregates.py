@@ -1,0 +1,319 @@
+"""A-ops and O-ops: aggregations, sort, top-k (SURVEY.md §2.4-2.5).
+
+Scale notes baked into every query here:
+- groupBy over high-cardinality keys relies on partial (map-side) aggregation
+  — Catalyst emits HashAggregate(partial) → shuffle → HashAggregate(final)
+  automatically; nothing to hand-schedule.
+- Double sums go through functions.numeric.dsum (exact DECIMAL accumulation)
+  so results are order-independent → identical on any cluster size AND
+  hash-identical to the DuckDB oracle.
+- top-N is orderBy+limit: Spark plans TakeOrderedAndProject — a per-partition
+  heap + single-reduce merge, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
+from ..functions.text import tokens
+from ..io import load_table
+from ..operators.taxonomy import DOC_TAXONOMY_VALUES_SQL, doc_taxonomy
+from .registry import register
+
+
+@register(
+    "explode_count",
+    oracle="""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+        GROUP BY token
+    """,
+    tags=("A1",),
+)
+def explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 explode + frequency count (notebook cell 15 `count_freq_by_year`:
+    split, chain, Counter). explode→groupBy gets partial aggregation before
+    the shuffle; the pandas version materializes every token in one list."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "skill_freq",
+    oracle=f"""
+        WITH syn AS (SELECT * FROM {DOC_TAXONOMY_VALUES_SQL}),
+        toks AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+        )
+        SELECT syn.canonical AS canonical, COUNT(*) AS cnt
+        FROM toks JOIN syn ON toks.token = syn.member
+        GROUP BY syn.canonical
+    """,
+    tags=("A2", "J3"),
+)
+def skill_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J3: explode terms → broadcast synonym-dim join → count per
+    canonical skill (notebook cells 26-27: `make_synonims`/`search_synonim`
+    linear-scan + Counter). Inner join drops unknown tokens, replicating the
+    cell-27 `filter(lambda x: x != 0)`. The ≤500-row dim is broadcast — the
+    only shuffle is the final count."""
+    docs = load_table(spark, sf_dir, "documents")
+    syn = F.broadcast(doc_taxonomy(spark))
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return (
+        toks.join(syn, toks.token == syn.member, "inner")
+        .groupBy("canonical")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "max_dates",
+    oracle="""
+        SELECT greatest(
+            (SELECT max(ts) FROM events),
+            (SELECT max(o_orderdate) FROM orders),
+            (SELECT max(l_shipdate) FROM lineitem)
+        ) AS max_event_time
+    """,
+    tags=("A3",),
+)
+def max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 multi-source MAX (feeder_postgres.py:197-209 — row-wise max over
+    per-column maxes; duplicated in feeder_hadoop.py:29-41 and
+    metrics_exporter.py:68-83). Three single-row aggregates cross-joined —
+    each is a parquet-footer-cheap scan; the cross join is trivially
+    broadcast."""
+    e = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("a"))
+    o = load_table(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("b"))
+    l = load_table(spark, sf_dir, "lineitem").agg(F.max("l_shipdate").alias("c"))
+    return e.crossJoin(o).crossJoin(l).select(F.greatest("a", "b", "c").alias("max_event_time"))
+
+
+@register(
+    "pct_of_total",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER () AS DOUBLE) AS pct
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("A5",),
+)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 normalize counts to %-of-total (notebook cell 16
+    `visualization_stat`: columnwise sum then divide). A window-SUM over the
+    aggregated (tiny) frame — the heavy input is reduced *before* the window
+    touches it."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        "o_orderpriority",
+        "cnt",
+        (F.col("cnt") * 100.0 / F.sum("cnt").over(total)).cast("double").alias("pct"),
+    )
+
+
+@register(
+    "conditional_counts",
+    oracle="""
+        SELECT COUNT(*) AS n_total,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               COUNT(CASE WHEN value > 250.0 THEN 1 END) AS n_big
+        FROM events
+    """,
+    tags=("A6",),
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 running tallies (feeder_postgres.py:115-117 items_added/updated/
+    removed counters) as one pass of conditional aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.count(F.when(F.col("value") > 250.0, 1)).alias("n_big"),
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {davg_sql('l_quantity')} AS avg_qty,
+               {davg_sql('l_extendedprice')} AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A7",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 pricing summary (TPC-H Q1 shape) — the classic partial-agg
+    validator: 4 sums + 2 avgs + count over ~6 groups; map-side combine
+    reduces ~N rows to (#partitions × #groups) before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_count",
+    oracle="""
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+    """,
+    tags=("A8",),
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact distinct (the reference dedups ids with a Python set,
+    get_vacancies.py:67-72). Catalyst expands multi-distinct via expand+
+    two-phase agg — still one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("approx_distinct", oracle=None, tags=("A8",))
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b approx_count_distinct (HyperLogLog++) — the 100 TB path where an
+    exact distinct shuffle is not worth it. No DuckDB oracle (different HLL
+    implementation) → rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@register(
+    "rollup_year_prof",
+    oracle="""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tags=("A9",),
+)
+def rollup_year_prof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 rollup hierarchy (the notebook's year×profession×skill nesting,
+    cells 17/28-30, as a single grouping-sets pass instead of a Python loop
+    per level)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "sort_desc",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events GROUP BY event_type ORDER BY cnt DESC, event_type
+    """,
+    tags=("O1",),
+)
+def sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 sort by count desc (notebook cells 15/27). Deterministic tie-break
+    on the key so the order is total."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type"))
+    )
+
+
+@register(
+    "top_n",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 10
+    """,
+    tags=("O2",),
+)
+def top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-N (notebook cell 16 `df_per[:N]`). orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heaps, no global sort — the only
+    top-k that survives 100 TB."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "top_n_per_group",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        ) WHERE rn <= 3
+    """,
+    tags=("O2",),
+)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2b per-group top-N via row_number window — the distributed version of
+    'top skills per profession'."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -1,0 +1,326 @@
+"""Deduplication suite over `documents` (SURVEY.md §2.11 [ext]).
+
+Four tiers, all engine-portable (md5-based hashing so the DuckDB oracle can
+reproduce values bit-for-bit):
+
+1. exact_dedup       — full-content hash groupBy.
+2. ngram_jaccard     — exact word-bigram Jaccard over candidate pairs that
+                       share ≥1 bigram (the shared-token join bounds the pair
+                       space; no O(n²) cross join).
+3. minhash_lsh       — 8-permutation MinHash signature → 4 bands × 2 rows →
+                       bucket self-join. The sub-quadratic scale path.
+4. simhash           — 32-bit SimHash + banded Hamming-≤3 pair search
+                       (4×8-bit bands: pigeonhole guarantees a candidate
+                       band match for any pair within distance 3).
+
+Scale notes: every pair generator is a *bucket* equi-join (bigram, band
+hash, simhash band) — the joins shuffle on bucket keys and never enumerate
+the cross product. Skewed buckets (a bigram shared by millions of docs) are
+handled by AQE skew-join splitting; for adversarial skew, drop
+top-document-frequency shingles first (standard MinHash practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_ws, tokens
+from ..io import load_table
+from .registry import register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+#: DuckDB word-bigram list (1-based list indexing).
+_BIGRAMS_SQL = (
+    f"list_transform(generate_series(1, len({_TOKS_SQL}) - 1), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])"
+)
+
+N_MINHASH = 8  # signature length
+BAND_ROWS = 2  # rows per LSH band → 4 bands
+
+
+def _bigrams(text_col: str | Column) -> Column:
+    """Spark word-bigram array (mirrors _BIGRAMS_SQL; element_at is 1-based)."""
+    toks = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigram) distinct — shared first stage of dedup tiers 2-3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(_bigrams("text")).alias("bigram")).distinct()
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+        SELECT md5({_NORM_SQL}) AS fingerprint,
+               min(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5({_NORM_SQL})
+    """,
+    tags=("ext-dedup",),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the normalized content, keep min(doc_id) per hash.
+    One shuffle on a 128-bit key; at 100 TB hash first, never groupBy raw
+    text (shuffle bytes = key+ids, not documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(normalize_ws("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+        WITH g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM g a JOIN g b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("ext-dedup",),
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-bigram) Jaccard near-dup pairs at ≥ 0.5.
+
+    Candidate pairs come from a self-join on shared bigrams — a bucket join,
+    not a cross join — then Jaccard is exact integer arithmetic
+    (|∩| / (|A|+|B|-|∩|)), so the DOUBLE is a single division both engines
+    compute identically."""
+    g = _doc_bigrams(spark, sf_dir)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.bigram") == F.col("b.bigram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _minhash_sig_sql() -> str:
+    sigs = ", ".join(
+        f"min(md5('{s}|' || bigram)) AS s{s}" for s in range(N_MINHASH)
+    )
+    return f"""
+        grams AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        sigs AS (SELECT doc_id, {sigs} FROM grams GROUP BY doc_id)
+    """
+
+
+def _band_sql() -> str:
+    rows = []
+    for band in range(N_MINHASH // BAND_ROWS):
+        cols = " || ".join(f"s{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        rows.append(f"SELECT doc_id, {band} AS band_id, md5({cols}) AS band_hash FROM sigs")
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "minhash_lsh_dedup",
+    oracle=f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({_band_sql()})
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    """,
+    tags=("ext-dedup",),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 8 MinHash values (min of md5
+    under 8 salt 'permutations') → 4 bands of 2 → self-join on band buckets.
+
+    This is the sub-quadratic near-dup path for 100 TB: cost is
+    O(docs × shingles) for signatures plus a shuffle on band hashes whose
+    buckets are tiny unless documents actually collide. md5-with-salt keeps
+    it engine-portable; a pure-Spark deployment would swap xxhash64 salts.
+    Signature min() over hex strings is lexicographic — identical in both
+    engines."""
+    g = _doc_bigrams(spark, sf_dir)
+    sigs = g.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("bigram")))).alias(f"s{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    bands = None
+    for band in range(N_MINHASH // BAND_ROWS):
+        cols = [F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        row = sigs.select(
+            "doc_id",
+            F.lit(band).alias("band_id"),
+            F.md5(F.concat(*cols)).alias("band_hash"),
+        )
+        bands = row if bands is None else bands.unionByName(row)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+# 32-bit SimHash from the first 8 hex chars of md5(token). Bit p (0..31) maps
+# to hex char i = 8 - p//4 (1-based), nibble bit j = p%4. Both engines parse
+# the nibble as strpos('0123456789abcdef', char) - 1 — no hex-cast builtins
+# needed, so the arithmetic is identical everywhere.
+
+_ALPHA = "0123456789abcdef"
+
+
+def _simhash_doc_sql() -> str:
+    return f"""
+        toks AS (
+            SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, p,
+                   ((strpos('{_ALPHA}', substr(substr(md5(token), 1, 8), 8 - p // 4, 1)) - 1)
+                    // power(2, p % 4)::INT) % 2 AS bit
+            FROM toks, (SELECT unnest(range(0, 32)) AS p)
+        ),
+        votes AS (
+            SELECT doc_id, p, SUM(2 * bit - 1) AS v FROM bits GROUP BY doc_id, p
+        ),
+        sim AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN power(2, p)::BIGINT ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM votes GROUP BY doc_id
+        )
+    """
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token")).distinct()
+    h8 = F.substring(F.md5(F.col("token")), 1, 8)
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("p"),
+        h8.alias("h8"),
+    ).select(
+        "doc_id",
+        "p",
+        (
+            (
+                (F.expr(f"instr('{_ALPHA}', substr(h8, 8 - p div 4, 1))") - 1)
+                .cast("int")
+                / F.pow(F.lit(2), F.col("p") % 4).cast("int")
+            ).cast("int")
+            % 2
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "p").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("p")).cast("bigint")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@register(
+    "simhash",
+    oracle=f"""
+        WITH {_simhash_doc_sql()}
+        SELECT doc_id, simhash FROM sim
+    """,
+    tags=("ext-dedup",),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: each distinct token votes ±1 on 32 bit
+    positions (bits of md5(token)); bit = 1 iff the vote sum is positive."""
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+        WITH {_simhash_doc_sql()},
+        banded AS (
+            SELECT doc_id, simhash, b,
+                   (simhash // power(2, b * 8)::BIGINT) % 256 AS band_val
+            FROM sim, (SELECT unnest(range(0, 4)) AS b)
+        )
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM banded a
+        JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("ext-dedup",),
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3, with banded candidate
+    generation: 4 bands of 8 bits — any pair within distance 3 must agree on
+    ≥1 whole band (pigeonhole), so the self-join is an equi-join on
+    (band index, band value), never a cross product."""
+    sim = _simhash_df(spark, sf_dir)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b",
+        ((F.col("simhash") / F.pow(F.lit(2), F.col("b") * 8).cast("bigint")).cast("bigint") % 256).alias(
+            "band_val"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"), hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

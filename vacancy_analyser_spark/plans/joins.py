@@ -1,0 +1,212 @@
+"""J-ops: joins (SURVEY.md §2.3).
+
+Join-strategy discipline for 100 TB:
+- dims (region/nation/part-at-dim-scale, the ≤500-row taxonomy) → explicit
+  broadcast() hint; never shuffle a fact table to meet a dim.
+- fact⋈fact equi-joins → sort-merge with AQE skew splitting; co-partition by
+  writing both sides bucketed on the key when the join repeats.
+- anti/semi joins → Spark's dedicated left_anti / left_semi (no row
+  duplication, early-out per match).
+- non-equi range join → keep the small side broadcast so the nested-loop is
+  per-partition over the fact; at real scale rewrite as band-key equi-join
+  (see range_join_salary docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_sql
+from ..io import load_table
+from .registry import register
+
+
+@register(
+    "employer_enrich_join",
+    oracle="""
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("S3", "J4"),
+)
+def employer_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J4 enrichment join: the reference does one HTTP GET per vacancy to
+    fetch employer industries (get_vacancies.py:136-148). Engine version:
+    fetch the employer dim once, broadcast it into a left join — never
+    per-row I/O inside the hot path."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_removed",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
+    """,
+    tags=("J2",),
+)
+def anti_join_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 anti-join disappearance detection (feeder_postgres.py:181-192: ids
+    in the DB but absent from today's snapshot → removed). The snapshot side
+    is 'orders currently in Pending status'; left_anti streams — no row
+    duplication, no post-filter."""
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(pending, customer.c_custkey == pending.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "broadcast_synonym_join",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, p_name, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags=("J3",),
+)
+def broadcast_synonym_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 broadcast dimension join (notebook cells 26-27 map every term
+    through the synonym dict — a hand-rolled broadcast hash join). Inner
+    join, dim side broadcast: one pass over the fact, zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    return li.join(part, li.l_partkey == part.p_partkey, "inner").select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand"
+    )
+
+
+@register(
+    "star_join_3way",
+    oracle=f"""
+        SELECT r_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("J5",),
+)
+def star_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 multi-way star join: revenue per region over
+    lineitem⋈orders⋈customer⋈nation⋈region. lineitem⋈orders is the only
+    fact⋈fact edge (sort-merge + AQE); customer/nation/region broadcast.
+    Dynamic partition pruning applies when the fact is partitioned on the
+    join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "semi_join",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49.0
+        )
+    """,
+    tags=("J6",),
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left-semi: orders having at least one bulk line — the 'vacancy has
+    at least one skill in group X' pattern (notebook cell 27 semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bulk = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49.0)
+    return orders.join(bulk, orders.o_orderkey == bulk.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "range_join_salary",
+    oracle=f"""
+        WITH bands AS (
+            SELECT DISTINCT p_size AS band_id,
+                   (p_size - 1) * 10.0 AS lo,
+                   p_size * 10.0 AS hi
+            FROM part
+        )
+        SELECT band_id, COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id
+    """,
+    tags=("J7",),
+)
+def range_join_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 range/interval join — salary-band containment
+    (salary_from <= x <= salary_to over feeder_postgres.py:67-68's model).
+    The band table is tiny → broadcast nested-loop per partition, which is
+    linear in the fact. At 100 TB with *many* bands: map each event to
+    candidate band keys (floor(value/width)) and equi-join on the band key —
+    turns O(n·m) into a hash join; here m≈50 so the broadcast NLJ wins."""
+    events = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part")
+    bands = F.broadcast(
+        part.select(
+            F.col("p_size").alias("band_id"),
+            ((F.col("p_size") - 1) * 10.0).alias("lo"),
+            (F.col("p_size") * 10.0).alias("hi"),
+        ).distinct()
+    )
+    cond = (events.value >= bands.lo) & (events.value < bands.hi)
+    return (
+        events.join(bands, cond, "inner")
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "asof_state_at_date",
+    oracle="""
+        SELECT user_id, event_id, ts, value
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+    """,
+    tags=("J8",),
+)
+def asof_state_at_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 as-of join: state of each entity as of time T — the reference's
+    'vacancy state at date D' over added_at/updated_at/removed_at
+    (feeder_postgres.py:92-94). One window pass per key; deterministic
+    tie-break on event_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over `embeddings` (SURVEY.md §2.11 [ext]).
+
+Brute-force cosine top-k as the correctness baseline, an IVF-bucketed
+variant as the scale path, and cosine near-dup pairs.
+
+Numeric discipline: everything is computed in float64 after an explicit
+array<float> → array<double> cast; dot products are sequential left-to-right
+folds in both engines, so the doubles match bit-for-bit. Similarities are
+rounded to 6 decimals in the *output* (and ordering happens on the rounded
+value with a deterministic id tie-break) purely to be robust against any
+engine reassociating the fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register
+
+_COS_SQL = "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns — built-in
+    higher-order functions only (zip_with + aggregate), fully JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT b.vec_id AS vec_id, {_COS_SQL.replace('a.embedding', 'q.embedding')} AS sim
+        FROM embeddings b, q
+        WHERE b.vec_id <> 0
+        ORDER BY sim DESC, b.vec_id
+        LIMIT 10
+    """,
+    tags=("ext-sim",),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (vec_id=0).
+
+    The query vector is a one-row broadcast; the scan over candidates is
+    embarrassingly parallel and the top-k is TakeOrderedAndProject (per-
+    partition heaps). This is the exact baseline the IVF variant is measured
+    against."""
+    vecs = _vectors(spark, sf_dir)
+    q = F.broadcast(vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        vecs.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS_SQL} AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= 0.45
+    """,
+    tags=("ext-sim", "ext-dedup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45).
+
+    Here: an O(n²) self-join — acceptable because `embeddings` is the dim-
+    sized table in this harness (broadcast side). At real corpus scale the
+    pair space must be bucketed first (LSH over random hyperplane signs —
+    exactly the simhash machinery applied to embedding components) so the
+    join is an equi-join on bucket keys; see ann_ivf_topk for the clustered
+    variant of the same idea."""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.alias("a")
+    b = F.broadcast(vecs.alias("b"))
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+    )
+
+
+N_CENTROIDS = 8
+IVF_K = 5
+
+
+@register("ann_ivf_topk", oracle=None, tags=("ext-sim",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: vectors are assigned to their
+    nearest 'centroid' (deterministically: the first N_CENTROIDS vectors act
+    as centroids), the query probes only its nearest centroid's bucket, and
+    exact top-k runs inside that bucket.
+
+    At scale: centroids come from a sampled k-means (Spark ML KMeans), the
+    assignment is a broadcast join against ≤10⁴ centroids, and the bucketed
+    table is written partitioned by centroid_id so a query touches one
+    partition. Rows-only check (approximate results are engine-specific by
+    design; correctness vs brute force is asserted in unit tests)."""
+    vecs = _vectors(spark, sf_dir)
+    centroids = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    # assign: argmax cosine over centroids, deterministic tie-break.
+    sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
+    assigned = (
+        vecs.crossJoin(centroids)
+        .select("vec_id", "embedding", "centroid_id", sim_c.alias("c_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("centroid_id").alias("q_centroid")
+    )
+    bucket = assigned.join(F.broadcast(q), assigned.centroid_id == F.col("q_centroid"))
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        bucket.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(IVF_K)
+    )

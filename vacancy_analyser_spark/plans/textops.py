@@ -1,0 +1,191 @@
+"""Text-analysis ops over `documents` (SURVEY.md §2.9 [ext], §2.11):
+token counting, per-language stats, quality scoring, language-ID heuristic,
+document fingerprinting, JSON access.
+
+Everything is built-in-function Column algebra (split/regexp/md5/aggregate) —
+no Python UDFs — so the text path is whole-stage-codegen'd and scales with
+the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_ws, tokens
+from ..io import load_table
+from .registry import register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+#: tiny per-language marker-word dimension for the language-ID heuristic.
+#: The synthetic corpus is English-vocabulary across all `lang` labels, so
+#: markers are picked per engine-vocab token just to exercise the machinery;
+#: a real deployment loads stopword lists per language.
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("the", "en"), ("a", "en"), ("and", "en"),
+    ("le", "fr"), ("la", "fr"), ("et", "fr"),
+    ("der", "de"), ("und", "de"), ("die", "de"),
+    ("el", "es"), ("los", "es"), ("y", "es"),
+]
+_LANG_MARKERS_SQL = "(VALUES " + ", ".join(f"('{w}', '{l}')" for w, l in LANG_MARKERS) + ") AS m(word, marker_lang)"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tokens
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document — the unit step of every
+    token-budget computation in a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(tokens("text")).cast("int").alias("n_tokens"))
+
+
+@register(
+    "doc_lang_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(n_chars) AS DOUBLE)
+                   AS avg_chars,
+               CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("ext-text",),
+)
+def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per-language doc counts, average length, token
+    totals — the first dashboard of any crawl snapshot."""
+    from ..functions.numeric import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+        FROM events
+    """,
+    tags=("ext-json",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field access on events.props (semi-structured sidecar columns).
+    get_json_object is JVM-side; for repeated multi-field access prefer
+    from_json with an explicit schema (single parse)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
+    )
+
+
+@register(
+    "doc_quality_filter",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars, n_tokens, alpha_ratio
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) AS alpha_ratio
+            FROM documents
+            WHERE length(text) > 0
+        )
+        WHERE n_chars BETWEEN 120 AND 400
+          AND n_tokens >= 20
+          AND alpha_ratio > 0.7
+    """,
+    tags=("ext-text",),
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + filter: length bounds, token floor, alphabetic-char
+    ratio — the C4/Gopher-style heuristic gate, as pushdown-friendly Column
+    algebra."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tokens = F.size(tokens("text")).cast("int")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double") / F.length("text")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars",
+            n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio"),
+        )
+        .filter(
+            F.col("n_chars").between(120, 400) & (F.col("n_tokens") >= 20) & (F.col("alpha_ratio") > 0.7)
+        )
+    )
+
+
+@register(
+    "lang_id_ngram",
+    oracle=f"""
+        WITH markers AS (SELECT * FROM {_LANG_MARKERS_SQL}),
+        hits AS (
+            SELECT doc_id, marker_lang, COUNT(*) AS score
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents) t
+            JOIN markers ON t.token = markers.word
+            GROUP BY doc_id, marker_lang
+        )
+        SELECT doc_id, marker_lang AS lang_guess, score
+        FROM (
+            SELECT doc_id, marker_lang, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, marker_lang) AS rn
+            FROM hits
+        ) WHERE rn = 1
+    """,
+    tags=("ext-text",),
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count marker-word hits per candidate language,
+    argmax with deterministic tie-break. explode→broadcast-join→two-level
+    agg; the marker dim stays broadcast at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = F.broadcast(
+        spark.createDataFrame(LANG_MARKERS, "word string, marker_lang string")
+    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    hits = (
+        toks.join(markers, toks.token == markers.word)
+        .groupBy("doc_id", "marker_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("marker_lang"))
+    return (
+        hits.select("doc_id", F.col("marker_lang").alias("lang_guess"), "score",
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint over whitespace-normalized text —
+    the join key for exact dedup across shards/snapshots. md5 is used (not
+    xxhash64) because it is engine-portable; swap to xxhash64 for pure-Spark
+    pipelines where speed matters more than portability."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(normalize_ws("text")).alias("fingerprint"))
