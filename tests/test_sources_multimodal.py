@@ -1,0 +1,131 @@
+"""S1/S2 source scaffolding + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vacancy_analyser_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_image_features,
+    media_metadata_stats,
+    real_decode,
+    sample_frames,
+)
+from vacancy_analyser_spark.sources.rest import (
+    Range,
+    bisect_ranges,
+    id_scan_source,
+    range_scan_source,
+)
+
+
+# --- S1: recursive range bisection (get_vacancies.py:48-59 semantics) -------
+
+def test_bisect_splits_until_fit():
+    # density: 10 items per unit → [0, 1000) holds 10k items, limit 2000
+    count = lambda a, b: (b - a) * 10
+    ranges = bisect_ranges(count, 0, 1000, max_per_range=2000, min_width=1)
+    assert all(count(r.lo, r.hi) <= 2000 for r in ranges)
+    # full coverage, no overlap, ascending
+    assert ranges[0].lo == 0 and ranges[-1].hi == 1000
+    for prev, nxt in zip(ranges, ranges[1:]):
+        assert prev.hi == nxt.lo
+
+
+def test_bisect_respects_min_width():
+    # pathological density: everything in one unit — floor must stop descent
+    count = lambda a, b: 100_000 if a <= 5 < b else 0
+    ranges = bisect_ranges(count, 0, 1000, max_per_range=2000, min_width=60)
+    assert all((r.hi - r.lo) >= 1 for r in ranges)
+    assert any(r.lo <= 5 < r.hi for r in ranges)
+    assert all((r.hi - r.lo) <= 63 for r in ranges)  # narrowed to the floor
+
+
+def test_bisect_drops_empty_ranges():
+    count = lambda a, b: 0
+    assert bisect_ranges(count, 0, 1000) == []
+
+
+# --- S2: distributed id scan -------------------------------------------------
+
+VAC_DDL = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+)
+
+
+def test_id_scan_source(spark):
+    # defined inside the test: cloudpickle serializes closures by value, so
+    # executors don't need the tests/ dir on their import path
+    def fake_fetch(ids: pd.Series) -> pd.DataFrame:
+        # even ids "exist", odd ids are 404 → absent (reference skips non-200)
+        found = [i for i in ids if i % 2 == 0]
+        return pd.DataFrame({"id": found, "name": [f"vac-{i}" for i in found]})
+
+    df = id_scan_source(spark, 100, VAC_DDL, fetch_fn=fake_fetch, num_partitions=4)
+    rows = df.collect()
+    assert len(rows) == 50
+    assert df.rdd.getNumPartitions() == 4
+    assert {r["name"] for r in rows} == {f"vac-{i}" for i in range(0, 100, 2)}
+
+
+def test_range_scan_source(spark):
+    def fetch_range(lo: int, hi: int) -> pd.DataFrame:
+        ids = list(range(lo, hi))
+        return pd.DataFrame({"id": ids, "name": [f"vac-{i}" for i in ids]})
+
+    ranges = [Range(0, 10), Range(10, 30), Range(50, 55)]
+    df = range_scan_source(spark, ranges, VAC_DDL, fetch_range_fn=fetch_range)
+    assert df.count() == 35
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\x89PNG fake bytes", "image/png", (640, 480, None)),
+        (2, b"RIFF fake wav", "audio/wav", (None, None, 3500)),
+        (3, None, "image/png", (10, 10, None)),
+        (4, b"\x00\x00ftyp fake mp4", "video/mp4", (1920, 1080, 4200)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(spark, media_df):
+    out = {r["media_id"]: r for r in extract_features(media_df).collect()}
+    assert len(out) == 4
+    assert out[1]["n_bytes"] == len(b"\x89PNG fake bytes")
+    assert out[3]["n_bytes"] == 0
+    # deterministic fake: same payload → same feature vector
+    expected = fake_image_features(b"\x89PNG fake bytes", "image/png")
+    assert out[1]["feature"] == pytest.approx(expected)
+    assert len(out[1]["feature"]) == 8
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image/png")
+
+
+def test_metadata_stats_prunes_payload(spark, media_df, tmp_path):
+    # through parquet so ReadSchema reflects pruning
+    p = str(tmp_path / "media")
+    media_df.write.parquet(p)
+    stats = media_metadata_stats(spark.read.parquet(p))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # payload column never read
+    rows = {r["mime"]: r for r in stats.collect()}
+    assert rows["image/png"]["n_media"] == 2
+
+
+def test_sample_frames_row_explosion(spark, media_df):
+    frames = sample_frames(media_df, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_offset_ms"])
+    assert sorted(by_id[4]) == [0, 1000, 2000, 3000]  # 4200 ms → 4 frames
+    assert by_id[1] == [0]  # no duration → 1 frame

@@ -1,0 +1,110 @@
+"""ST2-ST4: windowed aggregation builders (SURVEY.md §2.8).
+
+Each builder returns a transformation that works on BOTH batch and streaming
+DataFrames — the registered batch queries (plans/streaming_batch.py) and the
+streaming tests share these, so the semantics the DuckDB oracle verified are
+the semantics the stream runs.
+
+Watermark policy: the reference *hard-fails* on out-of-order data
+(feeder_postgres.py:156-159). For a 100 TB stream that is unusable — we
+instead bound lateness with a watermark (late rows beyond it are dropped by
+the engine) and surface the drop via the observation API
+(count_late_metric), which a StreamingQueryListener exports the way
+metrics_exporter.py:113-151 exports freshness gauges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+
+DEFAULT_WATERMARK = "7 days"
+
+
+def with_watermark(df: DataFrame, time_col: str = "ts", delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Apply a watermark on streaming frames; no-op on batch frames."""
+    return df.withWatermark(time_col, delay) if df.isStreaming else df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "1 day",
+    time_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST2: tumbling-window count+sum per key (epoch-aligned, UTC)."""
+    return (
+        with_watermark(df, time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"), dsum(value_col).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    time_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST3: sliding-window count+sum (overlapping windows, epoch-aligned)."""
+    return (
+        with_watermark(df, time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum(value_col).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    key: str = "user_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST4: session windows — activity bursts separated by ≥gap silence."""
+    return (
+        with_watermark(df, time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def deduplicate(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    time_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST5: streaming dedup by key within the watermark horizon — the
+    distributed form of the reference's in-memory `used` id-set
+    (get_vacancies.py:67-72). State size is bounded by the watermark."""
+    keys = keys or ["event_id"]
+    out = with_watermark(df, time_col, watermark)
+    if df.isStreaming:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)
+
+
+def observe_freshness(df: DataFrame, time_col: str = "ts") -> DataFrame:
+    """ST6: attach observed metrics (max event time, row count) to any
+    frame; a StreamingQueryListener reads them per micro-batch — the
+    engine-side replacement for metrics_exporter.py's poll loops."""
+    return df.observe(
+        "freshness",
+        F.max(F.col(time_col)).alias("max_event_time"),
+        F.count(F.lit(1)).alias("rows"),
+    )
