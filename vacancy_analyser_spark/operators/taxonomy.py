@@ -61,27 +61,36 @@ def load_taxonomy(spark: SparkSession, blocks_path: str, synonyms_path: str) -> 
     Parsed distributively — each file is one text read, split/explode'd
     JVM-side — so a million-line taxonomy would work unchanged.
     """
-    def parse(path: str, first_col: str) -> DataFrame:
+    def parse(path: str, first_col: str, lower_first: bool) -> DataFrame:
         lines = spark.read.text(path)
         parts = F.split(F.col("value"), "/")
+        first = F.trim(parts.getItem(0))
+        if lower_first:
+            first = F.lower(first)
         return lines.select(
-            F.trim(F.lower(parts.getItem(0))).alias(first_col),
+            first.alias(first_col),
             F.transform(F.slice(parts, 2, 100_000), lambda x: F.trim(F.lower(x))).alias("members"),
         ).filter(F.length(first_col) > 0)
 
     blocks = (
-        parse(blocks_path, "group_name")
+        parse(blocks_path, "group_name", lower_first=False)
         .select("group_name", F.explode("members").alias("member"))
         .filter(F.length("member") > 0)
     )
-    syn = parse(synonyms_path, "canonical")
-    variants = syn.select(
-        "canonical", F.explode(F.array_union(F.array(F.col("canonical")), F.col("members"))).alias("member")
-    ).filter(F.length("member") > 0).dropDuplicates(["member"])
-    # A member's group comes from blocks; canonical from synonyms (identity
-    # when the member has no synonym row) — notebook cell 27 semantics.
-    return (
-        variants.join(blocks.withColumnRenamed("member", "b_member"),
-                      variants.member == F.col("b_member"), "left")
-        .select("member", "canonical", "group_name")
+    syn = parse(synonyms_path, "canonical", lower_first=True)
+    variants = (
+        syn.select(
+            "canonical",
+            F.explode(F.array_union(F.array(F.col("canonical")), F.col("members"))).alias("member"),
+        )
+        .filter(F.length("member") > 0)
+        .dropDuplicates(["member"])
     )
+    # Member universe = blocks members ∪ synonym variants. canonical comes
+    # from the synonyms table (identity when absent); group from blocks
+    # (NULL for variants not listed there) — notebook cells 24/26-27.
+    members = blocks.select("member").union(variants.select("member")).distinct()
+    with_canonical = members.join(variants, "member", "left").withColumn(
+        "canonical", F.coalesce("canonical", "member")
+    )
+    return with_canonical.join(blocks, "member", "left").select("member", "canonical", "group_name")
