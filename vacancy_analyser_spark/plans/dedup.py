@@ -111,13 +111,18 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = g.alias("a")
     b = g.alias("b")
+    # The pair join is the heavy path — keep its rows as narrow as possible
+    # (two ids), aggregate first, and only then attach set sizes. `sizes` is
+    # one row per doc → force broadcast: without the hint Spark cannot
+    # estimate the post-aggregation size and falls back to sort-merge,
+    # sorting the multi-million-row pair table twice.
     inter = (
         a.join(b, (F.col("a.bigram") == F.col("b.bigram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(sa, "a_id")
@@ -176,15 +181,22 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(N_MINHASH)
         ]
     )
-    bands = None
-    for band in range(N_MINHASH // BAND_ROWS):
-        cols = [F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        row = sigs.select(
-            "doc_id",
-            F.lit(band).alias("band_id"),
-            F.md5(F.concat(*cols)).alias("band_hash"),
-        )
-        bands = row if bands is None else bands.unionByName(row)
+    # One explode over an inline band array — NOT a 4-way union, which would
+    # recompute the whole shingle→signature pipeline once per band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+                ).alias("band_hash"),
+            )
+            for band in range(N_MINHASH // BAND_ROWS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_hash").alias("band_hash")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
