@@ -41,9 +41,16 @@ N_MINHASH = 8  # signature length
 BAND_ROWS = 2  # rows per LSH band → 4 bands
 
 
-def _bigrams(text_col: str | Column) -> Column:
-    """Spark word-bigram array (mirrors _BIGRAMS_SQL; element_at is 1-based)."""
-    toks = tokens(text_col)
+def _bigrams(toks_col: str | Column) -> Column:
+    """Spark word-bigram array over a *materialized* token-array column
+    (mirrors _BIGRAMS_SQL; element_at is 1-based).
+
+    Takes a column reference, NOT the tokenization expression: expressions
+    inlined into a higher-order-function lambda are re-evaluated per array
+    element (no CSE across lambda boundaries), which turns an O(len) regexp
+    into O(len²) per row. Materializing the array in a prior projection made
+    the sf0.1 bigram stage 12.8s → 0.9s."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     return F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
@@ -53,7 +60,8 @@ def _bigrams(text_col: str | Column) -> Column:
 def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bigram) distinct — shared first stage of dedup tiers 2-3."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(_bigrams("text")).alias("bigram")).distinct()
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    return toks.select("doc_id", F.explode(_bigrams("toks")).alias("bigram")).distinct()
 
 
 @register(
@@ -244,33 +252,26 @@ def _simhash_doc_sql() -> str:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One aggregate with 32 vote sums instead of exploding 32 bit-rows per
+    # token: the explode shuffled |tokens|×32 rows; this shuffles one row per
+    # doc (partial aggregation does the vote counting map-side).
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token")).distinct()
-    h8 = F.substring(F.md5(F.col("token")), 1, 8)
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("p"),
-        h8.alias("h8"),
-    ).select(
-        "doc_id",
-        "p",
-        (
-            (
-                (F.expr(f"instr('{_ALPHA}', substr(h8, 8 - p div 4, 1))") - 1)
-                .cast("int")
-                / F.pow(F.lit(2), F.col("p") % 4).cast("int")
-            ).cast("int")
-            % 2
-        ).alias("bit"),
+    hashed = toks.select("doc_id", F.substring(F.md5(F.col("token")), 1, 8).alias("h8"))
+
+    def bit(p: int) -> Column:
+        # bit p of the 32-bit value parsed from h8: hex char 8 - p//4
+        # (1-based), nibble bit p%4 — identical arithmetic to the oracle.
+        return F.expr(f"((instr('{_ALPHA}', substr(h8, {8 - p // 4}, 1)) - 1) div {2 ** (p % 4)}) % 2")
+
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(2 * bit(p) - 1).alias(f"v{p}") for p in range(32)]
     )
-    votes = bits.groupBy("doc_id", "p").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("p")).cast("bigint")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
+    weight = sum(
+        (F.when(F.col(f"v{p}") > 0, F.lit(2**p)).otherwise(F.lit(0)) for p in range(32)),
+        start=F.lit(0),
     )
+    return votes.select("doc_id", weight.cast("bigint").alias("simhash"))
 
 
 @register(
