@@ -22,7 +22,7 @@ top-document-frequency shingles first (standard MinHash practice).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_ws, tokens
@@ -111,54 +111,80 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-bigram) Jaccard near-dup pairs at ≥ 0.5.
 
-    Candidate pairs come from a self-join on shared bigrams — a bucket join,
-    not a cross join — with pair intersection sizes counted in one
-    partial-aggregated groupBy; Jaccard is then exact integer arithmetic
-    (|∩| / (|A|+|B|-|∩|)), a single division both engines compute
-    identically. Two deliberate physical choices:
+    Physical strategy is chosen for the corpus's *density regime*. This
+    corpus is dense: a tiny shared vocabulary (931 distinct bigrams over
+    5000 docs at sf0.1) where every bigram is frequent. Two standard
+    sparse-regime plans were built and measured first:
 
-    - Bigrams are replaced by ``xxhash64`` 8-byte keys before the join
-      (Spark-side only — the output carries no bigram values), so the heavy
-      shuffle moves longs, not strings.
-    - The (doc_id, bigram-hash) table is persisted: it feeds the join's two
-      sides and the per-doc set sizes, and Spark's exchange reuse cannot
-      cover all three subtrees (the sizes aggregate partitions by doc_id,
-      the join by bigram). At 100 TB the same persist is still right — the
-      shingle table is ~1 row per text word and is reused by every dedup
-      tier — but use MEMORY_AND_DISK and expect spill, or checkpoint it.
+    - shared-bigram count-join (pairs from an equi-join on bigram, group
+      to count |∩|): one frequent bigram with document frequency k emits
+      k(k-1)/2 pair rows — 36M-row shuffle here, 5-10s, GC-bound;
+    - PPJoin prefix filtering (Xiao et al., WWW'08): kept 5.5M of 12.5M
+      possible pairs because *no* bigram is rare, and per-candidate set
+      intersections cost more than the count-join (66s).
 
-    Rejected alternative, measured: PPJoin-style prefix filtering (order
-    each doc's bigrams by global document frequency, join only on the first
-    n - ⌈t·n⌉ + 1) prunes candidates massively on real corpora where most
-    shingles are rare; on this corpus (931 distinct bigrams over 5000 docs
-    at sf0.1, every bigram frequent) it kept 5.5M of 12.5M possible pairs
-    and the per-candidate set intersections cost more than the count-join
-    it replaced (66s vs 7s). For sparse real-world text, add the prefix
-    stage back in front of this join."""
-    g = (
-        _doc_bigrams(spark, sf_dir)
-        .select("doc_id", F.xxhash64("bigram").alias("bh"))
+    Dense-regime plan used instead: index the vocabulary (a ≤1k-row
+    dimension), pack each doc's bigram set into ⌈|V|/64⌉ int64 words with
+    bit_or, broadcast the packed table, and evaluate every a<b pair with
+    bit_count(a_w & b_w) sums — a single whole-stage-codegen pipeline over
+    primitive longs: no pair shuffle, no aggregation, ~1s. |∩| and set
+    sizes are exact integers, so the Jaccard DOUBLE is the same single
+    division the oracle computes.
+
+    At 100 TB the regime flips: a real corpus has ~billions of distinct
+    shingles (sparse), the bitmap does not fit, and the right plan is the
+    count-join with PPJoin prefix filtering in front — both shuffle on
+    narrow keys and scale with Σ df², which rare-shingle corpora keep
+    near-linear. The regime test is cheap (count distinct shingles vs
+    docs) and belongs in a planner rule, not a hardcoded choice."""
+    g = _doc_bigrams(spark, sf_dir).persist()
+    vocab = g.select("bigram").distinct()
+    idx = vocab.select(
+        "bigram", (F.row_number().over(Window.orderBy("bigram")) - 1).alias("idx")
+    )
+    n_vocab = vocab.count()  # also materializes g's cache
+    n_words = max(1, (n_vocab + 63) // 64)
+    packed = (
+        g.join(F.broadcast(idx), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.bit_or(
+                    F.when(
+                        (F.col("idx") / 64).cast("int") == w,
+                        # pyspark's shiftleft() only takes a literal count —
+                        # the SQL form accepts a column expression
+                        F.expr("shiftleft(cast(1 as bigint), cast(idx % 64 as int))"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).alias(f"w{w}")
+                for w in range(n_words)
+            ],
+        )
         .persist()
     )
-    g.count()  # materialize eagerly: the join's two sides + sizes all hit the cache
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = g.alias("a"), g.alias("b")
-    # Keep the pair rows as narrow as possible (two ids), aggregate first,
-    # and only then attach set sizes. `sizes` is one row per doc → force
-    # broadcast: post-aggregation size is unknown to the planner, which
-    # would otherwise sort the multi-million-row pair table twice.
-    inter = (
-        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    packed.count()
+    # Spread the probe side across cores explicitly: the packed table is a
+    # few hundred KB, so AQE coalesces it to ~1 partition, serializing the
+    # O(|docs|²) pair loop onto one task. An explicit repartition is exempt
+    # from AQE coalescing. (14.7s → 0.7s for the pair stage at sf0.1.)
+    a = packed.repartition(32).alias("a")
+    # Broadcast the b side: the packed table is |docs| × (n_words+2) longs.
+    # The a<b condition joins via broadcast nested loop; intersections are
+    # evaluated inside the same codegen stage, nothing materializes.
+    b = F.broadcast(packed.alias("b"))
+    n_common = sum(
+        (F.bit_count(F.col(f"a.w{w}").bitwiseAND(F.col(f"b.w{w}"))) for w in range(n_words)),
+        start=F.lit(0),
+    ).cast("bigint")
+    jac = n_common.cast("double") / (F.col("a.n") + F.col("b.n") - n_common)
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", jac.alias("jaccard"))
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.5)
     )
 
