@@ -23,7 +23,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Comparison ops accepted by ``load_table(ts_filters=...)``.
+_TS_OPS = {
+    ">=": lambda c, v: c >= v,
+    ">": lambda c, v: c > v,
+    "<=": lambda c, v: c <= v,
+    "<": lambda c, v: c < v,
+}
+
+
+def _utc_nanos(iso: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_filters: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
     """Read one harness testdata table.
 
     Plain ``spark.read.parquet`` — the parquet footer carries the schema, so
@@ -33,6 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Nanosecond-timestamp columns arrive as LongType (see the nanosAsLong
     conf in session.py) and are converted here to microsecond timestamps
     with integer division — float division would lose precision above 2^53.
+
+    ``ts_filters`` — ``[(column, op, iso_utc_literal), ...]`` with op in
+    {>=, >, <=, <} — exists because the nanos→timestamp conversion wraps the
+    column in an expression, so a query-level ``ts >= T`` filter cannot be
+    pushed into the parquet scan (the executed plan showed only
+    ``PushedFilters: [IsNotNull(ts)]``). The mapping is strictly monotonic,
+    so a constant time predicate translates exactly to the raw int64 nanos
+    domain; applying it here, *before* the conversion, restores row-group
+    min/max skipping and (on a date-partitioned lake) partition pruning —
+    the difference between scanning a day and scanning 100 TB. Filters on
+    columns that arrive as native timestamps are applied unchanged.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -41,11 +73,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session, which would otherwise reject TIMESTAMP(NANOS) parquet files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
+    raw_types = {f.name: f.dataType for f in df.schema.fields}
+    for col, op, iso in ts_filters or []:
+        if isinstance(raw_types.get(col), T.LongType):
+            df = df.filter(_TS_OPS[op](F.col(col), F.lit(_utc_nanos(iso))))
+        else:
+            df = df.filter(_TS_OPS[op](F.col(col), F.lit(iso).cast("timestamp")))
     expected = TESTDATA_SCHEMAS.get(name)
     if expected is not None:
-        actual = {f.name: f.dataType for f in df.schema.fields}
         for f in expected.fields:
-            if isinstance(f.dataType, T.TimestampType) and isinstance(actual.get(f.name), T.LongType):
+            if isinstance(f.dataType, T.TimestampType) and isinstance(raw_types.get(f.name), T.LongType):
                 df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
     return df
 

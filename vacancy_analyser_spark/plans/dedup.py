@@ -191,7 +191,8 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     sigs = ", ".join(
-        f"min(md5('{s}|' || bigram)) AS s{s}" for s in range(N_MINHASH)
+        f"min(('0x' || substr(md5('{s}|' || bigram), 1, 15))::BIGINT) AS s{s}"
+        for s in range(N_MINHASH)
     )
     return f"""
         grams AS (
@@ -204,8 +205,11 @@ def _minhash_sig_sql() -> str:
 def _band_sql() -> str:
     rows = []
     for band in range(N_MINHASH // BAND_ROWS):
-        cols = " || ".join(f"s{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
-        rows.append(f"SELECT doc_id, {band} AS band_id, md5({cols}) AS band_hash FROM sigs")
+        cols = " || '|' || ".join(f"CAST(s{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS))
+        rows.append(
+            f"SELECT doc_id, {band} AS band_id, "
+            f"('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_val FROM sigs"
+        )
     return " UNION ALL ".join(rows)
 
 
@@ -216,37 +220,58 @@ def _band_sql() -> str:
         bands AS ({_band_sql()})
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a
-        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
                      AND a.doc_id < b.doc_id
     """,
     tags=("ext-dedup",),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle → 8 MinHash values (min of md5
-    under 8 salt 'permutations') → 4 bands of 2 → self-join on band buckets.
+    """MinHash+LSH candidate pairs: shingle → 8 MinHash values (min of a
+    salted hash under 8 'permutations') → 4 bands of 2 → self-join on band
+    buckets.
 
     This is the sub-quadratic near-dup path for 100 TB: cost is
-    O(docs × shingles) for signatures plus a shuffle on band hashes whose
-    buckets are tiny unless documents actually collide. md5-with-salt keeps
-    it engine-portable; a pure-Spark deployment would swap xxhash64 salts.
-    Signature min() over hex strings is lexicographic — identical in both
-    engines."""
+    O(docs × shingles) for signatures plus a shuffle on band values whose
+    buckets are tiny unless documents actually collide.
+
+    Signatures and band keys are 60-bit BIGINTs (the first 15 hex chars of
+    the md5 parsed as an integer) rather than hex strings: min() over a
+    string buffer is not hash-aggregatable in Spark (the executed plan
+    showed SortAggregate — a per-partition sort of the whole shingle
+    table), while numeric min compiles to codegen HashAggregate; the band
+    self-join also shuffles 8-byte keys instead of 32-char strings.
+    Numeric parse keeps both engines identical: lexicographic order of
+    equal-length hex strings IS the numeric order of the parsed value.
+    md5-with-salt keeps it engine-portable; a pure-Spark deployment would
+    swap xxhash64(salt, shingle)."""
     g = _doc_bigrams(spark, sf_dir)
+
+    def h60(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
     sigs = g.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("bigram")))).alias(f"s{s}")
+            F.min(h60(F.concat(F.lit(f"{s}|"), F.col("bigram")))).alias(f"s{s}")
             for s in range(N_MINHASH)
         ]
     )
     # One explode over an inline band array — NOT a 4-way union, which would
-    # recompute the whole shingle→signature pipeline once per band.
+    # recompute the whole shingle→signature pipeline once per band. Band
+    # values re-hash the signature pair through md5 of the decimal strings
+    # ('|'-separated to keep the encoding prefix-free).
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band_id"),
-                F.md5(
-                    F.concat(*[F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)])
-                ).alias("band_hash"),
+                h60(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"s{band * BAND_ROWS + r}").cast("string")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_val"),
             )
             for band in range(N_MINHASH // BAND_ROWS)
         ]
@@ -254,7 +279,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         sigs.select("doc_id", F.explode(band_structs).alias("bs"))
         .select(
-            "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_hash").alias("band_hash")
+            "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_val").alias("band_val")
         )
         .persist()
     )
@@ -268,7 +293,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

@@ -202,10 +202,12 @@ def asof_state_at_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     'vacancy state at date D' over added_at/updated_at/removed_at
     (feeder_postgres.py:92-94). One window pass per key; deterministic
     tie-break on event_id."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(
+        spark, sf_dir, "events", ts_filters=[("ts", "<=", "2024-01-15 00:00:00")]
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        events.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        events
         .select("user_id", "event_id", "ts", "value", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
         .drop("rn")

@@ -57,14 +57,12 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     when/otherwise lifecycle classification. One shuffle on the key; at
     100 TB both sides are bucketed on the key so even that shuffle
     disappears on repeat merges."""
-    events = load_table(spark, sf_dir, "events")
-
     def snap(lo: str, hi: str, alias: str) -> DataFrame:
+        # Time bounds go through load_table's ts_filters so they reach the
+        # parquet scan in the raw nanos domain (row-group/partition pruning)
+        # instead of sitting above the timestamp conversion.
         return (
-            events.filter(
-                (F.col("ts") >= F.lit(lo).cast("timestamp"))
-                & (F.col("ts") < F.lit(hi).cast("timestamp"))
-            )
+            load_table(spark, sf_dir, "events", ts_filters=[("ts", ">=", lo), ("ts", "<", hi)])
             .groupBy("user_id")
             .agg(F.count("*").alias("n_events"))
             .alias(alias)
