@@ -51,10 +51,17 @@ def _bigrams(toks_col: str | Column) -> Column:
     into O(len²) per row. Materializing the array in a prior projection made
     the sf0.1 bigram stage 12.8s → 0.9s."""
     toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # The ≥2 guard is load-bearing: Spark's sequence(1, 0) auto-steps
+    # *descending* to [1, 0], so a single-token document would evaluate
+    # element_at(toks, 2) and throw ArrayIndexOutOfBounds. (DuckDB's
+    # generate_series(1, 0) is empty — the oracle side never hits this.)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
