@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        analytic_windows,
         dedup,
         flagship,
         joins,
