@@ -33,6 +33,10 @@ HEADLINE = [
     "skill_freq",
     "tumbling_window_count",
     "sliding_window_avg",
+    "order_gap_days",
+    "moving_sum_value",
+    "ntile_quartiles",
+    "price_percentiles",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
