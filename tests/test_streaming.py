@@ -136,3 +136,40 @@ def test_session_windows_batch_fixture(spark):
     assert first["n_events"] == 2
     assert first["session_end"] == TS(2024, 1, 1, 10, 40)  # last event + gap
     assert len(by_user[11]) == 1
+
+
+def test_stateful_running_counters_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    user 10 appears in both files — the final emitted row must carry the
+    accumulated count and the min/max ts across BOTH batches."""
+    from vacancy_analyser_spark.streaming.stateful import running_user_counters
+
+    src = str(tmp_path / "events")
+    _events(spark, [(1, TS(2024, 1, 1, 5), 10, "click", 1.0),
+                    (2, TS(2024, 1, 1, 6), 11, "view", 2.0)]).write.mode("append").parquet(src)
+    _events(spark, [(3, TS(2024, 1, 2, 7), 10, "click", 3.0)]).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(_events(spark, []).schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        running_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName("counters_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from counters_out order by n_events desc, user_id"
+    ).collect()
+    # update mode: one row per touched key per batch; the LAST row per key
+    # has the running totals. Collapse to the max-count row per user.
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    assert final[10]["n_events"] == 2
+    assert final[10]["first_ts"] == TS(2024, 1, 1, 5)
+    assert final[10]["last_ts"] == TS(2024, 1, 2, 7)
+    assert final[11]["n_events"] == 1

@@ -120,7 +120,8 @@ def stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 dedup-by-key summary (the reference dedups vacancy ids in a
     Python set, get_vacancies.py:67-72). Streaming twin:
     dropDuplicates(["event_id"]) under a watermark — see
-    streaming/dedup_stream.py; here the deterministic batch equivalent."""
+    streaming/windows.py::deduplicate; here the deterministic batch
+    equivalent."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_id").agg(
         F.min("ts").alias("first_ts"), F.count("*").alias("n_dups")
