@@ -1,0 +1,35 @@
+"""Similarity-search quality: the IVF approximate path is measured against
+the brute-force ground truth (the docstring's contract). Rows-only in the
+driver's oracle check, so this is where its correctness actually lives."""
+
+from __future__ import annotations
+
+from vacancy_analyser_spark.plans.similarity import IVF_K, ann_ivf_topk, cosine_topk
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    truth = cosine_topk(spark, sf_dir).collect()
+    bf_ids = [r["vec_id"] for r in truth][:IVF_K]
+    bf_sims = {r["vec_id"]: r["sim"] for r in truth}
+    ivf = ann_ivf_topk(spark, sf_dir).collect()
+    ivf_ids = [r["vec_id"] for r in ivf]
+
+    assert len(ivf_ids) == IVF_K
+    # On the harness embeddings (label-clustered) the probed bucket holds
+    # the true neighborhood: recall@5 is 5/5 measured; assert ≥ 4/5 so a
+    # testdata regeneration with slightly different clustering cannot flake
+    # the suite while a real quality regression still fails it.
+    assert len(set(bf_ids) & set(ivf_ids)) >= IVF_K - 1
+    # Any id the IVF path returns must carry the same similarity the exact
+    # path computes — approximation may drop candidates, never rescore them.
+    for r in ivf:
+        if r["vec_id"] in bf_sims:
+            assert r["sim"] == bf_sims[r["vec_id"]]
+
+
+def test_ivf_results_sorted_and_deterministic(spark, sf_dir):
+    a = [(r["vec_id"], r["sim"]) for r in ann_ivf_topk(spark, sf_dir).collect()]
+    b = [(r["vec_id"], r["sim"]) for r in ann_ivf_topk(spark, sf_dir).collect()]
+    assert a == b
+    sims = [s for _, s in a]
+    assert sims == sorted(sims, reverse=True)

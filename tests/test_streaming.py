@@ -173,3 +173,43 @@ def test_stateful_running_counters_across_batches(spark, tmp_path):
     assert final[10]["first_ts"] == TS(2024, 1, 1, 5)
     assert final[10]["last_ts"] == TS(2024, 1, 2, 7)
     assert final[11]["n_events"] == 1
+
+
+def test_bucketed_state_store_avoids_state_side_shuffle(spark, tmp_path):
+    """The repeat-merge join over bucketed state must exchange ONLY the
+    snapshot side; plain-parquet state would show two hashpartitioning
+    exchanges (one per join input)."""
+    import datetime as dtm
+
+    from vacancy_analyser_spark.operators.merge import bootstrap_state, merge_snapshot
+    from vacancy_analyser_spark.streaming.snapshot_stream import BucketedStateStore
+
+    store = BucketedStateStore(spark, "state_bucket_test", key="id", n_buckets=4)
+    try:
+        snap0 = spark.createDataFrame(
+            [(i, f"n{i}", 100 + i, False) for i in range(50)], SNAP_DDL
+        )
+        store.write(bootstrap_state(snap0, dtm.date(2024, 1, 1)))
+
+        snap1 = spark.createDataFrame(
+            [(i, f"n{i}x" if i % 7 == 0 else f"n{i}", 100 + i, False) for i in range(5, 55)],
+            SNAP_DDL,
+        )
+        state = store.read()
+        merged = merge_snapshot(state, snap1, dtm.date(2024, 1, 8), strict=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"expected snapshot-side exchange only, got {n_exchanges}:\n{plan}"
+
+        # and the merge itself is still correct end-to-end through the store
+        store.write(merged)
+        final = store.read()
+        row = {r["id"]: r for r in final.collect()}
+        assert row[0]["removed_at"] == dtm.date(2024, 1, 8)      # dropped from snap1
+        assert row[7]["updated_at"] == dtm.date(2024, 1, 8)      # name changed
+        assert row[6]["updated_at"] == dtm.date(2024, 1, 1)      # unchanged keeps date
+        assert row[54]["added_at"] == dtm.date(2024, 1, 8)       # new id
+    finally:
+        for t in list(spark.catalog.listTables()):
+            if t.name.startswith("state_bucket_test_v"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -65,6 +65,56 @@ class ParquetStateStore:
             shutil.rmtree(old, ignore_errors=True)
 
 
+class BucketedStateStore:
+    """State storage as a versioned *bucketed* managed table.
+
+    Motivation (operators/merge.py scale note): the merge's full-outer join
+    must co-partition both sides on the key. Plain parquet state shuffles
+    the ENTIRE state every merge — at 100 TB that shuffle dwarfs the
+    (weekly-snapshot-sized) real work. Stored ``bucketBy(key)``, the state
+    scan already satisfies the join's hashpartitioning requirement, so the
+    repeat merge exchanges only the snapshot side — verified by plan
+    assertion in tests/test_streaming.py (state side: zero exchanges).
+
+    Versioning replaces the rename dance of ParquetStateStore: Spark cannot
+    overwrite a table it is reading, so each merge writes ``<name>_v{n+1}``
+    and drops older versions after the new one is committed. Deployment
+    note: bucketing metadata lives in the session catalog — a real lake
+    needs a persistent metastore (or a table format that carries layout
+    metadata in the table itself) for the bucket spec to survive restarts.
+    """
+
+    def __init__(self, spark: SparkSession, name: str, key: str = "id", n_buckets: int = 8):
+        self.spark = spark
+        self.name = name
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def _versions(self) -> list[int]:
+        prefix = f"{self.name}_v"
+        return sorted(
+            int(t.name[len(prefix):])
+            for t in self.spark.catalog.listTables()
+            if t.name.startswith(prefix) and t.name[len(prefix):].isdigit()
+        )
+
+    def read(self) -> DataFrame | None:
+        vs = self._versions()
+        return self.spark.table(f"{self.name}_v{vs[-1]}") if vs else None
+
+    def write(self, state: DataFrame) -> None:
+        vs = self._versions()
+        nxt = (vs[-1] + 1) if vs else 1
+        (
+            state.write.bucketBy(self.n_buckets, self.key)
+            .sortBy(self.key)
+            .mode("overwrite")
+            .saveAsTable(f"{self.name}_v{nxt}")
+        )
+        for v in vs:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}_v{v}")
+
+
 def snapshot_schema_with_date(snapshot_schema: T.StructType) -> T.StructType:
     return T.StructType(list(snapshot_schema.fields) + [T.StructField("snapshot_date", T.DateType())])
 
