@@ -53,3 +53,24 @@ def test_top_keys_diagnosis(spark, skewed):
     assert rows[0]["key"] == "hot"
     assert rows[0]["count"] == 90
     assert rows[0]["share"] == pytest.approx(90 / 93)
+
+
+def test_salting_actually_balances_hot_key(spark, skewed):
+    """The point of salting: the hot key's rows must spread across salt
+    values so no single (key, salt) shuffle group carries the whole key."""
+    from pyspark.sql import functions as F
+    from vacancy_analyser_spark.operators.skew import _SALT
+
+    fact, _ = skewed
+    n_salts = 8
+    salted = fact.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(42)), F.lit(n_salts)).cast("int"),
+    )
+    per_group = (
+        salted.filter(F.col("k") == "hot").groupBy(_SALT).count().collect()
+    )
+    counts = [r["count"] for r in per_group]
+    assert sum(counts) == 90
+    assert len(counts) >= n_salts // 2          # most salt values in use
+    assert max(counts) <= 90 // 2               # no group holds the key alone
