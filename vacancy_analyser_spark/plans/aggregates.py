@@ -317,3 +317,69 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS sum_value
+        FROM events
+        GROUP BY CAST(floor(value / 10) AS BIGINT)
+    """,
+    tags=("A-ext",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 10) over events.value — the engine-side
+    building block behind any distribution plot. Bucketing by floor-division
+    is an equi-group: one two-phase hash aggregate, no sort, no window —
+    unlike ntile this scales embarrassingly at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    scaled = F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+    return (
+        events.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            (scaled.cast("double") / 1_000_000).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT n_name, year(o_orderdate) AS order_year,
+               GROUPING(n_name, year(o_orderdate)) AS gid,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+    """,
+    tags=("A9",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 GROUPING SETS with grouping_id: per-nation totals, per-year
+    totals, and the grand total in ONE pass (Catalyst expands to a single
+    Expand + hash aggregate — one scan instead of three). rollup_year_prof
+    covers the hierarchical variant; this is the non-hierarchical one."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("order_year"))
+    )
+    base.createOrReplaceTempView("_gs_base")
+    return spark.sql(
+        """
+        SELECT n_name, order_year,
+               CAST(grouping_id(n_name, order_year) AS INT) AS gid,
+               COUNT(*) AS n_orders
+        FROM _gs_base
+        GROUP BY GROUPING SETS ((n_name), (order_year), ())
+        """
+    )

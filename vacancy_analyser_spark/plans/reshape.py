@@ -92,3 +92,28 @@ def except_skills(spark: SparkSession, sf_dir: str) -> DataFrame:
         return orders.filter(F.year("o_orderdate") == year).select("o_custkey")
 
     return custs(1995).subtract(custs(1996))
+
+
+@register(
+    "nations_per_region_agg",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("R-ext",),
+)
+def nations_per_region_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation (LISTAGG): collect_list is
+    order-nondeterministic under parallelism, so the engine-portable form
+    is collect_list → array_sort → array_join — same canonical order the
+    oracle's ORDER BY clause pins. At scale beware per-group result size
+    (this is a display op, not a data op)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
