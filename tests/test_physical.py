@@ -129,3 +129,21 @@ def test_jaccard_bitmap_matches_bruteforce(spark, sf_dir, monkeypatch):
             if union and inter / union >= 0.5:
                 want[(a, b)] = inter / union
     assert got == pytest.approx(want)
+
+
+def test_jaccard_regime_paths_agree(spark, sf_dir):
+    """The density-regime chooser is a planner rule, not a semantic switch:
+    both physical plans must return identical pairs and values."""
+    from vacancy_analyser_spark.plans.dedup import (
+        _doc_bigrams,
+        _jaccard_bitmap,
+        _jaccard_countjoin,
+    )
+
+    g = _doc_bigrams(spark, sf_dir).persist()
+    n_vocab = g.select("bigram").distinct().count()
+    bitmap = sorted(map(tuple, _jaccard_bitmap(g, n_vocab).collect()))
+    countjoin = sorted(map(tuple, _jaccard_countjoin(g).collect()))
+    g.unpersist()
+    assert bitmap == countjoin
+    assert len(bitmap) > 0  # the fixture corpus does contain near-dups

@@ -116,40 +116,51 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-dedup",),
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (word-bigram) Jaccard near-dup pairs at ≥ 0.5.
+    """Exact n-gram (word-bigram) Jaccard near-dup pairs at ≥ 0.5, with the
+    physical plan CHOSEN BY THE CORPUS'S DENSITY REGIME (see
+    ``_jaccard_bitmap`` / ``_jaccard_countjoin`` for each plan's own
+    rationale). The regime probe is one count over the persisted shingle
+    table — trivial next to either plan:
 
-    Physical strategy is chosen for the corpus's *density regime*. This
-    corpus is dense: a tiny shared vocabulary (931 distinct bigrams over
-    5000 docs at sf0.1) where every bigram is frequent. Two standard
-    sparse-regime plans were built and measured first:
+    - dense (distinct shingles ≤ MAX_BITMAP_VOCAB): a tiny shared
+      vocabulary means every shingle is frequent — shingle-join plans
+      blow up quadratically (measured on this corpus: count-join shuffles
+      36M pair rows for 256 true pairs, 5-10s; PPJoin prefix filtering
+      keeps 5.5M of 12.5M candidate pairs because no shingle is rare,
+      66s). The vocab-bitmap plan wins: ~1s, no pair shuffle at all.
+    - sparse (real-world text, ~billions of distinct shingles): the
+      bitmap cannot exist; the shared-shingle count-join scales with
+      Σ df², which rare-shingle corpora keep near-linear. (PPJoin prefix
+      filtering in front is the further refinement when a sparse corpus
+      still has a frequent head.)
 
-    - shared-bigram count-join (pairs from an equi-join on bigram, group
-      to count |∩|): one frequent bigram with document frequency k emits
-      k(k-1)/2 pair rows — 36M-row shuffle here, 5-10s, GC-bound;
-    - PPJoin prefix filtering (Xiao et al., WWW'08): kept 5.5M of 12.5M
-      possible pairs because *no* bigram is rare, and per-candidate set
-      intersections cost more than the count-join (66s).
-
-    Dense-regime plan used instead: index the vocabulary (a ≤1k-row
-    dimension), pack each doc's bigram set into ⌈|V|/64⌉ int64 words with
-    bit_or, broadcast the packed table, and evaluate every a<b pair with
-    bit_count(a_w & b_w) sums — a single whole-stage-codegen pipeline over
-    primitive longs: no pair shuffle, no aggregation, ~1s. |∩| and set
-    sizes are exact integers, so the Jaccard DOUBLE is the same single
-    division the oracle computes.
-
-    At 100 TB the regime flips: a real corpus has ~billions of distinct
-    shingles (sparse), the bitmap does not fit, and the right plan is the
-    count-join with PPJoin prefix filtering in front — both shuffle on
-    narrow keys and scale with Σ df², which rare-shingle corpora keep
-    near-linear. The regime test is cheap (count distinct shingles vs
-    docs) and belongs in a planner rule, not a hardcoded choice."""
+    Both paths produce identical results (tested) — this is a planner
+    rule, not a semantic switch."""
     g = _doc_bigrams(spark, sf_dir).persist()
+    n_vocab = g.select("bigram").distinct().count()  # also materializes g's cache
+    if n_vocab <= MAX_BITMAP_VOCAB:
+        return _jaccard_bitmap(g, n_vocab)
+    return _jaccard_countjoin(g)
+
+
+#: Densest vocabulary the bitmap plan packs: 2^16 bits = 1024 int64 words
+#: per doc (8 KB/doc) — beyond that the packed table stops being the small
+#: broadcastable side and the count-join takes over.
+MAX_BITMAP_VOCAB = 65_536
+JACCARD_T = 0.5
+
+
+def _jaccard_bitmap(g: DataFrame, n_vocab: int) -> DataFrame:
+    """Dense-regime plan: index the vocabulary (a small dimension), pack
+    each doc's bigram set into ⌈|V|/64⌉ int64 words with bit_or, broadcast
+    the packed table, and evaluate every a<b pair with bit_count(a&b) sums
+    — a single whole-stage-codegen pipeline over primitive longs: no pair
+    shuffle, no aggregation. |∩| and set sizes are exact integers, so the
+    Jaccard DOUBLE is the same single division the oracle computes."""
     vocab = g.select("bigram").distinct()
     idx = vocab.select(
         "bigram", (F.row_number().over(Window.orderBy("bigram")) - 1).alias("idx")
     )
-    n_vocab = vocab.count()  # also materializes g's cache
     n_words = max(1, (n_vocab + 63) // 64)
     packed = (
         g.join(F.broadcast(idx), "bigram")
@@ -192,7 +203,33 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("b_id"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _jaccard_countjoin(g: DataFrame) -> DataFrame:
+    """Sparse-regime plan: candidate pairs from an equi-join on shared
+    bigrams (a bucket join, never a cross product), |∩| counted by one
+    partial-aggregated groupBy, set sizes attached afterwards by broadcast.
+    Bigrams are replaced by xxhash64 8-byte keys before the join (the
+    output carries no bigram values), so the heavy shuffle moves longs,
+    not strings. Scales with Σ df² — near-linear when shingles are rare."""
+    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = gh.alias("a"), gh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
     )
 
 
