@@ -189,3 +189,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines where speed matters more than portability."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(normalize_ws("text")).alias("fingerprint"))
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
+#: Plain character classes only — identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB); lookarounds like GPT-2's real pattern are not portable.
+_SUBTOKEN_RE = r"[A-Za-zА-Яа-яЁё]+|[0-9]+|[^A-Za-zА-Яа-яЁё0-9\s]"
+
+
+@register(
+    "bpe_token_estimate",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_SUBTOKEN_RE}')) AS INT) AS n_subtokens
+        FROM documents
+    """,
+    tags=("ext-text",),
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation at two granularities: whitespace words and a
+    BPE-ish pre-tokenization (letter runs / digit runs / punctuation marks
+    — the split boundaries real BPE vocabularies refine, so its count is a
+    stable upper-bound proxy for subword token budgets). Pure per-row
+    column algebra: no shuffle at all, scales with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("int").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SUBTOKEN_RE), 0)).cast("int").alias(
+            "n_subtokens"
+        ),
+    )
