@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the claims PLANS.md makes about the
+executed plans, asserted so they cannot silently regress.
+
+Each assertion is a property a 100 TB run depends on — filter pushdown,
+column pruning, two-phase hash aggregation, broadcast placement — not a
+golden-plan string (those churn with Spark versions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vacancy_analyser_spark.plans import queries
+
+QS = queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QS[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # constant filter reaches scan
+    assert "partial_sum" in plan  # map-side combine before exchange
+    assert "SortAggregate" not in plan
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+
+
+def test_skill_freq_broadcasts_taxonomy(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "skill_freq")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the dim must never shuffle the fact
+
+
+def test_minhash_signature_agg_is_hash_not_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "minhash_lsh_dedup")
+    assert "SortAggregate" not in plan  # numeric min keeps codegen HashAggregate
+
+
+def test_asof_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_state_at_date")
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown before the exchange
+    assert "LessThanOrEqual(ts," in plan  # as-of bound in the nanos domain
+
+
+def test_snapshot_merge_pushes_both_windows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_merge")
+    assert plan.count("GreaterThanOrEqual(ts,") >= 2  # both snapshot bounds pushed
+
+
+def test_flagship_never_python(spark, sf_dir):
+    # whole pipeline is JVM-side: no Arrow eval, no Python runner in the plan
+    plan = _plan(spark, sf_dir, "flagship_region_share")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
