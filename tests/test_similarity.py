@@ -33,3 +33,25 @@ def test_ivf_results_sorted_and_deterministic(spark, sf_dir):
     assert a == b
     sims = [s for _, s in a]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe = N_CENTROIDS probes every bucket — the result must collapse
+    to the exact brute-force top-k (same ids, same sims, same order)."""
+    from vacancy_analyser_spark.plans.similarity import N_CENTROIDS, ivf_topk
+
+    exact = [(r["vec_id"], r["sim"]) for r in cosine_topk(spark, sf_dir).limit(IVF_K).collect()]
+    full = [(r["vec_id"], r["sim"]) for r in ivf_topk(spark, sf_dir, nprobe=N_CENTROIDS).collect()]
+    assert full == exact[:IVF_K]
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    from vacancy_analyser_spark.plans.similarity import ivf_topk
+
+    truth = {r["vec_id"] for r in cosine_topk(spark, sf_dir).limit(IVF_K).collect()}
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = {r["vec_id"] for r in ivf_topk(spark, sf_dir, nprobe=nprobe).collect()}
+        recalls.append(len(got & truth) / IVF_K)
+    assert recalls == sorted(recalls)  # wider probe never loses recall
+    assert recalls[-1] == 1.0
