@@ -213,3 +213,38 @@ def test_bucketed_state_store_avoids_state_side_shuffle(spark, tmp_path):
         for t in list(spark.catalog.listTables()):
             if t.name.startswith("state_bucket_test_v"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_sliding_and_session_streams_match_batch(spark, tmp_path):
+    """ST3/ST4 under a real stream (two micro-batches) must equal the same
+    builder applied to the batch frame — shared-builder equivalence is the
+    whole point of streaming/windows.py."""
+    from vacancy_analyser_spark.streaming.windows import session_counts, sliding_counts
+
+    rows1 = [(1, TS(2024, 1, 1, 10, 0), 10, "click", 1.0),
+             (2, TS(2024, 1, 1, 10, 10), 10, "view", 2.0),
+             (3, TS(2024, 1, 2, 9, 0), 11, "click", 4.0)]
+    rows2 = [(4, TS(2024, 1, 2, 9, 20), 11, "view", 8.0),
+             (5, TS(2024, 1, 3, 15, 0), 10, "click", 16.0)]
+    src = str(tmp_path / "events_sl")
+    _events(spark, rows1).write.mode("append").parquet(src)
+    _events(spark, rows2).write.mode("append").parquet(src)
+
+    batch = _events(spark, rows1 + rows2)
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    for name, build in [("sliding", lambda df: sliding_counts(df, window="2 days", slide="1 day")),
+                        ("session", session_counts)]:
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(f"{name}_eq_out")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = sorted(map(tuple, spark.sql(f"select * from {name}_eq_out").collect()))
+        expected = sorted(map(tuple, build(batch).collect()))
+        assert streamed == expected, name
