@@ -248,3 +248,43 @@ def test_sliding_and_session_streams_match_batch(spark, tmp_path):
         streamed = sorted(map(tuple, spark.sql(f"select * from {name}_eq_out").collect()))
         expected = sorted(map(tuple, build(batch).collect()))
         assert streamed == expected, name
+
+
+def test_freshness_listener_receives_observed_metrics(spark, tmp_path):
+    """ST6: metrics ride the data path — the listener must see max event
+    time and row count for each micro-batch, no extra scans."""
+    import time as _time
+
+    from vacancy_analyser_spark.streaming.listeners import FreshnessListener
+    from vacancy_analyser_spark.streaming.windows import observe_freshness
+
+    published = []
+    listener = FreshnessListener(publish=lambda name, rec: published.append((name, rec)))
+    spark.streams.addListener(listener)
+    try:
+        rows = [(1, TS(2024, 1, 1, 5), 10, "click", 1.0),
+                (2, TS(2024, 1, 2, 6), 11, "view", 2.0)]
+        src = str(tmp_path / "events_obs")
+        _events(spark, rows).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(_events(spark, []).schema).parquet(src)
+        q = (
+            observe_freshness(stream)
+            .writeStream.format("memory")
+            .queryName("obs_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for _ in range(100):  # listener delivery is async
+            if listener.latest:
+                break
+            _time.sleep(0.1)
+        rec = listener.latest["obs_out"]
+        assert rec["rows"] == 2
+        assert rec["max_event_time"] == TS(2024, 1, 2, 6)
+        assert rec["staleness_s"] > 0
+        assert published and published[-1][0] == "obs_out"
+    finally:
+        spark.streams.removeListener(listener)
