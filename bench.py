@@ -26,6 +26,7 @@ HEADLINE = [
     "flagship_region_share",
     "pricing_summary",
     "star_join_3way",
+    "shipping_priority",
     "snapshot_merge",
     "asof_state_at_date",
     "top_n_per_group",
