@@ -27,6 +27,8 @@ HEADLINE = [
     "pricing_summary",
     "star_join_3way",
     "shipping_priority",
+    "large_order_customers",
+    "customer_order_distribution",
     "snapshot_merge",
     "asof_state_at_date",
     "top_n_per_group",

@@ -59,3 +59,35 @@ def test_flagship_never_python(spark, sf_dir):
     # whole pipeline is JVM-side: no Arrow eval, no Python runner in the plan
     plan = _plan(spark, sf_dir, "flagship_region_share")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_large_order_customers_scans_lineitem_once(spark, sf_dir):
+    # the IN-subquery + re-aggregate form would scan lineitem twice; the
+    # decorrelated plan aggregates once and reuses the row
+    plan = _plan(spark, sf_dir, "large_order_customers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_sum" in plan  # map-side combine before the group shuffle
+
+
+def test_small_qty_revenue_broadcasts_thresholds(spark, sf_dir):
+    # per-part thresholds and the brand dim both ride broadcast joins — the
+    # fact side never shuffles to meet them
+    plan = _plan(spark, sf_dir, "small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(p_brand,Brand#11)" in plan  # brand filter reaches the part scan
+
+
+def test_idle_rich_customers_anti_join_prefiltered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "idle_rich_customers")
+    assert "LeftAnti" in plan  # NOT EXISTS decorrelated to anti join
+    # the scalar avg rides a 1-row broadcast nested loop, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # anti side filtered at scan
+
+
+def test_top_supplier_revenue_single_lineitem_scan(spark, sf_dir):
+    # the global MAX rides a window over the aggregated revenue table, so
+    # lineitem is scanned once — not twice as in naive decorrelation
+    plan = _plan(spark, sf_dir, "top_supplier_revenue")
+    assert plan.count("lineitem.parquet") == 1

@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         similarity,
         snapshot,
         streaming_batch,
+        subqueries,
         textops,
     )
 

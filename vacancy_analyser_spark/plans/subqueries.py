@@ -1,0 +1,233 @@
+"""Correlated / scalar subquery shapes (decorrelation family).
+
+The reference's per-row SQL lookups (feeder_postgres.py:138 — one SELECT per
+CSV row) are the degenerate form of a correlated subquery: for each outer
+row, evaluate an inner query. At engine scale that pattern must be
+*decorrelated* into joins against pre-aggregated sides — never a per-row
+probe. This module registers the classic decorrelation shapes (TPC-H
+Q13/Q15/Q17/Q18/Q22 silhouettes, adapted to the testdata star schema) and
+implements each as the decorrelated plan we want Catalyst to reach:
+
+- scalar aggregate subquery      → 1-row aggregate, broadcast cross join
+- correlated per-group aggregate → groupBy on the correlation key, join back
+- IN (SELECT ... HAVING ...)     → aggregate once, use it as the join input
+- NOT EXISTS                     → left_anti join
+
+Scale notes (100 TB): every shape here aggregates the big side FIRST —
+the join then moves only group-level rows (orders, parts, suppliers), not
+lineitems. The 1-row scalar sides are broadcast by construction; nothing
+shuffles a fact table to answer a scalar comparison.
+
+Float discipline: any aggregate that feeds a *comparison* (threshold, max)
+goes through the fixed-point helpers so row membership can't flip on a
+last-bit difference between engines (see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
+from ..io import load_table
+from .registry import register
+
+
+@register(
+    "small_qty_revenue",
+    oracle=f"""
+        SELECT CAST({dsum_sql('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+          AND l_quantity < (
+              SELECT 0.2 * {davg_sql('l_quantity')}
+              FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey
+          )
+    """,
+    tags=("J1", "ext"),
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+
+    The correlated scalar subquery (per-part 20%-of-average threshold) is
+    decorrelated by hand into the plan Catalyst's RewriteCorrelatedScalarSubquery
+    would produce: aggregate lineitem once by l_partkey, broadcast-join the
+    per-part thresholds back, filter, aggregate. The per-part aggregate runs
+    over the FULL lineitem (matching the oracle's inner query, which is not
+    brand-filtered), but only threshold rows — one per part — flow into the
+    join; the brand filter prunes the part dim before it touches lineitem.
+    Threshold avg uses the fixed-point davg so the `<` comparison can't flip
+    on a last-bit float difference between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+              F.col("p_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle=f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               big.sum_qty AS sum_qty
+        FROM (
+            SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+        ) big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    tags=("J1", "A7", "ext"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the very largest orders.
+
+    The textbook form is `o_orderkey IN (SELECT l_orderkey ... HAVING
+    SUM(qty) > T)` followed by re-aggregating the same sum in the outer
+    query. Decorrelated: aggregate lineitem ONCE, filter on the aggregate,
+    and reuse that row as both the semi-join input and the output column —
+    lineitem is scanned a single time and the join moves only the ~1% of
+    orders above the threshold (250 ≈ the 99th percentile of per-order
+    quantity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) per_cust
+        GROUP BY c_count
+    """,
+    tags=("J4", "A1", "ext"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per customer.
+
+    Count-of-counts over a filtered LEFT join — the join predicate (not a
+    WHERE) keeps order-less customers in the c_count=0 bucket, which a
+    post-join filter would silently drop. Two cascaded aggregations: the
+    first shuffles on c_custkey, the second on the (tiny) count domain —
+    the classic two-level shrink where each stage's output is orders of
+    magnitude smaller than its input."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               {dsum_sql('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_nationkey
+    """,
+    tags=("J2", "ext"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent orders.
+
+    Two decorrelations in one query: the scalar avg subquery becomes a 1-row
+    aggregate cross-joined in (broadcast nested loop over one row — free),
+    and NOT EXISTS becomes a left_anti join against the pre-filtered urgent
+    snapshot. The anti-join side is filtered BEFORE the join so only urgent
+    orders shuffle. Threshold avg is fixed-point so membership at the
+    boundary matches the oracle exactly."""
+    customer = load_table(spark, sf_dir, "customer")
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("A3", "ext"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum total revenue.
+
+    Scalar MAX over an aggregated view, compared back against the same view.
+    Naive decorrelation (aggregate → MAX → cross join back) plans TWO
+    lineitem scans because the pushed null-filters differ between the
+    subtrees and Spark can't reuse the exchange. Instead the global MAX is
+    a window over the ALREADY-AGGREGATED revenue table — one row per
+    supplier, so the unpartitioned window is a single tiny partition (fine
+    even at 100 TB of lineitem: the window input scales with |supplier|,
+    not |lineitem|) and lineitem is scanned exactly once. Revenue goes
+    through fixed-point sums so the equality against MAX is exact — with
+    raw double sums, ties at the top could differ between engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(Window.partitionBy()))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
