@@ -91,3 +91,29 @@ def test_top_supplier_revenue_single_lineitem_scan(spark, sf_dir):
     # lineitem is scanned once — not twice as in naive decorrelation
     plan = _plan(spark, sf_dir, "top_supplier_revenue")
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_disjunctive_filter_partial_pushdown(spark, sf_dir):
+    # Catalyst factors the OR-of-ANDs: quantity-only disjunction reaches the
+    # lineitem scan, brand/size disjunction reaches the part scan
+    plan = _plan(spark, sf_dir, "disjunctive_filter_revenue")
+    li_scan = [s for s in plan.split("FileScan parquet ") if "lineitem.parquet" in s][0]
+    part_scan = [s for s in plan.split("FileScan parquet ") if "part.parquet" in s][0]
+    assert "l_quantity" in li_scan.split("DataFilters: ")[1].split("]")[0]
+    assert "p_brand" in part_scan.split("DataFilters: ")[1].split("]")[0]
+
+
+def test_nation_trade_volume_role_playing_dims(spark, sf_dir):
+    # nation joins twice under different roles; the pair disjunction is
+    # factored into an n_name IN-filter pushed to BOTH nation scans
+    plan = _plan(spark, sf_dir, "nation_trade_volume")
+    assert plan.count("nation.parquet") == 2
+    assert plan.count("NATION_1") >= 2 and plan.count("NATION_2") >= 2
+
+
+def test_promo_revenue_share_one_pass(spark, sf_dir):
+    # numerator and denominator come from ONE scan+join, not a union of two
+    plan = _plan(spark, sf_dir, "promo_revenue_share")
+    assert plan.count("lineitem.parquet") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # band pushed to scan
+    assert "Union" not in plan

@@ -383,3 +383,38 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name), (order_year), ())
         """
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+        SELECT CAST(100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                    / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS DOUBLE) AS promo_share
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    """,
+    tags=("A7", "ext"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of revenue from PROMO parts in one quarter.
+
+    Conditional aggregation — both the numerator (CASE-gated) and the
+    denominator come out of ONE pass over the joined rows; never two
+    queries unioned. The shipdate band is pushed to the lineitem scan, the
+    part dim is broadcast, and both sums are fixed-point so the final
+    division is the same two doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo_rev) / dsum(rev)).cast("double").alias("promo_share")
+        )
+    )

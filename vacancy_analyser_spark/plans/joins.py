@@ -257,3 +257,105 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle=f"""
+        SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 10 AND 40
+               AND l_quantity BETWEEN 20 AND 45)
+    """,
+    tags=("J3", "ext"),
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs mixed-table predicate.
+
+    The optimizer showcase here is partial pushdown of a disjunction:
+    Catalyst factors the part-only conjuncts out of each OR branch and
+    pushes `(brand=a AND size..) OR (brand=b AND size..) OR ..` down to the
+    part scan, and the l_quantity-only disjunction `(1..15) OR (10..30) OR
+    (20..45)` down to the lineitem scan — so both inputs shrink BEFORE the
+    join and only the cross-table residual is evaluated after. Written as
+    one boolean expression on the joined frame; the factoring is the
+    optimizer's job (plan-asserted), not hand-split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#11") & sz.between(1, 10) & q.between(1, 15))
+        | ((b == "Brand#23") & sz.between(5, 20) & q.between(10, 30))
+        | ((b == "Brand#34") & sz.between(10, 40) & q.between(20, 45))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J5", "ext"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, by direction and year.
+
+    Role-playing dimension: the nation table joins in TWICE under different
+    aliases (supplier's nation vs customer's nation) — the same parquet is
+    broadcast for both roles. supplier and nation are broadcast (tiny);
+    lineitem⋈orders is the one real shuffle. The nation-pair disjunction
+    can only be evaluated after both roles are attached, but each
+    broadcast join is a no-shuffle pass so the 'late' filter costs one
+    codegen stage, not an exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(rev).alias("revenue"))
+    )
