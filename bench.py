@@ -27,6 +27,10 @@ HEADLINE = [
     "pricing_summary",
     "star_join_3way",
     "shipping_priority",
+    "local_supplier_volume",
+    "market_share",
+    "returned_item_report",
+    "waiting_suppliers",
     "large_order_customers",
     "customer_order_distribution",
     "snapshot_merge",

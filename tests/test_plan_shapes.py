@@ -117,3 +117,41 @@ def test_promo_revenue_share_one_pass(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "GreaterThanOrEqual(l_shipdate" in plan  # band pushed to scan
     assert "Union" not in plan
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_dir):
+    # the c_nationkey = s_nationkey cross-path equality rides broadcast
+    # joins; only the fact-side joins exchange
+    plan = _plan(spark, sf_dir, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # year band at the scan
+
+
+def test_waiting_suppliers_single_lineitem_scan(spark, sf_dir):
+    # both per-order stats come from one window pass — never the
+    # aggregate-and-join-back double scan the oracle SQL does
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_market_share_pruned_before_fact_join(spark, sf_dir):
+    # p_type reaches the part scan; lineitem is scanned once for both the
+    # gated numerator and the denominator
+    plan = _plan(spark, sf_dir, "market_share")
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Union" not in plan
+
+
+def test_returned_item_report_scan_filters_and_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_item_report")
+    assert "EqualTo(l_returnflag,R)" in plan  # flag pushed to lineitem scan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 20 as TopK, not full sort
+
+
+def test_order_priority_check_semi_join(spark, sf_dir):
+    # EXISTS decorrelates to a semi join carrying the non-equi lateness
+    # conjunct; no row duplication, no aggregate-side dedup
+    plan = _plan(spark, sf_dir, "order_priority_check")
+    assert "LeftSemi" in plan

@@ -418,3 +418,49 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(100.0) * dsum(promo_rev) / dsum(rev)).cast("double").alias("promo_share")
         )
     )
+
+
+@register(
+    "late_shipment_counts",
+    oracle="""
+        SELECT l_returnflag AS return_class,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    tags=("A6", "ext"),
+)
+def late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for one year's very-late lines (shipped >90 days
+    after the order date — the testdata has no shipmode or commit/receipt
+    dates, so latency plays the role and returnflag plays the ship-mode
+    grouping), how many came from critical- vs normal-priority orders.
+
+    Pure conditional counting — one join, one aggregate, no second pass for
+    the second count. The year band on l_shipdate is scan-pushed; the
+    cross-table lateness predicate evaluates as the join's residual. Counts
+    are exact integers, so no float discipline is needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.count(F.when(critical, 1)).alias("high_line_count"),
+            F.count(F.when(~critical, 1)).alias("low_line_count"),
+        )
+    )

@@ -359,3 +359,185 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(rev).alias("revenue"))
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+        SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    tags=("J5", "ext"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier are
+    local to each other, one region, one year.
+
+    The distinguishing condition is c_nationkey = s_nationkey — an equality
+    BETWEEN two dims reached through different fact paths. It rides the
+    supplier broadcast join as a second join conjunct, so it costs no extra
+    exchange: the only shuffles are lineitem⋈orders-side. The region filter
+    prunes customers through a broadcast nation⋈region dim BEFORE the
+    customer join, so non-ASIA customers never reach the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer").join(
+        asia_nations, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "market_share",
+    oracle=f"""
+        SELECT o_year,
+               CAST({dsum_sql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END")}
+                    / {dsum_sql('volume')} AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    tags=("J5", "ext"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold into
+    AMERICA, by order year.
+
+    Numerator and denominator come out of ONE pass (CASE-gated fixed-point
+    sums) — the share is never two queries. Like nation_trade_volume, the
+    nation dim role-plays twice: once to restrict the CUSTOMER side to the
+    region (a semi-filtering broadcast join applied before the fact join)
+    and once to label the SUPPLIER side (carried into the aggregate). part
+    is filtered to the type before it broadcasts, so the selective p_type
+    predicate prunes lineitem at the first join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    america_keys = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("cust_nkey")
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer").join(
+        america_keys, F.col("c_nationkey") == F.col("cust_nkey")
+    )
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    gated = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supp_nation, F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(gated) / dsum(vol)).cast("double").alias("mkt_share"))
+    )
+
+
+@register(
+    "returned_item_report",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               c_acctbal, n_name
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("J5", "O2", "ext"),
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter.
+
+    Both selective predicates (returnflag on lineitem, date band on orders)
+    are pushed to their scans before the fact⋈fact shuffle; the customer
+    join then moves only the surviving quarter. TopK rides a total order
+    (revenue is a fixed-point sum; c_custkey breaks ties) so LIMIT 20 picks
+    the same rows on both engines. At cluster scale Spark executes
+    orderBy+limit as per-partition TakeOrdered + single-reduce merge —
+    no global sort materializes."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

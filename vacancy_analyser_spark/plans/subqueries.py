@@ -25,7 +25,7 @@ last-bit difference between engines (see functions/numeric.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
@@ -230,4 +230,110 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "order_priority_check",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    tags=("J6", "ext"),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count of one quarter's orders, by priority, that had
+    at least one late line (shipped >60 days after the order date — the
+    testdata has no commit/receipt dates, so order-to-ship latency plays
+    the lateness role).
+
+    The correlated EXISTS decorrelates to a left_semi join whose condition
+    carries the non-equi lateness conjunct alongside the key equality: the
+    semi join early-outs per order on the first late line and duplicates
+    nothing. The quarter band prunes the orders scan first, so the semi
+    probe side is one quarter of orders, not the full table."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+        WITH order_stats AS (
+            SELECT l_orderkey AS ok,
+                   MAX(l_shipdate) AS max_ship,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+        FROM lineitem
+        JOIN order_stats ON l_orderkey = ok
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND l_shipdate = max_ship
+          AND n_supp >= 2
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    tags=("J6", "ext"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers from one nation who were the LAST to ship
+    on multi-supplier orders (the testdata lacks commit/receipt dates, so
+    "kept the order waiting" = shipped on the order's max ship date while
+    at least one other supplier was involved).
+
+    The reference Q21 uses two correlated EXISTS over lineitem; the oracle
+    decorrelates them into a per-order aggregate CTE joined back — TWO
+    lineitem passes. The Spark plan does better: both per-order stats
+    (max ship date, distinct-supplier count) come from window functions
+    over the same l_orderkey partitioning, so lineitem is scanned ONCE and
+    shuffled ONCE; the supplier/nation label is a broadcast applied only to
+    the few surviving last-to-ship lines. countDistinct at the end guards
+    against a supplier having several lines at the max date."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+    ).filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = F.broadcast(
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", "s_name"
+        )
+    )
+    return (
+        flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
     )
