@@ -29,6 +29,8 @@ HEADLINE = [
     "shipping_priority",
     "local_supplier_volume",
     "market_share",
+    "product_type_profit",
+    "min_cost_supplier",
     "returned_item_report",
     "waiting_suppliers",
     "large_order_customers",

@@ -155,3 +155,57 @@ def test_order_priority_check_semi_join(spark, sf_dir):
     # conjunct; no row duplication, no aggregate-side dedup
     plan = _plan(spark, sf_dir, "order_priority_check")
     assert "LeftSemi" in plan
+
+
+def test_forecast_revenue_change_all_filters_at_scan(spark, sf_dir):
+    # Q6 shape is a pure pushdown test: no join anywhere, and every band
+    # predicate prunes at the parquet scan
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    assert "Join" not in plan
+    # PushedFilters prints truncated; the shipdate bound is visible there,
+    # the discount/quantity bands in the Filter node that feeds the scan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert ">= 0.05)" in plan and "< 24.0)" in plan
+    scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in scan  # projection pruned to the 4 used cols
+
+
+def test_product_type_profit_three_broadcast_dims(spark, sf_dir):
+    # part/supplier/nation are broadcast; the only exchange is li⋈orders
+    plan = _plan(spark, sf_dir, "product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_parts_supplier_relationship_anti_is_broadcast(spark, sf_dir):
+    # the NOT IN denylist must be a broadcast anti probe, never an exchange
+    plan = _plan(spark, sf_dir, "parts_supplier_relationship")
+    assert "LeftAnti" in plan
+    idx = plan.index("LeftAnti")
+    assert "BroadcastHashJoin" in plan[max(0, idx - 80) : idx + 40]
+
+
+def test_important_part_value_single_scan(spark, sf_dir):
+    # global threshold is a window over the aggregated values — one
+    # lineitem scan, not a recompute of the join subtree
+    plan = _plan(spark, sf_dir, "important_part_value")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_potential_part_promotion_semi_gates_scan(spark, sf_dir):
+    # cold-part list gates lineitem BEFORE the aggregate; no join-back for
+    # the per-part denominator
+    plan = _plan(spark, sf_dir, "potential_part_promotion")
+    assert plan.count("lineitem.parquet") == 1
+    assert "StringStartsWith(p_name,cold)" in plan
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_min_cost_supplier_prunes_before_window(spark, sf_dir):
+    # part/Europe filters apply before the per-part min window; lineitem
+    # aggregates once
+    plan = _plan(spark, sf_dir, "min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "EqualTo(p_size,10)" in plan
+    assert "Window" in plan

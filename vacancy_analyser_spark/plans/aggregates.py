@@ -464,3 +464,39 @@ def late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~critical, 1)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle=f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """,
+    tags=("A7", "ext"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would have been kept by eliminating
+    mid-band discounts on small-quantity lines in one year.
+
+    The simplest query in the family and the purest pushdown test: no join,
+    one global aggregate, and every predicate (date band, discount band,
+    quantity cap) is a constant comparison that must reach the parquet scan
+    as a PushedFilter — at 100 TB this query's cost is exactly the scan's
+    row-group pruning. The discount bounds compare against the same double
+    literals on both engines (the generator's 0.05/0.07 grid values), so
+    band membership cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"))
+    )

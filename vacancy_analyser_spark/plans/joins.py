@@ -541,3 +541,100 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+        SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+               {dsum_sql('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS profit
+        FROM lineitem
+        JOIN part     ON p_partkey   = l_partkey
+        JOIN supplier ON s_suppkey   = l_suppkey
+        JOIN orders   ON o_orderkey  = l_orderkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%rod%'
+        GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    tags=("J5", "ext"),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line, by supplier nation and
+    order year (the testdata has no partsupp.ps_supplycost, so cost is a
+    deterministic 60% of the part's retail price per unit).
+
+    Four joins, three of them broadcast (part, supplier, nation are dims) —
+    the only exchange is lineitem⋈orders on the orderkey. The p_name
+    substring filter shrinks the part broadcast before it prunes lineitem
+    at the first join, so non-matching lines never reach the fact join.
+    The profit expression is written with identical association on both
+    engines so the fixed-point rounding sees the same double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("rod"))
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@register(
+    "parts_supplier_relationship",
+    oracle="""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("J2", "A8", "ext"),
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) bucket, excluding one brand and a denylist of
+    suppliers (low account balance plays the "customer complaints" role;
+    lineitem plays partsupp as the part↔supplier bridge).
+
+    NOT IN over a non-null key is a left_anti join; the denylist is tiny so
+    it broadcasts — the anti probe is a per-row hash lookup, no exchange.
+    The part-side predicates prune the broadcast dim before it gates
+    lineitem. The only shuffle is the final distinct-count aggregate, which
+    Spark executes as two cascaded hash aggregates (dedup on the full key,
+    then count) — both partial-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    denylist = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(denylist, li.l_suppkey == denylist.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

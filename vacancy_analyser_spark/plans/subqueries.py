@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
+from ..functions.numeric import davg, davg_sql, dsum, dsum_over, dsum_sql
 from ..io import load_table
 from .registry import register
 
@@ -336,4 +336,194 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
+    )
+
+
+@register(
+    "important_part_value",
+    oracle=f"""
+        WITH natval AS (
+            SELECT l_partkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey, value
+        FROM natval
+        WHERE value > (SELECT {dsum_sql('value')} * 0.001 FROM natval)
+    """,
+    tags=("J6", "A5", "ext"),
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through one nation's
+    suppliers exceeds a fraction of that nation's total (lineitem value
+    plays partsupp supplycost*availqty).
+
+    The scalar subquery compares each group against an aggregate OF the
+    same aggregation — naive decorrelation recomputes the whole
+    lineitem⋈supplier subtree for the threshold. Like top_supplier_revenue,
+    the global sum is instead a window over the ALREADY-AGGREGATED per-part
+    values: lineitem is scanned once, and the unpartitioned window's input
+    scales with |parts one nation supplies|, not |lineitem|. Both the
+    per-part values and the global sum are fixed-point, so threshold
+    membership at the boundary is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    natval = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    return (
+        natval.withColumn("total", dsum_over("value", Window.partitionBy()))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select("partkey", "value")
+    )
+
+
+@register(
+    "potential_part_promotion",
+    oracle="""
+        WITH cold_parts AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'cold%'
+        ),
+        shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_partkey IN (SELECT p_partkey FROM cold_parts)
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM (
+                  SELECT l_suppkey, qty,
+                         SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+                  FROM shipped
+              ) dominated
+              WHERE qty > 0.3 * part_total
+          )
+    """,
+    tags=("J6", "ext"),
+)
+def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers from one nation who dominated a product
+    line's shipments in one year (shipped >30% of a cold-named part's
+    total; shipped quantity plays partsupp availqty).
+
+    Three nested INs in the textbook form; here each becomes the cheap
+    side of a semi join. The cold-part id list broadcasts as a left_semi
+    gate on lineitem BEFORE the aggregate, so only the product line's rows
+    shuffle. Per-(part,supplier) totals and the per-part denominator come
+    from one aggregation plus a window over it — no join-back, no second
+    lineitem pass. Quantity sums are integer-valued doubles (exact at any
+    accumulation order), so no fixed-point detour is needed for the 30%
+    comparison."""
+    cold = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("cold"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(cold, F.col("l_partkey") == cold.p_partkey, "left_semi")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    dominant = (
+        shipped.withColumn(
+            "part_total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("qty") > F.lit(0.3) * F.col("part_total"))
+        .select("l_suppkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    return supplier.join(dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+        WITH offers AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_price
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ),
+        eur AS (
+            SELECT l_partkey, unit_price, s_name, s_acctbal, n_name
+            FROM offers
+            JOIN supplier ON s_suppkey   = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_price
+        FROM eur JOIN part ON p_partkey = l_partkey
+        WHERE p_size = 10
+          AND unit_price = (
+              SELECT MIN(e2.unit_price) FROM eur e2
+              WHERE e2.l_partkey = eur.l_partkey
+          )
+    """,
+    tags=("J6", "O2", "ext"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each size-10 part, the European supplier(s)
+    offering the best unit price (min l_extendedprice/l_quantity over that
+    part-supplier's lines plays partsupp ps_supplycost).
+
+    The correlated MIN re-scans the offer table per outer row in textbook
+    form. Decorrelated: offers aggregate once per (part, supplier); the
+    part filter and the Europe supplier filter both apply BEFORE the
+    per-part window min, shrinking its input to the few surviving parts —
+    legal because the correlated min is per-part and unaffected by which
+    parts/suppliers the outer query keeps. The window then replaces a
+    second scan + join-back; ties at the min (same unit price from two
+    suppliers) are preserved by the equality filter exactly as the SQL
+    does. unit_price is a double quotient of identical inputs on both
+    engines, so the MIN-equality cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    eur_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part10 = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 10)
+        .select("p_partkey", "p_type")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.join(part10, offers.l_partkey == part10.p_partkey)
+        .join(eur_supp, offers.l_suppkey == eur_supp.s_suppkey)
+        .withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_price")
     )
