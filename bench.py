@@ -46,6 +46,7 @@ HEADLINE = [
     "moving_sum_value",
     "ntile_quartiles",
     "price_percentiles",
+    "tfidf_top_terms",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",

@@ -209,3 +209,12 @@ def test_min_cost_supplier_prunes_before_window(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "EqualTo(p_size,10)" in plan
     assert "Window" in plan
+
+
+def test_tfidf_single_token_pass(spark, sf_dir):
+    # document frequency aggregates from the tf table — tokens are
+    # exploded exactly once; the corpus-size scalar rides a broadcast
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "InMemoryTableScan" in plan  # df branch reads the cached tf table
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N scalar
+    assert "WindowGroupLimit" in plan  # top-5 pruned before the doc exchange

@@ -221,3 +221,78 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_subtokens"
         ),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, score
+        FROM (
+            SELECT tf.doc_id, tf.term,
+                   (CAST(tf.tf AS DOUBLE)
+                    * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
+                   / (CAST(dfreq.df AS DOUBLE) + 0.5) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (CAST(tf.tf AS DOUBLE)
+                                 * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
+                                / (CAST(dfreq.df AS DOUBLE) + 0.5) DESC,
+                                tf.term
+                   ) AS rn
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ) ranked
+        WHERE rn <= 5
+    """,
+    tags=("ext-text",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-idf keyword extraction: the 5 most characteristic terms per
+    document (SURVEY §2.9's text-analysis pack names tf-idf; this is the
+    engine-native form — no ml.feature stage, no Python).
+
+    Scoring uses the BM25-style rational idf (N - df + 0.5)/(df + 0.5)
+    instead of a logarithm: same ranking monotonicity, but pure integer
+    arithmetic in doubles, so the score — and therefore the per-doc
+    ranking and the hash compare — is bit-identical across engines
+    (libm log implementations are not).
+
+    Dataflow: tokenize→explode once; per-(doc,term) counts are the only
+    pass over raw tokens; document frequency aggregates from THAT table,
+    not a second token pass; the corpus size is a broadcast 1-row scalar.
+    Shuffles: by (doc,term) for tf, by term for the df join, back to doc
+    for the top-5 window — each stage's input is already aggregate-sized.
+    At 100 TB the df side concentrates into a Zipf head; its join stays
+    sort-merge (AQE handles the skewed head), and the window's per-doc
+    partitions are bounded by vocabulary, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # Materialize before branching: the df branch prunes to a distinct
+    # aggregate, which breaks exchange reuse (verified on the executed
+    # plan) — without the cache the tokenize+explode pass runs twice.
+    tf.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+    ) / (F.col("df").cast("double") + 0.5)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "score")
+    )
