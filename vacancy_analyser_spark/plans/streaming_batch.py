@@ -128,11 +128,45 @@ def stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("session_window_count", oracle=None, tags=("ST4",))
+@register(
+    "session_window_count",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                        WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    tags=("ST4",),
+)
 def session_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4 session windows (30-min gap) per user — no DuckDB equivalent
-    (rows-only check); the sessionization semantics are covered by unit
-    tests against a hand-computed fixture."""
+    """ST4 session windows (30-min gap) per user.
+
+    DuckDB has no session_window, but the semantics ARE SQL-expressible as
+    gaps-and-islands: flag a session break when the gap to the previous
+    event is >= 30 min (session_window intervals are [start, end) — an
+    event landing exactly on the previous session's end starts a new one),
+    number sessions with a running sum of the flags, aggregate per island.
+    session_end = last event + gap, matching Spark's definition. The
+    testdata's timestamps are whole microseconds, so the nanos→micros read
+    conversion is lossless and the boundary values hash-match exactly.
+    Previously a rows-only check; the oracle also pins the sessionization
+    against the hand-computed fixture tests."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
