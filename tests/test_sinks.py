@@ -1,0 +1,77 @@
+"""Sink coverage (SURVEY §2.1 S5/S9): size-bounded parquet files, partitioned
+layout with pruning on read-back, CSV round-trip with embedded newlines.
+
+The reference's sinks are a DictWriter CSV (get_vacancies.py:224-236) and a
+maxRecordsPerFile parquet write (feeder_hadoop.py:19-20,87); atomicity came
+from a tempfile+rename dance that Spark's task-commit protocol subsumes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vacancy_analyser_spark.io import read_snapshot_csv, write_csv, write_parquet
+
+
+def test_parquet_sink_bounds_file_size(spark, tmp_path):
+    # feeder_hadoop.py:19-20 writes 50,000-row files; same option, smaller N
+    out = str(tmp_path / "bounded")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    write_parquet(df, out, max_records_per_file=100)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 10  # no file may exceed 100 rows
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 999 * 1000
+
+
+def test_parquet_sink_partitioned_layout_prunes_on_read(spark, tmp_path):
+    # a date/partition-keyed lake layout: the partition filter must show up
+    # as PartitionFilters (directory pruning), not a post-scan Filter —
+    # at 100 TB this is the difference between listing one directory and
+    # scanning the lake
+    out = str(tmp_path / "by_year")
+    df = spark.createDataFrame(
+        [(y, i, float(i)) for y in (1996, 1997, 1998) for i in range(50)],
+        "year int, k int, v double",
+    )
+    write_parquet(df, out, partition_by=["year"])
+    assert sorted(os.path.basename(p) for p in glob.glob(os.path.join(out, "year=*"))) == [
+        "year=1996",
+        "year=1997",
+        "year=1998",
+    ]
+    back = spark.read.parquet(out).filter(F.col("year") == 1997)
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+    assert "(year" in plan.split("PartitionFilters: ")[1].split("]")[0]
+
+
+def test_csv_sink_roundtrip_embedded_newlines(spark, tmp_path):
+    # get_vacancies.py:169 stores newline-joined skills inside one quoted
+    # cell; the sink must quote/escape so the typed reader recovers rows
+    out = str(tmp_path / "snap")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("archived", T.BooleanType()),
+        ]
+    )
+    rows = [
+        Row(id=1, text='line1\nline2 with "quotes"', archived=False),
+        Row(id=2, text=None, archived=True),
+        Row(id=3, text="plain", archived=None),
+    ]
+    write_csv(spark.createDataFrame(rows, schema), out)
+    back = read_snapshot_csv(spark, out, schema).orderBy("id").collect()
+    assert [r.id for r in back] == [1, 2, 3]
+    assert back[0].text == 'line1\nline2 with "quotes"'
+    assert back[1].text is None
+    assert back[2].archived is None
