@@ -218,3 +218,19 @@ def test_tfidf_single_token_pass(spark, sf_dir):
     assert "InMemoryTableScan" in plan  # df branch reads the cached tf table
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N scalar
     assert "WindowGroupLimit" in plan  # top-5 pruned before the doc exchange
+
+
+def test_frame_sample_never_reads_payload(spark, sf_dir):
+    # the explosion is sized by metadata: the documents scan must carry
+    # doc_id and n_chars only — text (the payload source) is pruned out
+    plan = _plan(spark, sf_dir, "multimodal_frame_sample")
+    scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in scan
+    assert "n_chars" in scan
+
+
+def test_feature_extract_is_arrow_batched(spark, sf_dir):
+    # the Python decode path must be Arrow mapInPandas, never row-at-a-time
+    plan = _plan(spark, sf_dir, "multimodal_feature_extract")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

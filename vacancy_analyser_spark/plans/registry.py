@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         dedup,
         flagship,
         joins,
+        multimodal,
         rowops,
         reshape,
         similarity,
