@@ -159,10 +159,45 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("ext-sim",))
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        q_probes AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn <= 1),
+        q AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0)
+        SELECT a.vec_id AS vec_id,
+               round(list_cosine_similarity(a.emb, q.q_emb), 6) AS sim
+        FROM assigned a JOIN q_probes p ON a.centroid_id = p.centroid_id CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY sim DESC, a.vec_id
+        LIMIT {IVF_K}
+    """,
+    tags=("ext-sim",),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered IVF fast path (nprobe=1) — see ivf_topk for the sweepable
-    variant and the recall/cost contract. Rows-only check (approximate
-    results are engine-specific by design; correctness vs brute force is
-    asserted in tests/test_similarity.py)."""
+    variant and the recall/cost contract.
+
+    "Approximate" does not mean nondeterministic: every step (first-N
+    centroid choice, rounded-cosine argmax assignment with id tie-break,
+    probe selection, rounded output sims) is a deterministic function of
+    the data, so DuckDB replays the SAME index construction and probe and
+    hash-matches exactly. Recall vs exact brute force is separately pinned
+    in tests/test_similarity.py."""
     return ivf_topk(spark, sf_dir, nprobe=1)
