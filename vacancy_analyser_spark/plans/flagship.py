@@ -44,12 +44,15 @@ from .registry import register
 def flagship_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue share per (region, year) with rank — the engine's M1 slice.
 
-    Physical shape worth keeping at 100 TB: one fact⋈fact sort-merge join
-    (lineitem⋈orders, AQE-skew-safe), all dims broadcast, two-phase agg down
-    to |regions|×|years| rows, then windows over that tiny aggregate."""
+    Physical shape worth keeping at 100 TB: fact⋈fact joins stay
+    sort-merge (AQE-skew-safe), the bounded dims (nation, region) carry
+    explicit broadcast hints, customer is left to AQE (broadcast from
+    runtime sizes at small SF, exchange at 100 TB where it is ~1.5B rows),
+    two-phase agg down to |regions|×|years| rows, then windows over that
+    tiny aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     revenue_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -1,8 +1,13 @@
 """J-ops: joins (SURVEY.md §2.3).
 
 Join-strategy discipline for 100 TB:
-- dims (region/nation/part-at-dim-scale, the ≤500-row taxonomy) → explicit
-  broadcast() hint; never shuffle a fact table to meet a dim.
+- explicit broadcast() hints ONLY for tables bounded by the schema
+  (region, nation, the ≤500-row taxonomy, 1-row scalars) — never shuffle
+  a fact table to meet one of those. Tables that SCALE WITH THE DATA
+  (customer, supplier, part, per-key aggregates) carry no hint: AQE
+  promotes them to broadcast from runtime sizes at small SF and keeps
+  sort-merge at 100 TB, where a forced broadcast of a billion-row side
+  would OOM every executor.
 - fact⋈fact equi-joins → sort-merge with AQE skew splitting; co-partition by
   writing both sides bucketed on the key when the join repeats.
 - anti/semi joins → Spark's dedicated left_anti / left_semi (no row
@@ -108,7 +113,7 @@ def star_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -248,7 +253,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        F.broadcast(customer)
+        customer
         .join(orders, customer.c_custkey == orders.o_custkey)
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -287,7 +292,7 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one boolean expression on the joined frame; the factoring is the
     optimizer's job (plan-asserted), not hand-split."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     b = F.col("p_brand")
     sz = F.col("p_size")
     q = F.col("l_quantity")
@@ -337,7 +342,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join is a no-shuffle pass so the 'late' filter costs one
     codegen stage, not an exchange."""
     li = load_table(spark, sf_dir, "lineitem")
-    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     n1 = F.broadcast(load_table(spark, sf_dir, "nation").select(
@@ -384,10 +389,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distinguishing condition is c_nationkey = s_nationkey — an equality
     BETWEEN two dims reached through different fact paths. It rides the
-    supplier broadcast join as a second join conjunct, so it costs no extra
-    exchange: the only shuffles are lineitem⋈orders-side. The region filter
-    prunes customers through a broadcast nation⋈region dim BEFORE the
-    customer join, so non-ASIA customers never reach the fact join."""
+    supplier join as a second conjunct, costing no extra exchange beyond
+    that join's own. The region filter prunes customers through a
+    broadcast nation⋈region dim (bounded, hinted) BEFORE the customer
+    join, so non-ASIA customers never reach the fact join; supplier and
+    customer are left to AQE — broadcast at small SF, sort-merge at
+    100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -403,7 +410,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").join(
         asia_nations, F.col("c_nationkey") == F.col("n_nationkey")
     )
-    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    supplier = load_table(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -454,13 +461,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation dim role-plays twice: once to restrict the CUSTOMER side to the
     region (a semi-filtering broadcast join applied before the fact join)
     and once to label the SUPPLIER side (carried into the aggregate). part
-    is filtered to the type before it broadcasts, so the selective p_type
-    predicate prunes lineitem at the first join."""
+    is filtered to the type before its join, so the selective p_type
+    predicate prunes lineitem at the first join; how the filtered part
+    moves (broadcast vs exchange) is AQE's call from its runtime size."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    )
-    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -563,17 +569,15 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year (the testdata has no partsupp.ps_supplycost, so cost is a
     deterministic 60% of the part's retail price per unit).
 
-    Four joins, three of them broadcast (part, supplier, nation are dims) —
-    the only exchange is lineitem⋈orders on the orderkey. The p_name
-    substring filter shrinks the part broadcast before it prunes lineitem
-    at the first join, so non-matching lines never reach the fact join.
+    Four joins; nation (bounded) is hinted broadcast, part and supplier
+    are AQE-sized. The p_name substring filter shrinks part before it
+    prunes lineitem at the first join, so non-matching lines never reach
+    the fact join.
     The profit expression is written with identical association on both
     engines so the fixed-point rounding sees the same double."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("rod"))
-    )
-    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("rod"))
+    supplier = load_table(spark, sf_dir, "supplier")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     orders = load_table(spark, sf_dir, "orders")
     profit = (
@@ -612,14 +616,14 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers (low account balance plays the "customer complaints" role;
     lineitem plays partsupp as the part↔supplier bridge).
 
-    NOT IN over a non-null key is a left_anti join; the denylist is tiny so
-    it broadcasts — the anti probe is a per-row hash lookup, no exchange.
-    The part-side predicates prune the broadcast dim before it gates
-    lineitem. The only shuffle is the final distinct-count aggregate, which
+    NOT IN over a non-null key is a left_anti join; the denylist is a
+    filtered fraction of supplier, so AQE broadcasts it at this scale and
+    the anti probe is a per-row hash lookup. The part-side predicates
+    prune their side before it gates lineitem. The only shuffle is the final distinct-count aggregate, which
     Spark executes as two cascaded hash aggregates (dedup on the full key,
     then count) — both partial-aggregated map-side."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    part = F.broadcast(
+    part = (
         load_table(spark, sf_dir, "part")
         .filter(
             (F.col("p_brand") != "Brand#13")
@@ -627,7 +631,7 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
-    denylist = F.broadcast(
+    denylist = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 1000.0)
         .select("s_suppkey")

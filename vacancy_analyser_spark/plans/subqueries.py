@@ -53,8 +53,9 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated scalar subquery (per-part 20%-of-average threshold) is
     decorrelated by hand into the plan Catalyst's RewriteCorrelatedScalarSubquery
-    would produce: aggregate lineitem once by l_partkey, broadcast-join the
-    per-part thresholds back, filter, aggregate. The per-part aggregate runs
+    would produce: aggregate lineitem once by l_partkey, join the per-part
+    thresholds back (AQE-sized: the threshold table scales with |part|, so
+    it must not carry a forced broadcast hint), filter, aggregate. The per-part aggregate runs
     over the FULL lineitem (matching the oracle's inner query, which is not
     brand-filtered), but only threshold rows — one per part — flow into the
     join; the brand filter prunes the part dim before it touches lineitem.
@@ -66,8 +67,8 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
-        .join(F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+        .join(thresholds.withColumnRenamed("l_partkey", "t_partkey"),
               F.col("p_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
@@ -228,7 +229,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.withColumn("max_revenue", F.max("total_revenue").over(Window.partitionBy()))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -309,8 +310,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem passes. The Spark plan does better: both per-order stats
     (max ship date, distinct-supplier count) come from window functions
     over the same l_orderkey partitioning, so lineitem is scanned ONCE and
-    shuffled ONCE; the supplier/nation label is a broadcast applied only to
-    the few surviving last-to-ship lines. countDistinct at the end guards
+    shuffled ONCE; the one-nation supplier label joins only the few
+    surviving last-to-ship lines (AQE broadcasts it here). countDistinct at the end guards
     against a supplier having several lines at the max date."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -325,10 +326,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    supp = F.broadcast(
-        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
-            "s_suppkey", "s_name"
-        )
+    supp = supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "s_name"
     )
     return (
         flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
@@ -371,9 +370,9 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership at the boundary is exact on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    supp = F.broadcast(
+    supp = (
         load_table(spark, sf_dir, "supplier")
-        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .select("s_suppkey")
     )
     natval = (
@@ -431,7 +430,7 @@ def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem pass. Quantity sums are integer-valued doubles (exact at any
     accumulation order), so no fixed-point detour is needed for the 30%
     comparison."""
-    cold = F.broadcast(
+    cold = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith("cold"))
         .select("p_partkey")
@@ -508,13 +507,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = load_table(spark, sf_dir, "nation")
-    eur_supp = F.broadcast(
+    eur_supp = (
         load_table(spark, sf_dir, "supplier")
-        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    part10 = F.broadcast(
+    part10 = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size") == 10)
         .select("p_partkey", "p_type")
