@@ -47,6 +47,7 @@ HEADLINE = [
     "ntile_quartiles",
     "price_percentiles",
     "tfidf_top_terms",
+    "corpus_prep_stats",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",

@@ -234,3 +234,12 @@ def test_feature_extract_is_arrow_batched(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_feature_extract")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_prep_single_scan_no_joinback(spark, sf_dir):
+    # gate → dedup → stats is one linear plan: documents scanned once,
+    # dedup is a window (not aggregate-and-join-back), no join anywhere
+    plan = _plan(spark, sf_dir, "corpus_prep_stats")
+    assert plan.count("documents.parquet") == 1
+    assert "Window" in plan
+    assert "Join" not in plan

@@ -296,3 +296,77 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "score")
     )
+
+
+@register(
+    "corpus_prep_stats",
+    oracle=f"""
+        WITH quality AS (
+            SELECT doc_id, lang, text, n_chars, n_tokens
+            FROM (
+                SELECT doc_id, lang, text, n_chars,
+                       CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / length(text) AS alpha_ratio
+                FROM documents
+                WHERE length(text) > 0
+            )
+            WHERE n_chars BETWEEN 120 AND 400
+              AND n_tokens >= 20
+              AND alpha_ratio > 0.7
+        ),
+        keepers AS (
+            SELECT MIN(doc_id) AS keeper_id
+            FROM quality
+            GROUP BY md5({_NORM_SQL})
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(n_chars)
+                    AS DOUBLE) AS avg_chars
+        FROM quality JOIN keepers ON doc_id = keeper_id
+        GROUP BY lang
+    """,
+    tags=("ext-text", "ext-dedup", "pipeline"),
+)
+def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation in ONE plan: quality gate (C4/Gopher
+    heuristics: length band, token floor, alphabetic ratio) → exact dedup
+    on the normalized-content hash → per-language doc/token/length stats.
+    The composite every training-data pipeline runs before tokenization,
+    expressed so Catalyst sees the whole flow at once.
+
+    Physical shape: the gate is pure scan-side Column algebra (no shuffle);
+    dedup keeps min(doc_id) per fingerprint via a window over the
+    fingerprint partitioning — one shuffle, no aggregate-and-join-back,
+    and the oracle's join-back form proves the rewrite equivalent; the
+    final stats shuffle |survivors| rows to |langs| groups. Tokens are
+    counted once in the gate and reused for the total — the text is never
+    re-tokenized downstream."""
+    from ..functions.numeric import davg
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tokens = F.size(tokens("text")).cast("int")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    quality = docs.select(
+        "doc_id", "lang", "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.md5(normalize_ws("text")).alias("fingerprint"),
+        alpha_ratio.alias("alpha_ratio"),
+    ).filter(
+        F.col("n_chars").between(120, 400)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("alpha_ratio") > 0.7)
+    )
+    survivors = quality.withColumn(
+        "keeper_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    ).filter(F.col("doc_id") == F.col("keeper_id"))
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        davg("n_chars").alias("avg_chars"),
+    )
