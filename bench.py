@@ -41,6 +41,7 @@ HEADLINE = [
     "pivot_by_year",
     "skill_freq",
     "tumbling_window_count",
+    "interval_join_attribution",
     "sliding_window_avg",
     "order_gap_days",
     "moving_sum_value",

@@ -236,6 +236,17 @@ def test_feature_extract_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_interval_join_is_keyed_equi_join_with_pushed_type_filters(spark, sf_dir):
+    # the time range must ride an equi-join on user_id as a residual —
+    # a nested-loop theta join here would be quadratic at scale; both
+    # event_type equalities must reach the parquet scans
+    plan = _plan(spark, sf_dir, "interval_join_attribution")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_corpus_prep_single_scan_no_joinback(spark, sf_dir):
     # gate → dedup → stats is one linear plan: documents scanned once,
     # dedup is a window (not aggregate-and-join-back), no join anywhere

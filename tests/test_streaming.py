@@ -250,6 +250,47 @@ def test_sliding_and_session_streams_match_batch(spark, tmp_path):
         assert streamed == expected, name
 
 
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """ST7: a real stream-stream join — views and clicks as two readStream
+    sources with watermarks, joined on key + time range. Across micro-batch
+    boundaries the engine must buffer the view until its click arrives; the
+    result must equal the shared builder applied to the batch frames."""
+    from vacancy_analyser_spark.streaming.windows import attribution_join
+
+    views = [(1, TS(2024, 1, 1, 10, 0), 10, "view", 1.0),
+             (2, TS(2024, 1, 1, 18, 0), 10, "view", 1.0),
+             (3, TS(2024, 1, 1, 10, 30), 11, "view", 1.0)]
+    clicks = [(4, TS(2024, 1, 1, 11, 0), 10, "click", 1.0),   # matches view 1 only
+              (5, TS(2024, 1, 1, 19, 0), 10, "click", 1.0),   # matches view 2 only
+              (6, TS(2024, 1, 2, 9, 0), 11, "click", 1.0)]    # outside gap: no match
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    # two files per side so the join spans micro-batches
+    for r in views:
+        _events(spark, [r]).write.mode("append").parquet(vsrc)
+    for r in clicks:
+        _events(spark, [r]).write.mode("append").parquet(csrc)
+
+    schema = _events(spark, []).schema
+    vstream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(vsrc)
+    cstream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(csrc)
+    q = (
+        attribution_join(vstream, cstream, gap="4 hours", watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.sql("select * from attrib_out").collect()))
+    expected = sorted(map(tuple, attribution_join(
+        _events(spark, views), _events(spark, clicks), gap="4 hours"
+    ).collect()))
+    assert streamed == expected
+    assert [(u, v, c) for u, v, c, _ in expected] == [(10, 1, 4), (10, 2, 5)]
+
+
 def test_freshness_listener_receives_observed_metrics(spark, tmp_path):
     """ST6: metrics ride the data path — the listener must see max event
     time and row count for each micro-batch, no extra scans."""

@@ -129,6 +129,42 @@ def stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_attribution",
+    oracle="""
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               date_diff('microseconds', v.ts, c.ts) AS gap_us
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 4 HOUR
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    tags=("ST7",),
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 stream-stream interval join in its batch-checkable form: each
+    click attributed to the views by the same user within the preceding
+    4 hours. The builder (streaming/windows.py::attribution_join) is shared
+    with the streaming test, where both sides run under readStream with
+    watermarks and the same time-bounded condition ages out join state.
+
+    Batch plan: both sides are the events scan with the event_type equality
+    pushed to parquet; the join is an equi-join on user_id with the time
+    range as a residual — one shuffle per side on the key, which is the
+    shape that survives 100 TB (a pure theta join would not)."""
+    from ..streaming.windows import attribution_join
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "click"),
+        gap="4 hours",
+    )
+
+
+@register(
     "session_window_count",
     oracle="""
         WITH marked AS (

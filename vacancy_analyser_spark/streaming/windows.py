@@ -99,6 +99,60 @@ def deduplicate(
     return out.dropDuplicates(keys)
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    gap: str = "4 hours",
+    time_col: str = "ts",
+    key: str = "user_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST7: stream-stream interval join — attribute each `clicks` row to the
+    `views` rows by the same key that precede it within `gap`.
+
+    Works on both batch and streaming inputs (the stream-vs-batch test and
+    the DuckDB-oracled batch query share this builder). In streaming, both
+    sides carry watermarks and the join condition bounds event time on both
+    ends — exactly what Spark needs to age out join state: a buffered view
+    can be dropped once the watermark passes view_ts + gap. Without the
+    range bound the state grows forever.
+
+    Batch/scale shape: an equi-join on the key with the time range as a
+    join residual — shuffles once on `key`, never enumerates a time cross
+    product. The gap is returned in whole microseconds (unix_micros on
+    both sides), so the value is an exact integer on Spark and DuckDB
+    alike — no float round-trip in the hash compare."""
+    v = with_watermark(
+        views.select(
+            F.col("event_id").alias("view_id"),
+            F.col(key).alias("v_user"),
+            F.col(time_col).alias("v_ts"),
+        ),
+        "v_ts",
+        watermark,
+    )
+    c = with_watermark(
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col(key).alias("c_user"),
+            F.col(time_col).alias("c_ts"),
+        ),
+        "c_ts",
+        watermark,
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr(f"INTERVAL {gap}")),
+    ).select(
+        F.col("v_user").alias(key),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
 def observe_freshness(df: DataFrame, time_col: str = "ts") -> DataFrame:
     """ST6: attach observed metrics (max event time, row count) to any
     frame; a StreamingQueryListener reads them per micro-batch — the
