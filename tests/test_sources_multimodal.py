@@ -122,6 +122,23 @@ def test_metadata_stats_prunes_payload(spark, media_df, tmp_path):
     assert rows["image/png"]["n_media"] == 2
 
 
+def test_resize_images_plumbing(spark, media_df):
+    from vacancy_analyser_spark.operators.multimodal import fake_resize, resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media_df, 512, 512).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # oversized image 1 (640x480) shrinks aspect-preserving to 512x384
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (512, 384)
+    assert bytes(out[1]["payload"]) == fake_resize(b"\x89PNG fake bytes", "image/png", 512, 384)
+    # image 3 (10x10) fits the box: passes through untouched, no Python hop
+    assert (out[3]["meta"]["width"], out[3]["meta"]["height"]) == (10, 10)
+    assert out[3]["payload"] is None
+    # non-images pass through regardless of geometry
+    assert bytes(out[4]["payload"]) == b"\x00\x00ftyp fake mp4"
+    # schema is closed under resize: output == MEDIA_SCHEMA
+    assert resize_images(media_df).schema == media_df.schema
+
+
 def test_sample_frames_row_explosion(spark, media_df):
     frames = sample_frames(media_df, every_ms=1000).collect()
     by_id = {}

@@ -100,6 +100,69 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def fake_resize(payload: bytes, mime: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: tags the payload hash with the target
+    box. Output depends only on (payload, target), as a real resize would."""
+    h = hashlib.sha256(payload or b"").digest()
+    return b"RSZ|%dx%d|" % (width, height) + h[:16]
+
+
+def resize_images(
+    media: DataFrame,
+    max_width: int = 512,
+    max_height: int = 512,
+    resize_fn: Callable[[bytes, str, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize image payloads to fit a bounding box via mapInPandas.
+
+    The aspect-preserving target geometry is computed JVM-side from metadata
+    (pure Column arithmetic, codegen) so rows already inside the box skip
+    Python entirely — at 100 TB the usual case is most images pass through
+    untouched and only the oversized tail pays the Arrow round-trip. The
+    decode-resize-encode itself is the injected ``resize_fn`` hook
+    (real_decode's sibling; PIL is not in this container). Output schema ==
+    input schema, so resize composes with extract_features / writers."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_width) / F.col("meta.width"),
+        F.lit(max_height) / F.col("meta.height"),
+    )
+    target = media.select(
+        "*",
+        F.when(
+            F.col("mime").startswith("image/") & (scale < 1.0),
+            F.struct(
+                F.floor(F.col("meta.width") * scale).cast("int").alias("w"),
+                F.floor(F.col("meta.height") * scale).cast("int").alias("h"),
+            ),
+        ).alias("_target"),
+    )
+    passthrough = target.filter(F.col("_target").isNull()).drop("_target")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized, widths, heights = [], [], []
+            for p, m, t in zip(pdf["payload"], pdf["mime"], pdf["_target"]):
+                w, h = int(t["w"]), int(t["h"])
+                resized.append(resize_fn(p if p is not None else b"", m or "", w, h))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "mime": pdf["mime"],
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": old["duration_ms"]}
+                        for w, h, old in zip(widths, heights, pdf["meta"])
+                    ],
+                }
+            )
+
+    shrunk = target.filter(F.col("_target").isNotNull()).mapInPandas(run, MEDIA_SCHEMA)
+    return passthrough.unionByName(shrunk)
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must never read payload bytes (column
     pruning; verify with .explain: ReadSchema excludes `payload`)."""

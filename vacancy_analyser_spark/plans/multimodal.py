@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.multimodal import extract_features, sample_frames
+from ..operators.multimodal import extract_features, resize_images, sample_frames
 from .registry import register
 
 
@@ -58,6 +58,66 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest already proves the same bytes flowed through."""
     media = _media_from_documents(spark, sf_dir)
     return extract_features(media).select("media_id", "n_bytes", "payload_sha")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   octet_length(encode(COALESCE(text, ''))) AS n0,
+                   CASE WHEN doc_id % 10 = 0 THEN 'application/octet-stream'
+                        ELSE 'image/png' END AS mime,
+                   CAST(200 + (doc_id % 30) * 20 AS INT) AS w,
+                   CAST(150 + (doc_id % 23) * 20 AS INT) AS h
+            FROM documents
+        ),
+        scaled AS (
+            SELECT *,
+                   LEAST(1.0, 512.0 / w, 512.0 / h) AS scale,
+                   (mime = 'image/png' AND LEAST(1.0, 512.0 / w, 512.0 / h) < 1.0)
+                       AS shrunk
+            FROM media
+        )
+        SELECT media_id,
+               CASE WHEN shrunk THEN CAST(FLOOR(w * scale) AS INT) ELSE w END
+                   AS out_width,
+               CASE WHEN shrunk THEN CAST(FLOOR(h * scale) AS INT) ELSE h END
+                   AS out_height,
+               CAST(CASE WHEN shrunk
+                         THEN 22 + length(CAST(CAST(FLOOR(w * scale) AS INT) AS VARCHAR))
+                                 + length(CAST(CAST(FLOOR(h * scale) AS INT) AS VARCHAR))
+                         ELSE n0 END AS BIGINT) AS n_bytes
+        FROM scaled
+    """,
+    tags=("ext-multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box image resize over the synthesized media table. The
+    aspect-preserving geometry is JVM-side Column arithmetic; only rows that
+    actually shrink pay the Arrow round-trip through the injected resizer
+    (fake_resize here — its output length is 22 + digits(w) + digits(h), so
+    the oracle can verify byte-for-byte WHICH rows went through Python and
+    what geometry they carried, without codec libraries on either engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("application/octet-stream"))
+        .otherwise(F.lit("image/png"))
+        .alias("mime"),
+        F.struct(
+            (F.lit(200) + (F.col("doc_id") % 30) * 20).cast("int").alias("width"),
+            (F.lit(150) + (F.col("doc_id") % 23) * 20).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return resize_images(media, 512, 512).select(
+        "media_id",
+        F.col("meta.width").alias("out_width"),
+        F.col("meta.height").alias("out_height"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
 
 
 @register(
