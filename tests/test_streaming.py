@@ -175,6 +175,80 @@ def test_stateful_running_counters_across_batches(spark, tmp_path):
     assert final[11]["n_events"] == 1
 
 
+def _tws_available() -> bool:
+    # transformWithStateInPandas speaks protobuf to the JVM state server;
+    # the container has no google.protobuf, so the runtime path can't run
+    # here (pip installs are off-limits). The operator stays import-clean
+    # and plan-buildable either way — that part is asserted unconditionally.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_operator_builds_unanalyzed_plan(spark):
+    """Even without protobuf the transformWithState operator must compose:
+    building the streaming plan (schema resolution, grouping) happens
+    JVM-side and catches signature errors early."""
+    from vacancy_analyser_spark.streaming.stateful import running_user_counters_tws
+
+    stream = spark.readStream.format("rate").load().select(
+        F.col("value").alias("user_id"), F.col("timestamp").alias("ts")
+    )
+    out = running_user_counters_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "first_ts", "last_ts"]
+
+
+@pytest.mark.skipif(not _tws_available(), reason="google.protobuf not in container")
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas processor must produce the
+    same running totals as the applyInPandasWithState operator on the same
+    two-batch stream. Requires the RocksDB state store provider (which is
+    also the provider a 100 TB deployment wants)."""
+    from vacancy_analyser_spark.streaming.stateful import running_user_counters_tws
+
+    src = str(tmp_path / "events_tws")
+    _events(spark, [(1, TS(2024, 1, 1, 5), 10, "click", 1.0),
+                    (2, TS(2024, 1, 1, 6), 11, "view", 2.0)]).write.mode("append").parquet(src)
+    _events(spark, [(3, TS(2024, 1, 2, 7), 10, "click", 3.0)]).write.mode("append").parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(_events(spark, []).schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            running_user_counters_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    rows = spark.sql("select * from tws_out").collect()
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    assert final[10]["n_events"] == 2
+    assert final[10]["first_ts"] == TS(2024, 1, 1, 5)
+    assert final[10]["last_ts"] == TS(2024, 1, 2, 7)
+    assert final[11]["n_events"] == 1
+
+
 def test_bucketed_state_store_avoids_state_side_shuffle(spark, tmp_path):
     """The repeat-merge join over bucketed state must exchange ONLY the
     snapshot side; plain-parquet state would show two hashpartitioning
