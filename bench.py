@@ -49,6 +49,7 @@ HEADLINE = [
     "price_percentiles",
     "tfidf_top_terms",
     "corpus_prep_stats",
+    "sequence_pack",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",

@@ -247,6 +247,22 @@ def test_interval_join_is_keyed_equi_join_with_pushed_type_filters(spark, sf_dir
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_sequence_pack_single_exchange(spark, sf_dir):
+    # window by lang THEN rollup by (lang, bin_id) must reuse the lang
+    # partitioning: one exchange total, aggregates stack exchange-free
+    plan = _plan(spark, sf_dir, "sequence_pack")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dataset_split_is_scanside(spark, sf_dir):
+    # split assignment is Column algebra on the scan: no window, no join;
+    # the only exchange carries (lang, split) partial aggregates
+    plan = _plan(spark, sf_dir, "dataset_split_assign")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_corpus_prep_single_scan_no_joinback(spark, sf_dir):
     # gate → dedup → stats is one linear plan: documents scanned once,
     # dedup is a window (not aggregate-and-join-back), no join anywhere

@@ -370,3 +370,108 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         davg("n_chars").alias("avg_chars"),
     )
+
+
+@register(
+    "dataset_split_assign",
+    oracle="""
+        WITH assigned AS (
+            SELECT lang, n_chars,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                            THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned
+        GROUP BY lang, split
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing the
+    document KEY — the training-data-pipeline idiom that keeps splits stable
+    under re-runs, re-partitioning, and incremental appends, where
+    df.randomSplit does not (it reseeds per partition layout). Hashing the
+    id rather than content also keeps exact/near duplicates from straddling
+    splits only when dedup ran first — the pipeline composes as
+    corpus_prep → split.
+
+    Scale shape: pure scan-side Column algebra plus one |langs×3|-group
+    aggregate; no shuffle of document rows, no Python. The md5-prefix bucket
+    (first 4 hex chars % 100) is engine-portable, so DuckDB reproduces the
+    assignment bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT lang, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096)
+                        AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT lang, bin_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM binned
+        GROUP BY lang, bin_id
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to contiguous fixed-token-budget
+    bins (4096 tokens) per language — the pre-tokenization step that turns a
+    ragged corpus into dense training batches. A doc lands in the bin where
+    its running-total-before-it falls, so bin boundaries are deterministic
+    and independent of partitioning.
+
+    Scale shape: ONE shuffle (hash by lang for the window), the cumulative
+    sum runs sorted-within-partition, and the final per-bin rollup reuses
+    the same partitioning (no second exchange of document rows). The classic
+    alternative — greedy first-fit packing — is inherently sequential; the
+    running-sum formulation is the order-preserving variant that
+    distributes, at the cost of ≤1 split doc per bin boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 4096)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
