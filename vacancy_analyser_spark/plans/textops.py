@@ -431,47 +431,58 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         binned AS (
-            SELECT lang, n_tokens,
-                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            SELECT lang, doc_id // 200 AS shard, n_tokens,
+                   CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang, doc_id // 200
+                                   ORDER BY doc_id
                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 4096)
                         AS BIGINT) AS bin_id
             FROM toks
         )
-        SELECT lang, bin_id, COUNT(*) AS n_docs,
+        SELECT lang, CAST(shard AS BIGINT) AS shard, bin_id, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM binned
-        GROUP BY lang, bin_id
+        GROUP BY lang, shard, bin_id
     """,
     tags=("ext-text", "pipeline"),
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to contiguous fixed-token-budget
-    bins (4096 tokens) per language — the pre-tokenization step that turns a
-    ragged corpus into dense training batches. A doc lands in the bin where
-    its running-total-before-it falls, so bin boundaries are deterministic
-    and independent of partitioning.
+    bins (4096 tokens) — the pre-tokenization step that turns a ragged
+    corpus into dense training batches. A doc lands in the bin where the
+    running token total before it falls, so bin boundaries are
+    deterministic and independent of physical partitioning.
 
-    Scale shape: ONE shuffle (hash by lang for the window), the cumulative
-    sum runs sorted-within-partition, and the final per-bin rollup reuses
-    the same partitioning (no second exchange of document rows). The classic
-    alternative — greedy first-fit packing — is inherently sequential; the
-    running-sum formulation is the order-preserving variant that
-    distributes, at the cost of ≤1 split doc per bin boundary."""
+    The window partitions by (lang, shard = doc_id div 200), NOT by lang
+    alone: packing only needs contiguity, never a global order, and a
+    per-lang window caps parallelism at |languages| — with 5 languages and
+    100 TB that serializes five tasks. Sharding makes parallelism
+    |langs × shards| and costs at most one partially-filled bin per shard
+    (bounded waste: shard_size/4096 bins per shard, one possibly short).
+    The classic greedy first-fit packer is inherently sequential; this
+    running-sum formulation is its order-preserving distributable form.
+
+    Plan: ONE shuffle (hash by the window keys), cumulative sum
+    sorted-within-partition, and the per-bin rollup reuses the window's
+    partitioning — no second exchange (plan-asserted)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "lang", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+        "lang",
+        "doc_id",
+        F.expr("doc_id div 200").alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     binned = toks.select(
         "lang",
+        "shard",
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 4096)
         .cast("bigint")
         .alias("bin_id"),
     )
-    return binned.groupBy("lang", "bin_id").agg(
+    return binned.groupBy("lang", "shard", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
