@@ -464,3 +464,44 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register(
+    "benchmark_decontaminate",
+    oracle=f"""
+        WITH g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT bigram FROM g WHERE doc_id % 50 = 0
+        )
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM g JOIN bench USING (bigram)
+        WHERE doc_id % 50 <> 0
+        GROUP BY doc_id
+        HAVING COUNT(*) >= 3
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥3
+    distinct word-bigrams with the held-out set (here synthesized as every
+    50th doc; in production the fixed eval suites). The standard
+    train-set hygiene pass before an LLM training run.
+
+    Plan: the benchmark's distinct-shingle set is joined against the train
+    shingles and shared shingles are counted per doc — a bucket equi-join
+    on the shingle, never a doc×doc product. No broadcast hint: HERE the
+    held-out side scales with the corpus (2% of docs), so AQE sizes it; a
+    real deployment's benchmark set is fixed and small — its shingle set
+    broadcasts and the train side never shuffles at all. The oracle is the
+    same query in ANSI form."""
+    g = _doc_bigrams(spark, sf_dir)
+    bench = g.filter(F.col("doc_id") % 50 == 0).select("bigram").distinct()
+    train = g.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(bench, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
