@@ -486,3 +486,64 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+@register(
+    "corpus_mix_resample",
+    oracle=f"""
+        WITH weighted AS (
+            SELECT lang,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CASE WHEN lang = 'en' THEN 2.5 ELSE 1.25 END AS w,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000
+                       AS bucket
+            FROM documents
+        ),
+        repeated AS (
+            SELECT lang, n_tokens,
+                   CAST(FLOOR(w) AS INT)
+                   + CASE WHEN bucket < (w - FLOOR(w)) * 10000 THEN 1 ELSE 0 END
+                       AS n_rep
+            FROM weighted
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs_out,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_out
+        FROM repeated, LATERAL unnest(generate_series(1, n_rep))
+        GROUP BY lang
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: upsample each language to its target mixture
+    weight (en×2.5, others×1.25 here) — how a training run hits a data
+    recipe when sources differ in size. Fractional weights are realized
+    deterministically: every doc repeats floor(w) times, plus once more iff
+    its key's md5 bucket falls below the fractional part — so the expected
+    multiplicity is exactly w, the outcome is stable across re-runs and
+    partitionings (unlike rand()-based sampling), and DuckDB reproduces it
+    bit-for-bit.
+
+    Plan: repeat-count is scan-side Column algebra; the repetition is one
+    explode(sequence(1, n_rep)) — rows fan out map-side with no shuffle
+    until the |langs|-group rollup. At 100 TB the explode feeds the writer
+    directly; nothing ever materializes the upsampled corpus in memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.when(F.col("lang") == "en", F.lit(2.5)).otherwise(F.lit(1.25))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("bigint")
+        % 10000
+    )
+    n_rep = (
+        F.floor(w).cast("int")
+        + F.when(bucket < (w - F.floor(w)) * 10000, F.lit(1)).otherwise(F.lit(0))
+    )
+    repeated = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(1), n_rep)).alias("rep"),
+    )
+    return repeated.groupBy("lang").agg(
+        F.count("*").alias("n_docs_out"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens_out"),
+    )
