@@ -53,6 +53,32 @@ def test_parquet_sink_partitioned_layout_prunes_on_read(spark, tmp_path):
     assert "(year" in plan.split("PartitionFilters: ")[1].split("]")[0]
 
 
+def test_dynamic_partition_pruning_through_dim_join(spark, tmp_path):
+    # the star-join-on-a-partitioned-lake shape: the fact's partition column
+    # is constrained only THROUGH the dim join (no literal year filter), so
+    # static pruning can't fire — Spark must inject a dynamicpruning
+    # subquery from the broadcast dim side so only the matching year
+    # directories are scanned. At 100 TB this is what makes
+    # "revenue for the 1997 campaign" read 1 year, not the whole lake.
+    out = str(tmp_path / "fact_by_year")
+    fact = spark.createDataFrame(
+        [(y, i, float(i)) for y in (1996, 1997, 1998) for i in range(200)],
+        "year int, k int, v double",
+    )
+    write_parquet(fact, out, partition_by=["year"])
+    dim = spark.createDataFrame(
+        [(1996, "old"), (1997, "campaign"), (1998, "old")], "year int, label string"
+    )
+    joined = (
+        spark.read.parquet(out)
+        .join(F.broadcast(dim).filter(F.col("label") == "campaign"), "year")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert joined.first()["s"] == sum(range(200))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
 def test_csv_sink_roundtrip_embedded_newlines(spark, tmp_path):
     # get_vacancies.py:169 stores newline-joined skills inside one quoted
     # cell; the sink must quote/escape so the typed reader recovers rows
