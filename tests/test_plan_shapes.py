@@ -247,6 +247,14 @@ def test_interval_join_is_keyed_equi_join_with_pushed_type_filters(spark, sf_dir
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_lake_query_uses_dynamic_partition_pruning(spark, sf_dir):
+    # the year constraint arrives only through the campaign dim join —
+    # the partitioned fact scan must carry a dynamicpruning subquery
+    # (reads one o_year= directory), not scan the lake and filter later
+    plan = _plan(spark, sf_dir, "lake_dpp_star_join")
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
 def test_sequence_pack_single_exchange(spark, sf_dir):
     # window by lang THEN rollup by (lang, bin_id) must reuse the lang
     # partitioning: one exchange total, aggregates stack exchange-free

@@ -1,0 +1,90 @@
+"""Partitioned-lake layout queries (SURVEY §1.4, §4 partition-pruning rows).
+
+The harness testdata is flat parquet, but the reference's lake is
+date-partitioned by construction (yearly analysis files, notebook cell 4;
+date-dir snapshots, periodic_run.py:25-26; our write path exposes
+partitionBy like feeder_hadoop's maxRecordsPerFile). These queries
+materialize a year-partitioned copy of `orders` once per sf_dir under the
+repo's spark-warehouse and answer the filter-arrives-through-a-dim shape —
+the case where only DYNAMIC partition pruning keeps a 100 TB scan at
+one-partition cost (a literal year filter would be static pruning, already
+asserted in tests/test_sinks.py).
+
+The materialization is idempotent (skipped when the layout's _SUCCESS
+marker exists) and the result is layout-independent, so the DuckDB oracle
+runs the same ANSI query against the flat view.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_sql
+from ..io import load_table, write_parquet
+from .registry import register
+
+_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse")
+
+
+def _orders_lake_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_WAREHOUSE, f"lake_{tag}", "orders_by_year")
+
+
+def orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-partitioned `orders` lake, materialized once per sf_dir.
+
+    Layout: `o_year=YYYY/` directories (partition column derived from
+    o_orderdate), 50k-row files for parity with feeder_hadoop.py:20.
+    """
+    path = _orders_lake_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        write_parquet(
+            orders.withColumn("o_year", F.year("o_orderdate")),
+            path,
+            partition_by=["o_year"],
+        )
+    return spark.read.parquet(path)
+
+
+@register(
+    "lake_dpp_star_join",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS total_price
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY o_orderpriority
+    """,
+    tags=("lake", "J5", "opt-partition-pruning"),
+)
+def lake_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join over the year-partitioned lake where the year constraint
+    arrives ONLY through a dimension join (a 3-row campaign dim selects
+    1997) — no literal partition predicate anywhere in the query. Spark
+    must inject a dynamicpruning subquery from the broadcast dim so the
+    fact scan lists one `o_year=` directory; the plan guard asserts it.
+
+    At 100 TB this shape is the difference between reading one partition
+    and reading the lake every time an analyst filters via a dim table.
+    The oracle proves layout-independence: DuckDB answers from the flat
+    table with a plain year() predicate."""
+    campaigns = spark.createDataFrame(
+        [(1996, "old"), (1997, "campaign"), (1998, "old")],
+        "o_year int, label string",
+    )
+    dim = F.broadcast(campaigns.filter(F.col("label") == "campaign")).drop("label")
+    lake = orders_partitioned(spark, sf_dir)
+    return (
+        lake.join(dim, "o_year")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

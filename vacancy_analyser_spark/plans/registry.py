@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         dedup,
         flagship,
         joins,
+        lake,
         multimodal,
         rowops,
         reshape,
