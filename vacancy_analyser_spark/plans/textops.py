@@ -547,3 +547,60 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_out"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens_out"),
     )
+
+
+@register(
+    "quality_percentile_gate",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) AS score
+            FROM documents
+            WHERE length(text) > 0
+        ),
+        ranked AS (
+            SELECT lang, score,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+            FROM scored
+        )
+        SELECT lang,
+               COUNT(*) AS n_kept,
+               MIN(score) AS min_kept_score
+        FROM ranked
+        WHERE pr >= 0.1
+        GROUP BY lang
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-relative quality gate: drop the bottom decile of docs
+    per language by alphabetic-ratio score — the Gopher-style practice of
+    cutting by a corpus-relative threshold instead of a fixed constant
+    (fixed thresholds mis-gate languages whose score distributions differ).
+
+    percent_rank needs the per-lang ordering, so the plan is one shuffle on
+    lang + a sort within partitions; doc_id in the ORDER BY makes ranks of
+    tied scores deterministic on both engines. Same |langs|-bounded
+    parallelism caveat as packing — at 100 TB replace the exact
+    percent_rank with approxQuantile per lang (one aggregate, no global
+    sort) and gate on the quantile value; the exact form is the oracle for
+    that approximation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    score = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    scored = docs.select("doc_id", "lang", score.alias("score"))
+    ranked = scored.select(
+        "lang",
+        "score",
+        F.percent_rank()
+        .over(Window.partitionBy("lang").orderBy("score", "doc_id"))
+        .alias("pr"),
+    )
+    return (
+        ranked.filter(F.col("pr") >= 0.1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("score").alias("min_kept_score"))
+    )
