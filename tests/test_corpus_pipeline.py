@@ -1,0 +1,105 @@
+"""End-to-end invariants of the composable corpus pipeline (corpus.py):
+the programmatic surface behind the registered textops/dedup queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.corpus import (
+    assign_split,
+    decontaminate,
+    dedup_exact,
+    mix_resample,
+    pack_sequences,
+    quality_gate,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and keeps on running through "
+    "the quiet field while morning light settles over every sleeping town"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "fr"
+        rows.append((i, GOOD + f" variant {i}", lang, len(GOOD) + 11))
+    # exact duplicates of doc 0's content under new ids
+    rows.append((100, GOOD + " variant 0", "en", len(GOOD) + 11))
+    rows.append((101, GOOD + " variant 0", "en", len(GOOD) + 11))
+    # low-quality rows the gate must drop
+    rows.append((200, "short", "en", 5))
+    rows.append((201, "1234567890 " * 30, "en", 330))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+
+
+def test_full_chain_invariants(spark, docs):
+    gated = quality_gate(docs)
+    ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert 200 not in ids and 201 not in ids  # too short / non-alpha
+    assert 0 in ids and 100 in ids
+
+    deduped = dedup_exact(gated)
+    ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert 0 in ids and 100 not in ids and 101 not in ids  # min doc_id kept
+
+    # dedup is idempotent
+    assert dedup_exact(deduped).count() == deduped.count()
+
+    # decontaminate against a benchmark sharing doc 1's text → doc 1 gone,
+    # docs with <3 shared bigrams survive
+    bench = docs.filter(F.col("doc_id") == 1).select("text")
+    clean = decontaminate(deduped, bench)
+    ids_clean = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert 1 not in ids_clean
+    # every doc shares the long common prefix → all flagged; loosen: rebuild
+    # benchmark with unrelated text and assert nothing is dropped
+    bench2 = spark.createDataFrame([("totally unrelated words here",)], "text string")
+    assert decontaminate(deduped, bench2).count() == deduped.count()
+
+    split = assign_split(deduped)
+    # split partitions the corpus exactly
+    assert split.count() == deduped.count()
+    assert split.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert {r["split"] for r in split.select("split").distinct().collect()} <= {
+        "train", "val", "test",
+    }
+    # deterministic under physical repartitioning
+    a = sorted(map(tuple, split.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, assign_split(deduped.repartition(7)).select("doc_id", "split").collect()))
+    assert a == b
+
+    packed = pack_sequences(split, budget_tokens=60, shard_docs=10)
+    rows = packed.select("lang", "shard", "bin_id", "doc_id", "n_tokens").collect()
+    # bins are contiguous in doc_id within (lang, shard): bin_id is
+    # non-decreasing when docs are ordered by key
+    by_part: dict = {}
+    for r in rows:
+        by_part.setdefault((r["lang"], r["shard"]), []).append((r["doc_id"], r["bin_id"]))
+    for part in by_part.values():
+        ordered = sorted(part)
+        assert [b for _, b in ordered] == sorted(b for _, b in ordered)
+
+    mixed = mix_resample(split, {"en": 2.0, "fr": 1.5})
+    n_en = split.filter("lang = 'en'").count()
+    out_en = mixed.filter("lang = 'en'").count()
+    assert out_en == 2 * n_en  # integer weight is exact
+    n_fr = split.filter("lang = 'fr'").count()
+    out_fr = mixed.filter("lang = 'fr'").count()
+    assert n_fr <= out_fr <= 2 * n_fr  # fractional weight bounded
+
+
+def test_pack_respects_budget_mostly(spark, docs):
+    """Every bin's token total stays under budget + one doc's overshoot
+    (the running-sum form can overshoot by at most the doc that crosses
+    the boundary)."""
+    gated = quality_gate(docs)
+    packed = pack_sequences(gated, budget_tokens=60, shard_docs=100)
+    per_bin = packed.groupBy("lang", "shard", "bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("biggest")
+    )
+    bad = per_bin.filter(F.col("tot") >= 60 + F.col("biggest")).count()
+    assert bad == 0

@@ -1,0 +1,158 @@
+"""Composable training-corpus pipeline API (SURVEY §2.11 [ext]).
+
+The registered queries (plans/textops.py, plans/dedup.py) are the
+driver-visible, oracle-checked instances of these stages; this module is
+the *programmatic* surface a pipeline author composes:
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = quality_gate(docs)
+    corpus = dedup_exact(corpus)
+    corpus = decontaminate(corpus, benchmark_docs)
+    corpus = assign_split(corpus)
+    packed = pack_sequences(corpus.filter("split = 'train'"))
+
+Every stage is DataFrame → DataFrame (lazy, single logical plan across the
+whole chain — Catalyst sees the composite, so scan-side predicates from a
+later stage still push down past earlier ones where legal). Each stage's
+scale rationale lives in the matching query's docstring; parameters here
+are the knobs a real run tunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_ws, tokens
+
+__all__ = [
+    "quality_gate",
+    "dedup_exact",
+    "decontaminate",
+    "assign_split",
+    "pack_sequences",
+    "mix_resample",
+]
+
+
+def _bigrams_of(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_chars: int = 120,
+    max_chars: int = 400,
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.7,
+) -> DataFrame:
+    """C4/Gopher-style heuristic gate. Adds `n_tokens`; scan-side only."""
+    out = docs.filter(F.length("text") > 0).withColumn(
+        "n_tokens", F.size(tokens("text")).cast("int")
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    return out.filter(
+        F.col("n_chars").between(min_chars, max_chars)
+        & (F.col("n_tokens") >= min_tokens)
+        & (alpha_ratio > min_alpha_ratio)
+    )
+
+
+def dedup_exact(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Keep min(key) per normalized-content fingerprint — one shuffle on
+    the 128-bit hash, window form (no aggregate-and-join-back)."""
+    fp = F.md5(normalize_ws("text"))
+    return (
+        docs.withColumn("_fp", fp)
+        .withColumn("_keep", F.min(key).over(Window.partitionBy("_fp")))
+        .filter(F.col(key) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, min_shared: int = 3, key: str = "doc_id"
+) -> DataFrame:
+    """Remove training docs sharing ≥min_shared distinct bigrams with the
+    benchmark corpus. Benchmark shingles broadcast when small (the real
+    case: eval suites are fixed-size) — AQE decides, no hint."""
+    bench_grams = benchmark.select(F.explode(_bigrams_of()).alias("bigram")).distinct()
+    train_grams = train.select(key, F.explode(_bigrams_of()).alias("bigram")).distinct()
+    flagged = (
+        train_grams.join(bench_grams, "bigram")
+        .groupBy(key)
+        .agg(F.count("*").alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared)
+        .select(key)
+    )
+    return train.join(flagged, key, "left_anti")
+
+
+def assign_split(
+    docs: DataFrame,
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic key-hash split (stable under re-runs/partitionings).
+    Adds `split` ∈ {train, val, test}."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("bigint")
+        % 100
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 4096,
+    shard_docs: int = 200,
+    key: str = "doc_id",
+    group: str = "lang",
+) -> DataFrame:
+    """Contiguous token-budget binning per (group, shard). Adds `shard` and
+    `bin_id`; requires `n_tokens` (from quality_gate or caller)."""
+    out = docs.withColumn("shard", F.expr(f"{key} div {shard_docs}"))
+    w = Window.partitionBy(group, "shard").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.withColumn(
+        "bin_id",
+        F.floor(running_before.cast("double") / budget_tokens).cast("bigint"),
+    )
+
+
+def mix_resample(
+    docs: DataFrame, weights: dict[str, float], default_weight: float = 1.0, key: str = "doc_id", group: str = "lang"
+) -> DataFrame:
+    """Deterministic fractional upsampling to a mixture recipe: each doc
+    repeats floor(w) times plus one iff its key-hash bucket < frac(w)
+    (expected multiplicity exactly w). Adds `rep` (1..n)."""
+    w: Column = F.lit(default_weight)
+    for g, wt in weights.items():
+        w = F.when(F.col(group) == g, F.lit(float(wt))).otherwise(w)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("bigint")
+        % 10000
+    )
+    n_rep = (
+        F.floor(w).cast("int")
+        + F.when(bucket < (w - F.floor(w)) * 10000, F.lit(1)).otherwise(F.lit(0))
+    )
+    return docs.withColumn("rep", F.explode(F.sequence(F.lit(1), n_rep)))
