@@ -92,6 +92,50 @@ def test_full_chain_invariants(spark, docs):
     assert n_fr <= out_fr <= 2 * n_fr  # fractional weight bounded
 
 
+def test_chunking_udtf_matches_jvm_plan(spark):
+    """The Python UDTF chunker (custom-logic tier) must reproduce the
+    JVM-side slice plan's chunks exactly — same ids, lengths, and content
+    hash — so the two tiers are interchangeable."""
+    from pyspark.sql.functions import lit
+
+    from vacancy_analyser_spark.functions.text import tokens as jvm_tokens
+    from vacancy_analyser_spark.operators.chunking import ChunkTokens
+
+    rows = [
+        (1, "word " * 200),          # 200 tokens → 4 chunks at 64/48
+        (2, "tiny doc"),             # under one window
+        (3, ""),                     # empty edge: one [''] token
+        (4, "exactly " * 64),        # n == size boundary → 1 chunk
+        (5, "x " * 65),              # n == size+1 → 2 chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.createOrReplaceTempView("chunk_docs")
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    udtf_out = spark.sql(
+        "SELECT doc_id, c.chunk_id, c.chunk_len, md5(c.chunk_text) AS chunk_md5 "
+        "FROM chunk_docs, LATERAL chunk_tokens(text, 64, 48) c"
+    )
+
+    toks = docs.select("doc_id", jvm_tokens("text").alias("t")).withColumn("n", F.size("t"))
+    n_chunks = F.when(F.col("n") <= 64, lit(1)).otherwise(
+        F.ceil((F.col("n") - 64).cast("double") / 48).cast("int") + 1
+    )
+    chunked = toks.select(
+        "doc_id", "t", F.explode(F.sequence(lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_id") * 48 + 1, 64)
+    jvm_out = chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+    a = sorted(map(tuple, udtf_out.collect()))
+    b = sorted(map(tuple, jvm_out.collect()))
+    assert a == b
+    assert len([r for r in a if r[0] == 1]) == 4  # 200 tokens → 4 chunks
+
+
 def test_pack_respects_budget_mostly(spark, docs):
     """Every bin's token total stays under budget + one doc's overshoot
     (the running-sum form can overshoot by at most the doc that crosses

@@ -604,3 +604,58 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"), F.min("score").alias("min_kept_score"))
     )
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n
+            FROM documents
+        ),
+        chunked AS (
+            SELECT doc_id, n,
+                   CAST(unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                             ELSE CAST(CEIL(CAST(n - 64 AS DOUBLE) / 48) AS INT) + 1
+                                        END)) AS INT) AS chunk_id,
+                   t
+            FROM toks
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS INT)
+                   AS chunk_len,
+               md5(array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '))
+                   AS chunk_md5
+        FROM chunked
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48 →
+    16-token overlap) — how long documents become model-sized contexts for
+    training or retrieval. One row in, ceil((n-64)/48)+1 rows out, with the
+    final short tail kept.
+
+    All JVM-side: the token array materializes once per doc, chunk indices
+    come from explode(sequence(...)) sized by arithmetic on the token
+    count (a UDTF-shaped op without a Python UDTF), and each chunk is a
+    slice of the SAME array — no re-tokenization per chunk, no shuffle at
+    all until a downstream aggregate. The md5 of each chunk's joined text
+    lets the oracle verify chunk CONTENT, not just counts, bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).withColumn("n", F.size("t"))
+    n_chunks = F.when(F.col("n") <= 64, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - 64).cast("double") / 48).cast("int") + 1
+    )
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_id") * 48 + 1, 64)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
