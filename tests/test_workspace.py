@@ -1,0 +1,34 @@
+"""Workspace binding: the interactive switch-over surface for reference
+users (SQL views over testdata + registry access by name)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vacancy_analyser_spark.workspace import TESTDATA_TABLES, bind, catalog, run
+
+
+def test_bind_exposes_all_tables_as_sql_views(spark, sf_dir):
+    bind(spark, sf_dir)
+    assert {"documents", "lineitem", "events"} <= set(TESTDATA_TABLES)
+    n_langs = spark.sql("SELECT count(DISTINCT lang) AS n FROM documents").first()["n"]
+    assert n_langs >= 1
+    # views are scans, not snapshots: pushdown still reaches parquet
+    plan = (
+        spark.sql("SELECT doc_id FROM documents WHERE lang = 'en'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_run_resolves_registry_and_rejects_unknown(spark, sf_dir):
+    assert run(spark, sf_dir, "explode_count").count() > 0
+    with pytest.raises(KeyError, match="unknown query"):
+        run(spark, sf_dir, "not_a_query")
+
+
+def test_catalog_covers_every_registered_query():
+    c = catalog()
+    assert len(c) >= 96
+    assert all(isinstance(v, str) for v in c.values())
+    assert c["pricing_summary"]  # non-empty description
