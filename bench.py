@@ -50,6 +50,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "corpus_prep_stats",
     "sequence_pack",
+    "doc_chunk_overlap",
+    "lake_dpp_star_join",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
