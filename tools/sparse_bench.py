@@ -1,0 +1,105 @@
+"""Sparse-regime dedup micro-benchmark: the count-join path at a vocabulary
+size where the dense bitmap plan cannot exist.
+
+The harness corpus is density-pathological (hundreds of distinct shingles
+over thousands of docs), so the registered ngram_jaccard_dedup always
+dispatches to the vocab-bitmap plan there. This experiment builds the
+OPPOSITE corpus — a huge synthetic vocabulary where every shingle is rare
+(the real-world web-text regime) — and measures the shared-shingle
+count-join plan (`plans/dedup.py::_jaccard_countjoin`) that the dispatcher
+selects once distinct shingles exceed MAX_BITMAP_VOCAB. Run:
+
+    python tools/sparse_bench.py 2>/dev/null
+
+Corpus construction (fully deterministic, spark.range — no text needed;
+the count-join is generic over a (doc_id, shingle) frame): docs come in
+pairs (2i, 2i+1) drawing 50 shingles from a shared pool keyed by the pair
+id; the odd doc deviates on every 5th position → pairwise Jaccard ≈
+0.82 within a pair, ~0 across pairs. Shingle ids are xxhash64-derived →
+distinct shingles ≈ n_docs/2 × 50 ≫ 2^16, so the bitmap plan is
+impossible by construction and the dispatch picks the count-join.
+
+Recorded result (local[32], min-of-2; see PLANS.md):
+
+    20k docs / 600k distinct shingles: 10k true pairs found, 1.16 s
+    100k docs / 3M distinct shingles: 50k true pairs found, 2.38 s
+    (5x the corpus -> 2.05x the time: near-linear, overhead-dominated)
+
+Σ df² stays ≈ 4 × |shingles| (every shingle df ≤ 2 here; real corpora add
+a frequent head — that is where the PPJoin prefix filter would slot in
+front), so cost grows linearly with the corpus: the sub-quadratic claim
+in the operator docstring, measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from vacancy_analyser_spark.plans.dedup import (  # noqa: E402
+    MAX_BITMAP_VOCAB,
+    _jaccard_countjoin,
+)
+
+N_DOCS = int(os.environ.get("SPARSE_DOCS", "20000"))
+TOKENS_PER_DOC = 50
+DEVIATE_EVERY = 5  # odd docs differ on every 5th position → J ≈ 0.82
+
+
+def build_shingles(spark: SparkSession, n_docs: int):
+    """(doc_id, bigram) frame: pairs share a pool, odd members deviate."""
+    pos = F.explode(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1))).alias("pos")
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"), pos)
+    deviates = (F.col("doc_id") % 2 == 1) & (F.col("pos") % DEVIATE_EVERY == 0)
+    shingle = F.when(
+        deviates, F.xxhash64(F.lit("odd"), F.col("doc_id"), F.col("pos"))
+    ).otherwise(F.xxhash64(F.expr("doc_id div 2"), F.col("pos")))
+    # cast to string: the countjoin re-hashes via xxhash64(bigram) itself
+    return base.select("doc_id", shingle.cast("string").alias("bigram"))
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("sparse_bench")
+        .getOrCreate()
+    )
+    g = build_shingles(spark, N_DOCS).persist()
+    n_vocab = g.select("bigram").distinct().count()
+    assert n_vocab > MAX_BITMAP_VOCAB, (
+        f"corpus not sparse enough for the experiment: {n_vocab} <= {MAX_BITMAP_VOCAB}"
+    )
+    times = []
+    n_pairs = 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_pairs = _jaccard_countjoin(g).count()
+        times.append(round(time.monotonic() - t0, 3))
+    expected_pairs = N_DOCS // 2
+    print(
+        json.dumps(
+            {
+                "n_docs": N_DOCS,
+                "distinct_shingles": n_vocab,
+                "pairs_found": n_pairs,
+                "pairs_expected": expected_pairs,
+                "countjoin_sec_min2": min(times),
+                "runs": times,
+            }
+        )
+    )
+    assert n_pairs == expected_pairs, (n_pairs, expected_pairs)
+
+
+if __name__ == "__main__":
+    main()
