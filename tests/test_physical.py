@@ -133,17 +133,99 @@ def test_jaccard_bitmap_matches_bruteforce(spark, sf_dir, monkeypatch):
 
 def test_jaccard_regime_paths_agree(spark, sf_dir):
     """The density-regime chooser is a planner rule, not a semantic switch:
-    both physical plans must return identical pairs and values."""
+    all three physical plans (bitmap, count-join, prefix-filtered
+    count-join) must return identical pairs and values — the dense fixture
+    corpus is the WORST case for the prefix filter (no shingle is rare),
+    so agreement here exercises its pruning guarantee hardest."""
     from vacancy_analyser_spark.plans.dedup import (
         _doc_bigrams,
         _jaccard_bitmap,
         _jaccard_countjoin,
+        _jaccard_ppjoin,
     )
 
     g = _doc_bigrams(spark, sf_dir).persist()
     n_vocab = g.select("bigram").distinct().count()
     bitmap = sorted(map(tuple, _jaccard_bitmap(g, n_vocab).collect()))
     countjoin = sorted(map(tuple, _jaccard_countjoin(g).collect()))
+    ppjoin = sorted(map(tuple, _jaccard_ppjoin(g).collect()))
     g.unpersist()
     assert bitmap == countjoin
+    assert ppjoin == countjoin
     assert len(bitmap) > 0  # the fixture corpus does contain near-dups
+
+
+def test_ppjoin_prunes_frequent_head_but_keeps_all_pairs(spark):
+    """On a corpus with stopword-like head shingles shared by MANY docs,
+    the prefix filter must still find exactly the true near-dup pairs:
+    the head shingles sort last (highest df) and fall outside every
+    prefix, yet verified Jaccard values still count them."""
+    from pyspark.sql import functions as FF
+
+    from vacancy_analyser_spark.plans.dedup import _jaccard_countjoin, _jaccard_ppjoin
+
+    # 40 docs in 20 near-dup pairs: 10 pair-specific shingles, odd member
+    # deviates on 2; PLUS 5 head shingles present in every doc
+    rows = []
+    for d in range(40):
+        pair = d // 2
+        for j in range(10):
+            if d % 2 == 1 and j < 2:
+                rows.append((d, f"dev-{d}-{j}"))
+            else:
+                rows.append((d, f"pair-{pair}-{j}"))
+        for h in range(5):
+            rows.append((d, f"head-{h}"))
+    g = spark.createDataFrame(rows, "doc_id long, bigram string")
+    pp = sorted(map(tuple, _jaccard_ppjoin(g).collect()))
+    cj = sorted(map(tuple, _jaccard_countjoin(g).collect()))
+    assert pp == cj
+    # within-pair J = (8+5)/(15+15-13) = 13/17 ≈ 0.76 ≥ 0.5 → 20 pairs;
+    # cross-pair J = 5/25 = 0.2 < 0.5 → none
+    assert len(pp) == 20
+    assert all(abs(j - 13 / 17) < 1e-9 for _, _, j in pp)
+    # and the pruning is real: candidate generation must exclude head-only
+    # collisions — every doc pairs with every other via heads (780 pairs)
+    # but only 20 survive; the prefix join must not have enumerated the 780
+    from vacancy_analyser_spark.plans.dedup import JACCARD_T
+
+    gh = g.select("doc_id", FF.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(FF.count("*").alias("n"))
+    df_tbl = gh.groupBy("bh").agg(FF.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        gh.join(df_tbl, "bh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", FF.row_number().over(W.partitionBy("doc_id").orderBy("df", "bh")))
+    )
+    prefix = ranked.filter(FF.col("rn") <= FF.col("n") - FF.ceil(FF.lit(JACCARD_T) * FF.col("n")) + 1)
+    # no head shingle may appear in any prefix (df=40 → sorts last)
+    assert prefix.filter(FF.col("df") == 40).count() == 0
+
+
+def test_sparse_dispatcher_flips_on_head_weight(spark):
+    """The df-skew probe must pick count-join on rare-shingle corpora and
+    the prefix filter once candidate volume per doc turns quadratic."""
+    from vacancy_analyser_spark.plans.dedup import (
+        _jaccard_countjoin,
+        _jaccard_ppjoin,
+        _sparse_plan_for,
+    )
+
+    # rare shingles: df<=2 everywhere → few candidates → count-join
+    light = spark.createDataFrame(
+        [(d, f"s-{d // 2}-{j}") for d in range(100) for j in range(10)],
+        "doc_id long, bigram string",
+    )
+    assert _sparse_plan_for(light) is _jaccard_countjoin
+
+    # one corpus-wide head shingle set: df=n_docs → quadratic candidates.
+    # 3000 docs × 30 heads → 30×(3000 choose 2) ≈ 135M rows ≈ 45k/doc
+    heavy = light.union(
+        spark.createDataFrame(
+            [(d, f"head-{h}") for d in range(3000) for h in range(30)],
+            "doc_id long, bigram string",
+        )
+    )
+    assert _sparse_plan_for(heavy) is _jaccard_ppjoin

@@ -19,11 +19,20 @@ id; the odd doc deviates on every 5th position → pairwise Jaccard ≈
 distinct shingles ≈ n_docs/2 × 50 ≫ 2^16, so the bitmap plan is
 impossible by construction and the dispatch picks the count-join.
 
-Recorded result (local[32], min-of-2; see PLANS.md):
+Recorded results (local[32], min-of-2; see PLANS.md):
 
+  No head (SPARSE_HEAD=0) — plain count-join is already near-linear:
     20k docs / 600k distinct shingles: 10k true pairs found, 1.16 s
     100k docs / 3M distinct shingles: 50k true pairs found, 2.38 s
     (5x the corpus -> 2.05x the time: near-linear, overhead-dominated)
+
+  Frequent head (every doc carries SPARSE_HEAD corpus-wide shingles) —
+  the prefix filter (_jaccard_ppjoin) earns its keep as the head grows:
+    4k docs, head=10: countjoin 2.7 s vs ppjoin 3.1 s  (head too light —
+        rank/df overhead beats the pruning; keep countjoin)
+    6k docs, head=30: countjoin 8.9 s vs ppjoin 3.4 s  (2.6x — 1.08e9
+        head-collision candidate rows never generated)
+  Both planners return exactly the expected pairs in every configuration.
 
 Σ df² stays ≈ 4 × |shingles| (every shingle df ≤ 2 here; real corpora add
 a frequent head — that is where the PPJoin prefix filter would slot in
@@ -46,23 +55,30 @@ from pyspark.sql import SparkSession  # noqa: E402
 from vacancy_analyser_spark.plans.dedup import (  # noqa: E402
     MAX_BITMAP_VOCAB,
     _jaccard_countjoin,
+    _jaccard_ppjoin,
 )
 
 N_DOCS = int(os.environ.get("SPARSE_DOCS", "20000"))
+#: >0 adds this many stopword-like shingles to EVERY doc (df = n_docs) —
+#: the frequent-head regime where the prefix filter earns its keep.
+N_HEAD = int(os.environ.get("SPARSE_HEAD", "0"))
 TOKENS_PER_DOC = 50
 DEVIATE_EVERY = 5  # odd docs differ on every 5th position → J ≈ 0.82
 
 
-def build_shingles(spark: SparkSession, n_docs: int):
-    """(doc_id, bigram) frame: pairs share a pool, odd members deviate."""
-    pos = F.explode(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1))).alias("pos")
+def build_shingles(spark: SparkSession, n_docs: int, n_head: int = 0):
+    """(doc_id, bigram) frame: pairs share a pool, odd members deviate;
+    optionally every doc also carries ``n_head`` corpus-wide shingles."""
+    pos = F.explode(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC + n_head - 1))).alias("pos")
     base = spark.range(n_docs).select(F.col("id").alias("doc_id"), pos)
     deviates = (F.col("doc_id") % 2 == 1) & (F.col("pos") % DEVIATE_EVERY == 0)
     shingle = F.when(
-        deviates, F.xxhash64(F.lit("odd"), F.col("doc_id"), F.col("pos"))
-    ).otherwise(F.xxhash64(F.expr("doc_id div 2"), F.col("pos")))
-    # cast to string: the countjoin re-hashes via xxhash64(bigram) itself
-    return base.select("doc_id", shingle.cast("string").alias("bigram"))
+        F.col("pos") >= TOKENS_PER_DOC, F.concat(F.lit("head-"), F.col("pos"))
+    ).when(
+        deviates, F.xxhash64(F.lit("odd"), F.col("doc_id"), F.col("pos")).cast("string")
+    ).otherwise(F.xxhash64(F.expr("doc_id div 2"), F.col("pos")).cast("string"))
+    # string shingles: the countjoin re-hashes via xxhash64(bigram) itself
+    return base.select("doc_id", shingle.alias("bigram"))
 
 
 def main() -> None:
@@ -74,31 +90,29 @@ def main() -> None:
         .appName("sparse_bench")
         .getOrCreate()
     )
-    g = build_shingles(spark, N_DOCS).persist()
+    g = build_shingles(spark, N_DOCS, N_HEAD).persist()
     n_vocab = g.select("bigram").distinct().count()
     assert n_vocab > MAX_BITMAP_VOCAB, (
         f"corpus not sparse enough for the experiment: {n_vocab} <= {MAX_BITMAP_VOCAB}"
     )
-    times = []
-    n_pairs = 0
-    for _ in range(2):
-        t0 = time.monotonic()
-        n_pairs = _jaccard_countjoin(g).count()
-        times.append(round(time.monotonic() - t0, 3))
     expected_pairs = N_DOCS // 2
-    print(
-        json.dumps(
-            {
-                "n_docs": N_DOCS,
-                "distinct_shingles": n_vocab,
-                "pairs_found": n_pairs,
-                "pairs_expected": expected_pairs,
-                "countjoin_sec_min2": min(times),
-                "runs": times,
-            }
-        )
-    )
-    assert n_pairs == expected_pairs, (n_pairs, expected_pairs)
+    out = {
+        "n_docs": N_DOCS,
+        "n_head": N_HEAD,
+        "distinct_shingles": n_vocab,
+        "pairs_expected": expected_pairs,
+    }
+    for label, plan in [("countjoin", _jaccard_countjoin), ("ppjoin", _jaccard_ppjoin)]:
+        times = []
+        n_pairs = 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            n_pairs = plan(g).count()
+            times.append(round(time.monotonic() - t0, 3))
+        out[f"{label}_pairs"] = n_pairs
+        out[f"{label}_sec_min2"] = min(times)
+        assert n_pairs == expected_pairs, (label, n_pairs, expected_pairs)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

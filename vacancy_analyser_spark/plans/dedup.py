@@ -140,7 +140,44 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vocab = g.select("bigram").distinct().count()  # also materializes g's cache
     if n_vocab <= MAX_BITMAP_VOCAB:
         return _jaccard_bitmap(g, n_vocab)
-    return _jaccard_countjoin(g)
+    return _sparse_plan_for(g)(g)
+
+
+#: Sparse-regime planner crossover: expected shared-shingle candidate rows
+#: per document above which the prefix filter's rank/df overhead pays off.
+#: Measured locally (tools/sparse_bench.py): count-join still wins at
+#: ~20k candidate rows/doc (2.7s vs 3.1s), ppjoin wins 2.6× at ~90k/doc
+#: (8.9s vs 3.4s) — the threshold sits between, biased toward the plan
+#: whose worst case is milder (ppjoin degrades gently, count-join blows up
+#: quadratically in the head).
+PPJOIN_CAND_PER_DOC = 40_000
+
+
+def _sparse_plan_for(g: DataFrame):
+    """Choose the sparse-regime physical plan from a df-skew probe.
+
+    The shared-shingle count-join generates (df choose 2) candidate rows
+    per shingle — Σ df(df-1)/2 total. Two tiny aggregates over the (cached)
+    shingle table estimate that BEFORE running either plan; a heavy
+    frequent head (stopword-like shingles) pushes the estimate quadratic
+    and flips the planner to the prefix-filtered join, which never
+    generates head candidates. Like the bitmap/count-join dispatch, this
+    is a planner rule, not a semantic switch — all plans are pinned
+    result-identical in tests."""
+    stats = (
+        g.groupBy("bigram")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum(F.col("df") * (F.col("df") - 1)).alias("pairs2"),
+            F.lit(1).alias("_one"),
+        )
+        .first()
+    )
+    n_docs = g.select("doc_id").distinct().count()
+    cand_rows = (stats["pairs2"] or 0) / 2
+    if n_docs and cand_rows / n_docs > PPJOIN_CAND_PER_DOC:
+        return _jaccard_ppjoin
+    return _jaccard_countjoin
 
 
 #: Densest vocabulary the bitmap plan packs: 2^16 bits = 1024 int64 words
@@ -504,4 +541,69 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
+    )
+
+
+def _jaccard_ppjoin(g: DataFrame, t: float = JACCARD_T) -> DataFrame:
+    """Sparse-regime refinement: prefix-filtered count-join (PPJoin-style).
+
+    The plain count-join generates a candidate row per shared shingle —
+    Σ df² rows. On corpora with a frequent HEAD (stopword-like shingles
+    with df in the thousands) that head dominates Σ df² while contributing
+    almost no true pairs. Prefix filtering prunes it with an exactness
+    guarantee: order every doc's shingles by ascending global df (rarest
+    first; ties by value), keep only the first n - ⌈t·n⌉ + 1 as the
+    doc's PREFIX, and join prefixes. If J(a,b) ≥ t the two prefixes must
+    share ≥1 shingle (pigeonhole on the ⌈t·n⌉ shingles outside each
+    prefix), so no true pair is lost; frequent shingles land OUTSIDE
+    prefixes (they sort last) and never generate candidates. A size filter
+    (t·na ≤ nb ∧ t·nb ≤ na) prunes further. Candidates are then verified
+    with the exact intersection count — identical output to
+    ``_jaccard_countjoin`` (tested), different candidate generator.
+
+    Cost: one extra df aggregate + per-doc rank window up front; the
+    candidate join moves Σ df_prefix² rows. Wins exactly when the head is
+    heavy (measured in tools/sparse_bench.py); loses on dense corpora
+    where no shingle is rare (everything is prefix — measured at 66s vs
+    the bitmap's 0.7s in round 1), which is why the dispatcher keeps it
+    out of the dense path."""
+    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tbl = gh.groupBy("bh").agg(F.count("*").alias("df"))
+    ranked = (
+        gh.join(df_tbl, "bh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "bh")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "bh", "n")
+    a = prefix.select(F.col("doc_id").alias("a_id"), "bh", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("b_id"), "bh", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "bh")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ga = gh.select(F.col("doc_id").alias("a_id"), "bh")
+    gb = gh.select(F.col("doc_id").alias("b_id"), "bh")
+    inter = (
+        cand.join(ga, "a_id")
+        .join(gb, ["b_id", "bh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
     )
