@@ -38,7 +38,7 @@ _BIGRAMS_SQL = (
 )
 
 N_MINHASH = 8  # signature length
-BAND_ROWS = 2  # rows per LSH band → 4 bands
+BAND_ROWS = 2  # rows per LSH band → 4 bands (band encoding in _band_sql assumes 2)
 
 
 def _bigrams(toks_col: str | Column) -> Column:
@@ -276,26 +276,44 @@ def _jaccard_countjoin(g: DataFrame) -> DataFrame:
     )
 
 
+#: Carter-Wegman permutation family for MinHash: s_i(h) = (A_i·h + B_i) mod P
+#: over a 28-bit base hash h. P is the Mersenne prime 2^31−1; A_i/B_i are
+#: fixed primes. A_i·h + B_i < 2^55 — no BIGINT overflow in either engine
+#: (DuckDB raises on overflow; Spark wraps — staying far below 2^63 keeps
+#: them identical). One md5 per shingle instead of N_MINHASH salted md5s:
+#: the mixes are integer multiply-add, which is what made the signature
+#: stage 8× cheaper than the salted-md5 scheme it replaced.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (1299709, 15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823)
+MINHASH_B = (104729, 1299721, 7919, 17389, 27449, 37813, 49031, 60493)
+assert len(MINHASH_A) == len(MINHASH_B) == N_MINHASH
+
+
 def _minhash_sig_sql() -> str:
     sigs = ", ".join(
-        f"min(('0x' || substr(md5('{s}|' || bigram), 1, 15))::BIGINT) AS s{s}"
+        f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS s{s}"
         for s in range(N_MINHASH)
     )
     return f"""
         grams AS (
             SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
         ),
-        sigs AS (SELECT doc_id, {sigs} FROM grams GROUP BY doc_id)
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(bigram), 1, 7))::BIGINT AS h FROM grams
+        ),
+        sigs AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id)
     """
 
 
 def _band_sql() -> str:
+    # band value = s_{2b}·P + s_{2b+1}: injective on the (s, s') pair since
+    # both are < P, so band equality IS signature-pair equality — no re-hash.
     rows = []
     for band in range(N_MINHASH // BAND_ROWS):
-        cols = " || '|' || ".join(f"CAST(s{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS))
+        lo, hi = band * BAND_ROWS, band * BAND_ROWS + 1
         rows.append(
             f"SELECT doc_id, {band} AS band_id, "
-            f"('0x' || substr(md5({cols}), 1, 15))::BIGINT AS band_val FROM sigs"
+            f"s{lo} * {MINHASH_P} + s{hi} AS band_val FROM sigs"
         )
     return " UNION ALL ".join(rows)
 
@@ -321,43 +339,37 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs × shingles) for signatures plus a shuffle on band values whose
     buckets are tiny unless documents actually collide.
 
-    Signatures and band keys are 60-bit BIGINTs (the first 15 hex chars of
-    the md5 parsed as an integer) rather than hex strings: min() over a
-    string buffer is not hash-aggregatable in Spark (the executed plan
-    showed SortAggregate — a per-partition sort of the whole shingle
-    table), while numeric min compiles to codegen HashAggregate; the band
-    self-join also shuffles 8-byte keys instead of 32-char strings.
-    Numeric parse keeps both engines identical: lexicographic order of
-    equal-length hex strings IS the numeric order of the parsed value.
-    md5-with-salt keeps it engine-portable; a pure-Spark deployment would
-    swap xxhash64(salt, shingle)."""
+    The 'permutations' are a Carter-Wegman universal family over ONE
+    portable base hash: h = 28 bits of md5(shingle), s_i = (A_i·h + B_i)
+    mod P (constants at MINHASH_A/B/P). One md5 per shingle row instead of
+    N_MINHASH salted md5s — integer multiply-add is nearly free next to
+    md5, which made the signature stage ~8× cheaper. Signatures are
+    BIGINTs, so min() compiles to codegen HashAggregate (string min would
+    fall back to SortAggregate — plan-guarded in tests) and the band
+    self-join shuffles 8-byte keys. Band values concatenate the two row
+    signatures injectively (s·P + s'), no re-hash. md5 keeps the base hash
+    engine-portable; a pure-Spark deployment would swap xxhash64."""
     g = _doc_bigrams(spark, sf_dir)
-
-    def h60(c: Column) -> Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
-
-    sigs = g.groupBy("doc_id").agg(
+    gh = g.select(
+        "doc_id", F.conv(F.substring(F.md5("bigram"), 1, 7), 16, 10).cast("bigint").alias("h")
+    )
+    sigs = gh.groupBy("doc_id").agg(
         *[
-            F.min(h60(F.concat(F.lit(f"{s}|"), F.col("bigram")))).alias(f"s{s}")
+            F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)).alias(
+                f"s{s}"
+            )
             for s in range(N_MINHASH)
         ]
     )
     # One explode over an inline band array — NOT a 4-way union, which would
-    # recompute the whole shingle→signature pipeline once per band. Band
-    # values re-hash the signature pair through md5 of the decimal strings
-    # ('|'-separated to keep the encoding prefix-free).
+    # recompute the whole shingle→signature pipeline once per band.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band_id"),
-                h60(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"s{band * BAND_ROWS + r}").cast("string")
-                            for r in range(BAND_ROWS)
-                        ],
-                    )
+                (
+                    F.col(f"s{band * BAND_ROWS}") * F.lit(MINHASH_P)
+                    + F.col(f"s{band * BAND_ROWS + 1}")
                 ).alias("band_val"),
             )
             for band in range(N_MINHASH // BAND_ROWS)
