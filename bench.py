@@ -2,10 +2,11 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Each query executes end-to-end into the noop
-sink (full plan, no driver collect), twice; the reported number is the min
-of the two runs — single-JVM local mode has 2-3x per-query jitter from GC
-and JIT pauses, and the min is the stable estimator of plan cost. The cache
-is cleared between runs so each timing rebuilds its own persisted
+sink (full plan, no driver collect), three times; the reported number is the
+min of the runs — single-JVM local mode has 2-3x per-query jitter from GC
+and JIT pauses (measured: back-to-back full-bench totals differ by up to
+25%), and the min is the stable estimator of plan cost. The cache is
+cleared between runs so each timing rebuilds its own persisted
 intermediates (no cross-run reuse). Prints:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
@@ -79,7 +80,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
