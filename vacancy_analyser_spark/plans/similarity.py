@@ -101,6 +101,44 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_centroids",
+    oracle="""
+        SELECT label, pos - 1 AS pos,
+               round(CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_val
+        FROM (
+            SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    tags=("ext-sim",),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the centroid), long format (label, pos,
+    mean_val) — the vector-aggregation building block behind k-means-style
+    IVF training (``ivf_topk``'s docstring names sampled k-means as its
+    scale path; one Lloyd iteration is exactly assign + THIS aggregate).
+
+    Plan: posexplode to (label, pos, component) rows, then one partial+final
+    hash aggregate on (label, pos) — the shuffle carries |labels|×dim
+    pre-aggregated rows per partition, not vectors. Component sums go
+    through DECIMAL(38,9) so the mean is order-independent (float addition
+    is not associative; decimal is exact), then one double division and a
+    6-decimal round shared with the oracle. At 100 TB the same shape holds:
+    map-side combine reduces each partition to |labels|×dim rows before the
+    exchange, and the result (≤10⁴ centroids × dim) broadcasts back for the
+    next assignment pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    mean_val = (
+        F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count("*")
+    )
+    return e.groupBy("label", "pos").agg(F.round(mean_val, 6).alias("mean_val"))
+
+
 N_CENTROIDS = 8
 IVF_K = 5
 
