@@ -149,7 +149,13 @@ def attribution_join(
         F.col("v_user").alias(key),
         "view_id",
         "click_id",
-        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        # cast-to-timestamp first: the harness parquet carries TIMESTAMP_NTZ
+        # (no UTC adjustment flag) and unix_micros only accepts TIMESTAMP; the
+        # gap is a difference, so any session-timezone shift cancels out.
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 
