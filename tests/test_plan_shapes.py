@@ -236,6 +236,16 @@ def test_feature_extract_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_embedding_near_dup_no_nested_loop(spark, sf_dir):
+    # candidate generation is an equi-join on (band, key); the only Python
+    # is the Arrow-batched signature matmul. An all-pairs nested loop over
+    # the full table is the scale hazard this operator exists to avoid.
+    plan = _plan(spark, sf_dir, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # signature stage is Arrow-batched
+
+
 def test_interval_join_is_keyed_equi_join_with_pushed_type_filters(spark, sf_dir):
     # the time range must ride an equi-join on user_id as a residual —
     # a nested-loop theta join here would be quadratic at scale; both

@@ -45,6 +45,32 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert full == exact[:IVF_K]
 
 
+def test_near_dup_lsh_recall_against_bruteforce(spark, sf_dir):
+    """The LSH path must find nearly every true pair without rescoring any.
+    Measured at sf0.001: 6/7 (the miss is the lowest-sim pair at 0.452 —
+    exactly the pair OR-amplification theory predicts is hardest)."""
+    from vacancy_analyser_spark.plans.similarity import embedding_near_dup, exact_near_dup
+
+    truth = {(r["a_id"], r["b_id"]): r["sim"] for r in exact_near_dup(spark, sf_dir).collect()}
+    got = {(r["a_id"], r["b_id"]): r["sim"] for r in embedding_near_dup(spark, sf_dir).collect()}
+
+    assert set(got) <= set(truth)  # LSH may drop pairs, never invent them
+    assert len(got) / len(truth) >= 0.8
+    for pair, sim in got.items():
+        assert sim == truth[pair]  # verify stage rescores nothing
+
+
+def test_near_dup_high_threshold_config_prunes_pair_space(spark, sf_dir):
+    """Production thresholds (τ ≥ 0.8) use fewer/longer bands; the candidate
+    set must then be a vanishing fraction of all pairs — the property that
+    makes the operator sub-quadratic at corpus scale."""
+    from vacancy_analyser_spark.plans.similarity import lsh_candidates
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    cand = lsh_candidates(spark, sf_dir, bands=8, rbits=16).count()
+    assert cand <= 0.01 * n * (n - 1) / 2
+
+
 def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     from vacancy_analyser_spark.plans.similarity import ivf_topk
 

@@ -1,7 +1,8 @@
 """Similarity search over `embeddings` (SURVEY.md §2.11 [ext]).
 
 Brute-force cosine top-k as the correctness baseline, an IVF-bucketed
-variant as the scale path, and cosine near-dup pairs.
+variant as the scale path, and cosine near-dup pairs via random-hyperplane
+LSH (band-key equi-join candidates + exact verify — never all-pairs).
 
 Numeric discipline: everything is computed in float64 after an explicit
 array<float> → array<double> cast; dot products are sequential left-to-right
@@ -13,8 +14,14 @@ engine reassociating the fold.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from ..io import load_table
 from .registry import register
@@ -71,25 +78,131 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup",
-    oracle=f"""
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS_SQL} AS sim
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS_SQL} >= 0.45
-    """,
-    tags=("ext-sim", "ext-dedup"),
-)
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45).
+# ---------------------------------------------------------------------------
+# Embedding near-dup via random-hyperplane LSH
+# ---------------------------------------------------------------------------
+#
+# Candidate generation must never be an all-pairs join: pairs come from an
+# equi-join on (band, band_key) over sign-bit signatures, then only the
+# candidates pay an exact cosine verify. Determinism across engines is
+# guaranteed by doing the projection in scaled-integer arithmetic:
+#
+#   b_p     = floor(v_p * 10^6)        -- one float64 multiply + floor,
+#                                         bit-identical in Spark and DuckDB
+#   proj_j  = Σ_p w_jp * b_p           -- exact int64 sum, order-independent
+#   bit_j   = 1 iff proj_j >= 0
+#
+# with Rademacher planes w_jp ∈ {±1} derived from md5(f"hp:{j}:{p}") — a
+# recipe DuckDB replays verbatim, so the oracle rebuilds the SAME index and
+# the result hash-matches by construction (the same contract as
+# minhash_lsh_dedup, plans/dedup.py:333).
 
-    Here: an O(n²) self-join — acceptable because `embeddings` is the dim-
-    sized table in this harness (broadcast side). At real corpus scale the
-    pair space must be bucketed first (LSH over random hyperplane signs —
-    exactly the simhash machinery applied to embedding components) so the
-    join is an equi-join on bucket keys; see ann_ivf_topk for the clustered
-    variant of the same idea."""
+EMB_DIM = 64
+#: Harness configuration: the synthetic near-dup pairs sit at cosine
+#: 0.45–0.6 — a low-similarity regime that needs wide OR-amplification
+#: (64 bands × 8 bits; measured recall vs brute force: 14/14 at sf0.01,
+#: 6/7 at sf0.001, ~24% of the pair space exactly verified). Production
+#: near-dup thresholds (τ ≥ 0.8) invert the trade: fewer/longer bands —
+#: 8 bands × 16 bits touches 0.03% of the pair space on the same data
+#: (pinned in tests/test_similarity.py).
+LSH_BANDS = 64
+LSH_RBITS = 8
+NEAR_DUP_TAU = 0.45
+_COMP_SCALE = 1_000_000
+
+
+@lru_cache(maxsize=8)
+def _hyperplanes(n_planes: int, dim: int = EMB_DIM) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: w[j,p] = +1 iff the first hex char of
+    md5(f"hp:{j}:{p}") is even. DuckDB regenerates the identical matrix via
+    strpos('02468ace', substr(md5(...), 1, 1)) > 0."""
+    w = np.empty((n_planes, dim), dtype=np.int64)
+    for j in range(n_planes):
+        for p in range(dim):
+            first = hashlib.md5(f"hp:{j}:{p}".encode()).hexdigest()[0]
+            w[j, p] = 1 if int(first, 16) % 2 == 0 else -1
+    return w
+
+
+def _band_keys_udf(bands: int, rbits: int):
+    """Arrow-batched signature stage: an exact int64 matmul over the plane
+    matrix per batch (the one place numpy genuinely beats 512 codegen'd
+    aggregate expressions), returning the per-band keys as array<long>."""
+    w = _hyperplanes(bands * rbits)
+    weights = 1 << np.arange(rbits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(comps: pd.Series) -> pd.Series:
+        if comps.empty:
+            return pd.Series([], dtype=object)
+        b = np.vstack(comps.to_numpy()).astype(np.int64)  # (batch, dim)
+        bits = (b @ w.T >= 0).astype(np.int64)  # (batch, planes)
+        keys = bits.reshape(len(b), bands, rbits) @ weights
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def _band_sigs(spark: SparkSession, sf_dir: str, bands: int, rbits: int) -> DataFrame:
+    """(vec_id, band, key) — one row per vector per band. The signature pass
+    is embarrassingly parallel (no shuffle): scan → scaled-int transform →
+    Arrow matmul → posexplode."""
+    vecs = _vectors(spark, sf_dir)
+    comps = F.transform(
+        F.col("embedding"), lambda x: F.floor(x * F.lit(float(_COMP_SCALE))).cast("long")
+    )
+    keys = _band_keys_udf(bands, rbits)(comps)
+    return vecs.select("vec_id", F.posexplode(keys).alias("band", "key"))
+
+
+def lsh_candidates(
+    spark: SparkSession, sf_dir: str, bands: int = LSH_BANDS, rbits: int = LSH_RBITS
+) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) from the band-key equi-join.
+    The shuffle carries (vec_id, band, key) triples — never embeddings —
+    and the join is hash/sort-merge on (band, key), never a nested loop."""
+    sigs = _band_sigs(spark, sf_dir, bands, rbits)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def hyperplane_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = LSH_BANDS,
+    rbits: int = LSH_RBITS,
+    threshold: float = NEAR_DUP_TAU,
+) -> DataFrame:
+    """LSH candidates → join embeddings back by id → exact JVM-side cosine
+    verify at ``threshold``. At 100 TB the join-backs are two key shuffles
+    sized by the candidate set (already deduped across bands), and the
+    signature table would be materialized once instead of recomputed per
+    self-join side."""
+    cand = lsh_candidates(spark, sf_dir, bands, rbits)
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    sim = F.round(cosine(F.col("ea.embedding"), F.col("eb.embedding")), 6)
+    return (
+        cand.join(vecs.alias("ea"), F.col("a_id") == F.col("ea.vec_id"))
+        .join(vecs.alias("eb"), F.col("b_id") == F.col("eb.vec_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def exact_near_dup(spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_TAU) -> DataFrame:
+    """Brute-force all-pairs ground truth — test-only (recall pinning in
+    tests/test_similarity.py). Deliberately NOT registered: the broadcast
+    O(n²) self-join is exactly the shape the registered operator exists to
+    avoid."""
     vecs = _vectors(spark, sf_dir)
     a = vecs.alias("a")
     b = F.broadcast(vecs.alias("b"))
@@ -97,8 +210,68 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"), sim.alias("sim"))
-        .filter(F.col("sim") >= 0.45)
+        .filter(F.col("sim") >= threshold)
     )
+
+
+_N_PLANES = LSH_BANDS * LSH_RBITS
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+        WITH comps AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS p,
+                   CAST(floor(unnest(embedding::DOUBLE[]) * {_COMP_SCALE}) AS BIGINT) AS b
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT j, p,
+                   CASE WHEN strpos('02468ace',
+                                    substr(md5('hp:' || CAST(j AS VARCHAR) || ':'
+                                               || CAST(p AS VARCHAR)), 1, 1)) > 0
+                        THEN 1 ELSE -1 END AS w
+            FROM range({_N_PLANES}) t1(j) CROSS JOIN range({EMB_DIM}) t2(p)
+        ),
+        bits AS (
+            SELECT c.vec_id, pl.j,
+                   CASE WHEN SUM(pl.w * c.b) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM comps c JOIN planes pl ON pl.p = c.p
+            GROUP BY c.vec_id, pl.j
+        ),
+        bandkeys AS (
+            SELECT vec_id, j // {LSH_RBITS} AS band,
+                   SUM(bit * (1 << (j % {LSH_RBITS}))) AS key
+            FROM bits GROUP BY vec_id, j // {LSH_RBITS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM bandkeys a
+            JOIN bandkeys b ON a.band = b.band AND a.key = b.key
+                           AND a.vec_id < b.vec_id
+        )
+        SELECT c.a_id, c.b_id,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6) AS sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+        WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]), 6) >= {NEAR_DUP_TAU}
+    """,
+    tags=("ext-sim", "ext-dedup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45) via random-
+    hyperplane LSH: sign-bit signatures over deterministic md5-derived
+    Rademacher planes, banded LSH_BANDS×LSH_RBITS (64×8) like the simhash
+    banding (plans/dedup.py), equi-join on band keys, exact cosine verify
+    inside the candidate set only. "Approximate" ≠ nondeterministic: every
+    stage is integer-exact, so the DuckDB oracle rebuilds the identical
+    index and hash-matches; recall vs brute force is pinned separately in
+    tests/test_similarity.py."""
+    return hyperplane_near_dup(spark, sf_dir)
 
 
 @register(
