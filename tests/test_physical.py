@@ -229,3 +229,32 @@ def test_sparse_dispatcher_flips_on_head_weight(spark):
         )
     )
     assert _sparse_plan_for(heavy) is _jaccard_ppjoin
+
+
+def test_bitmap_dispatch_gates_on_doc_count(spark):
+    """A huge corpus with a tiny shared vocabulary (log lines) must NOT take
+    the bitmap plan just because the vocab fits: its pair loop is O(|docs|²)
+    over a broadcast table. The dispatch flips to the shuffling count-join
+    past MAX_BITMAP_DOCS — and both plans stay result-identical on exactly
+    the many-docs/tiny-vocab shape that triggers the flip."""
+    from vacancy_analyser_spark.plans import dedup as D
+
+    # the rule itself: vocab gate alone is not enough
+    assert D._dense_regime(n_vocab=100, n_docs=D.MAX_BITMAP_DOCS)
+    assert not D._dense_regime(n_vocab=100, n_docs=D.MAX_BITMAP_DOCS + 1)
+    assert not D._dense_regime(n_vocab=D.MAX_BITMAP_VOCAB + 1, n_docs=100)
+
+    # many docs, 30-shingle vocabulary: every doc holds 10 of 30 shingles
+    rows = [
+        (d, f"v-{(d * 7 + j) % 30}")
+        for d in range(300)
+        for j in range(10)
+    ]
+    g = spark.createDataFrame(rows, "doc_id long, bigram string").persist()
+    n_vocab = g.select("bigram").distinct().count()
+    assert n_vocab <= 30  # tiny vocab — the OLD dispatch would take the bitmap
+    bitmap = sorted(map(tuple, D._jaccard_bitmap(g, n_vocab).collect()))
+    countjoin = sorted(map(tuple, D._jaccard_countjoin(g).collect()))
+    g.unpersist()
+    assert bitmap == countjoin
+    assert len(bitmap) > 0  # modular shingle reuse does create true pairs

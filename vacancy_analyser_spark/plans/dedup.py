@@ -128,25 +128,51 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale). The regime probe is one count over the persisted shingle
     table — trivial next to either plan:
 
-    - dense (distinct shingles ≤ MAX_BITMAP_VOCAB): a tiny shared
-      vocabulary means every shingle is frequent — shingle-join plans
-      blow up quadratically (measured on this corpus: count-join shuffles
-      36M pair rows for 256 true pairs, 5-10s; PPJoin prefix filtering
-      keeps 5.5M of 12.5M candidate pairs because no shingle is rare,
-      66s). The vocab-bitmap plan wins: ~1s, no pair shuffle at all.
-    - sparse (real-world text, ~billions of distinct shingles): the
-      bitmap cannot exist; the shared-shingle count-join scales with
-      Σ df², which rare-shingle corpora keep near-linear. (PPJoin prefix
-      filtering in front is the further refinement when a sparse corpus
+    - dense (distinct shingles ≤ MAX_BITMAP_VOCAB AND docs ≤
+      MAX_BITMAP_DOCS): a tiny shared vocabulary means every shingle is
+      frequent — shingle-join plans blow up quadratically (measured on
+      this corpus: count-join shuffles 36M pair rows for 256 true pairs,
+      5-10s; PPJoin prefix filtering keeps 5.5M of 12.5M candidate pairs
+      because no shingle is rare, 66s). The vocab-bitmap plan wins: ~1s,
+      no pair shuffle at all. The doc ceiling matters as much as the
+      vocab one: the bitmap pair loop is O(|docs|²) over a broadcast
+      packed table, so a huge corpus with a tiny vocabulary (log lines)
+      must NOT take it just because the vocab fits.
+    - sparse (real-world text, ~billions of distinct shingles) or dense
+      but too many docs: the shared-shingle count-join scales with
+      Σ df², which rare-shingle corpora keep near-linear, and shuffles
+      across the cluster instead of broadcasting. (PPJoin prefix
+      filtering in front is the further refinement when the corpus
       still has a frequent head.)
 
     Both paths produce identical results (tested) — this is a planner
-    rule, not a semantic switch."""
+    rule, not a semantic switch. The probe counts are cached per sf_dir
+    so repeated invocations in one session skip the eager jobs."""
     g = _doc_bigrams(spark, sf_dir).persist()
-    n_vocab = g.select("bigram").distinct().count()  # also materializes g's cache
-    if n_vocab <= MAX_BITMAP_VOCAB:
+    n_vocab, n_docs = _regime_probe(g, sf_dir)
+    if _dense_regime(n_vocab, n_docs):
         return _jaccard_bitmap(g, n_vocab)
-    return _sparse_plan_for(g)(g)
+    return _sparse_plan_for(g, n_docs)(g)
+
+
+def _dense_regime(n_vocab: int, n_docs: int) -> bool:
+    """The bitmap plan needs BOTH gates: a packable vocabulary and a
+    broadcastable doc count (its pair loop is O(|docs|²) over a broadcast
+    table — see MAX_BITMAP_DOCS)."""
+    return n_vocab <= MAX_BITMAP_VOCAB and n_docs <= MAX_BITMAP_DOCS
+
+
+#: Probe results keyed by sf_dir — the corpus under a directory is
+#: immutable for a session, so the planner's eager jobs run once.
+_REGIME_PROBE_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _regime_probe(g: DataFrame, sf_dir: str) -> tuple[int, int]:
+    if sf_dir not in _REGIME_PROBE_CACHE:
+        n_vocab = g.select("bigram").distinct().count()  # also materializes g's cache
+        n_docs = g.select("doc_id").distinct().count()
+        _REGIME_PROBE_CACHE[sf_dir] = (n_vocab, n_docs)
+    return _REGIME_PROBE_CACHE[sf_dir]
 
 
 #: Sparse-regime planner crossover: expected shared-shingle candidate rows
@@ -159,7 +185,7 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPJOIN_CAND_PER_DOC = 40_000
 
 
-def _sparse_plan_for(g: DataFrame):
+def _sparse_plan_for(g: DataFrame, n_docs: int | None = None):
     """Choose the sparse-regime physical plan from a df-skew probe.
 
     The shared-shingle count-join generates (df choose 2) candidate rows
@@ -179,7 +205,8 @@ def _sparse_plan_for(g: DataFrame):
         )
         .first()
     )
-    n_docs = g.select("doc_id").distinct().count()
+    if n_docs is None:
+        n_docs = g.select("doc_id").distinct().count()
     cand_rows = (stats["pairs2"] or 0) / 2
     if n_docs and cand_rows / n_docs > PPJOIN_CAND_PER_DOC:
         return _jaccard_ppjoin
@@ -190,6 +217,12 @@ def _sparse_plan_for(g: DataFrame):
 #: per doc (8 KB/doc) — beyond that the packed table stops being the small
 #: broadcastable side and the count-join takes over.
 MAX_BITMAP_VOCAB = 65_536
+#: Most docs the bitmap plan accepts: the packed table must stay a sane
+#: broadcast (16_384 docs × ≤8 KB ≈ 128 MB at the vocab ceiling) and the
+#: codegen pair loop is O(|docs|²) — past this, a tiny-vocab corpus falls
+#: through to the shuffling count-join, which distributes the quadratic
+#: work instead of broadcasting it.
+MAX_BITMAP_DOCS = 16_384
 JACCARD_T = 0.5
 
 
