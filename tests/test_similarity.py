@@ -45,6 +45,21 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert full == exact[:IVF_K]
 
 
+def test_ivf_nprobe2_registered_entry_recall_floor(spark, sf_dir):
+    """The driver-checked nprobe=2 entry must hold the same recall floor as
+    the fast path and never rescore a sim."""
+    from vacancy_analyser_spark.plans.similarity import ann_ivf_topk_nprobe2
+
+    truth = cosine_topk(spark, sf_dir).limit(IVF_K).collect()
+    truth_sims = {r["vec_id"]: r["sim"] for r in truth}
+    got = ann_ivf_topk_nprobe2(spark, sf_dir).collect()
+    assert len(got) == IVF_K
+    assert len({r["vec_id"] for r in got} & set(truth_sims)) >= IVF_K - 1
+    for r in got:
+        if r["vec_id"] in truth_sims:
+            assert r["sim"] == truth_sims[r["vec_id"]]
+
+
 def test_near_dup_lsh_recall_against_bruteforce(spark, sf_dir):
     """The LSH path must find nearly every true pair without rescoring any.
     Measured at sf0.001: 6/7 (the miss is the lowest-sim pair at 0.452 —

@@ -370,9 +370,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_oracle(nprobe: int) -> str:
+    """The DuckDB replay of ivf_topk's deterministic index build + probe,
+    parameterized by probe width so every registered nprobe gets its own
+    driver-checked entry."""
+    return f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
@@ -390,7 +392,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
             FROM vecs v CROSS JOIN centroids c
         ),
         assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
-        q_probes AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn <= 1),
+        q_probes AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn <= {nprobe}),
         q AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0)
         SELECT a.vec_id AS vec_id,
                round(list_cosine_similarity(a.emb, q.q_emb), 6) AS sim
@@ -398,9 +400,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
         WHERE a.vec_id <> 0
         ORDER BY sim DESC, a.vec_id
         LIMIT {IVF_K}
-    """,
-    tags=("ext-sim",),
-)
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle(1), tags=("ext-sim",))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered IVF fast path (nprobe=1) — see ivf_topk for the sweepable
     variant and the recall/cost contract.
@@ -412,3 +415,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches exactly. Recall vs exact brute force is separately pinned
     in tests/test_similarity.py."""
     return ivf_topk(spark, sf_dir, nprobe=1)
+
+
+@register("ann_ivf_topk_nprobe2", oracle=_ivf_oracle(2), tags=("ext-sim",))
+def ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost trade-off's tuning knob, driver-checked at width 2:
+    probes the query's two nearest centroids' buckets (~2/N_CENTROIDS of
+    the table) before the exact in-bucket top-k. Recall is monotone in
+    nprobe (tested); at scale each extra probe is one more pruned
+    partition read, nothing else changes."""
+    return ivf_topk(spark, sf_dir, nprobe=2)
