@@ -149,13 +149,11 @@ def attribution_join(
         F.col("v_user").alias(key),
         "view_id",
         "click_id",
-        # cast-to-timestamp first: the harness parquet carries TIMESTAMP_NTZ
-        # (no UTC adjustment flag) and unix_micros only accepts TIMESTAMP; the
-        # gap is a difference, so any session-timezone shift cancels out.
-        (
-            F.unix_micros(F.col("c_ts").cast("timestamp"))
-            - F.unix_micros(F.col("v_ts").cast("timestamp"))
-        ).alias("gap_us"),
+        # wall-clock arithmetic that is exact on TIMESTAMP_NTZ as well as
+        # TIMESTAMP: timestampdiff never routes through a session-timezone
+        # cast (which would skew per-value across a DST transition under a
+        # non-UTC session zone) and matches the oracle's date_diff.
+        F.expr("timestampdiff(MICROSECOND, v_ts, c_ts)").alias("gap_us"),
     )
 
 
