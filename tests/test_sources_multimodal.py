@@ -82,6 +82,43 @@ def test_range_scan_source(spark):
     assert df.count() == 35
 
 
+def test_bisect_plus_range_scan_end_to_end(spark):
+    """S1 integration over a fake API fixture (no network): a corpus whose
+    timestamp density exceeds the 2000-item window forces recursive
+    bisection (get_vacancies.py:48-59 semantics), and the mapInPandas
+    fan-out over the resulting plan must return every item EXACTLY once —
+    the splits may neither overlap nor leave gaps, and no single fetch may
+    ever need more items than the window allows (the API would truncate)."""
+    # 3000 items spread over a day + a 3000-item burst inside 2 minutes:
+    # the burst region must bisect down to the 60 s floor to fit
+    items = [(i, (i * 29) % 86_400) for i in range(3000)]
+    items += [(3000 + i, 40_000 + (i * 7) % 120) for i in range(3000)]
+
+    def count(a: int, b: int) -> int:  # the cheap `found`-field probe
+        return sum(1 for _, t in items if a <= t < b)
+
+    from vacancy_analyser_spark.sources.rest import bisect_ranges
+
+    ranges = bisect_ranges(count, 0, 86_400, max_per_range=2000, min_width=60)
+    assert len(ranges) > 4  # recursion actually happened
+    for prev, nxt in zip(ranges, ranges[1:]):  # ascending, disjoint
+        assert prev.hi <= nxt.lo
+    # every piece fits the window or sits at the indivisible floor
+    assert all(count(r.lo, r.hi) <= 2000 or (r.hi - r.lo) <= 60 for r in ranges)
+
+    def fetch_range(lo: int, hi: int) -> pd.DataFrame:
+        got = [(i, t) for i, t in items if lo <= t < hi]
+        assert len(got) <= 2000  # a real API would silently truncate past this
+        return pd.DataFrame(
+            {"id": [i for i, _ in got], "name": [f"vac-{i}" for i, _ in got]}
+        )
+
+    df = range_scan_source(spark, ranges, VAC_DDL, fetch_range_fn=fetch_range)
+    got_ids = [r["id"] for r in df.collect()]
+    assert len(got_ids) == len(set(got_ids)) == len(items)  # exactly once
+    assert set(got_ids) == {i for i, _ in items}
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 @pytest.fixture()
