@@ -473,12 +473,17 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc distinctness via array_distinct (narrow) instead of a
     # .distinct() shuffle over the exploded token table — see _doc_bigrams
     toks = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
-    hashed = toks.select("doc_id", F.substring(F.md5(F.col("token")), 1, 8).alias("h8"))
+    # parse the 8 hex chars ONCE into a 32-bit integer; each bit is then a
+    # shift+mask instead of a per-bit string instr (32 string scans per
+    # token → 1 conv + 32 integer ops; the oracle keeps the per-nibble
+    # string arithmetic and both resolve to bit p of the same value)
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
 
     def bit(p: int) -> Column:
-        # bit p of the 32-bit value parsed from h8: hex char 8 - p//4
-        # (1-based), nibble bit p%4 — identical arithmetic to the oracle.
-        return F.expr(f"((instr('{_ALPHA}', substr(h8, {8 - p // 4}, 1)) - 1) div {2 ** (p % 4)}) % 2")
+        return F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1))
 
     votes = hashed.groupBy("doc_id").agg(
         *[F.sum(2 * bit(p) - 1).alias(f"v{p}") for p in range(32)]
@@ -542,7 +547,19 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor).cast("int")
+    # Cross-band dedup WITHOUT a shuffle: a near-dup pair collides in every
+    # band it agrees on (duplicating it up to 4×), but both signatures are
+    # already in the row — keep the pair only where the current band is its
+    # FIRST agreeing band. That turns the old `.distinct()` (an exchange +
+    # hash-dedup over every output pair — 1.5M rows at sf0.1, the query's
+    # dominant cost) into a narrow bitwise filter.
+    first_agree = F.when(xor.bitwiseAND(F.lit(0xFF)) == 0, 0)
+    for j in (1, 2, 3):
+        first_agree = first_agree.when(
+            F.shiftright(xor, 8 * j).bitwiseAND(F.lit(0xFF)) == 0, j
+        )
     return (
         a.join(
             b,
@@ -550,9 +567,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"), hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+        .filter((F.col("a.b") == first_agree) & (hamming <= 3))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.alias("hamming"),
+        )
     )
 
 
