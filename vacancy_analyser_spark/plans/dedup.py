@@ -100,10 +100,10 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_dedup",
-    oracle=f"""
-        WITH g AS (
+#: The Jaccard pair generator as composable CTEs — shared verbatim between
+#: the pair query's oracle and the connected-components (groups) oracle.
+_JACCARD_PAIR_CTES = f"""
+        g AS (
             SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
@@ -111,13 +111,22 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
             FROM g a JOIN g b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT a_id, b_id,
-               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-        FROM inter
-        JOIN sizes sa ON a_id = sa.doc_id
-        JOIN sizes sb ON b_id = sb.doc_id
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        ),
+        pairs AS (
+            SELECT a_id, b_id,
+                   CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON a_id = sa.doc_id
+            JOIN sizes sb ON b_id = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        )"""
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+        WITH {_JACCARD_PAIR_CTES}
+        SELECT a_id, b_id, jaccard FROM pairs
     """,
     tags=("ext-dedup",),
 )
@@ -679,4 +688,50 @@ def _jaccard_ppjoin(g: DataFrame, t: float = JACCARD_T) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)
+    )
+
+
+@register(
+    "near_dup_groups",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_PAIR_CTES},
+        edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ),
+        verts AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id)
+        SELECT doc_id, group_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS group_size
+        FROM comp
+    """,
+    tags=("ext-dedup",),
+)
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: the transitive closure over the Jaccard pair table
+    (if A~B and B~C then {{A,B,C}} is one cluster), labeled by the minimum
+    doc_id in the component — the deterministic canonical keeper a dedup
+    pipeline retains. Pairs alone under-delete: chains collapse only when
+    components are materialized.
+
+    Spark side: iterative min-label propagation
+    (operators/components.py) — one edges⋈labels shuffle per round,
+    O(component diameter) rounds, only a scalar convergence counter ever
+    reaches the driver. The oracle replays the same fixpoint as a
+    recursive CTE (min reachable id), so the group labels hash-match
+    exactly."""
+    from ..operators.components import connected_components
+
+    pairs = ngram_jaccard_dedup(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        F.count("*").over(Window.partitionBy("component")).alias("group_size"),
     )
