@@ -147,3 +147,23 @@ def test_pack_respects_budget_mostly(spark, docs):
     )
     bad = per_bin.filter(F.col("tot") >= 60 + F.col("biggest")).count()
     assert bad == 0
+
+
+def test_stratified_sample_balances_languages(spark, sf_dir):
+    """Each language's kept count must concentrate near the rarest
+    language's size: the expected kept per lang is exactly `target`, so a
+    loose binomial band around it must hold for every language."""
+    from vacancy_analyser_spark.plans.textops import stratified_sample
+    from vacancy_analyser_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    target = min(per_lang.values())
+    kept = stratified_sample(spark, sf_dir).groupBy("lang").count().collect()
+    kept_by_lang = {r["lang"]: r["count"] for r in kept}
+    for lang, cnt in per_lang.items():
+        k = kept_by_lang.get(lang, 0)
+        assert k <= cnt
+        # mean = target; 4σ binomial band, never flaky under regeneration
+        sigma = (target * max(0.0, 1 - target / cnt)) ** 0.5
+        assert abs(k - target) <= 4 * sigma + 1

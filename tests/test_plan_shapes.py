@@ -236,6 +236,16 @@ def test_feature_extract_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_stratified_sample_is_scanside_filter(spark, sf_dir):
+    # sampling must be a predicate on the fact scan: the strata counts are
+    # inlined as a literal map, so the sampled scan is one pass — no join,
+    # no exchange, one documents read
+    plan = _plan(spark, sf_dir, "stratified_sample")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
 def test_embedding_near_dup_no_nested_loop(spark, sf_dir):
     # candidate generation is an equi-join on (band, key); the only Python
     # is the Arrow-batched signature matmul. An all-pairs nested loop over

@@ -659,3 +659,51 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+        WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        t AS (SELECT MIN(cnt) AS target FROM counts)
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        JOIN counts c ON d.lang = c.lang
+        CROSS JOIN t
+        WHERE ('0x' || substr(md5('samp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              * c.cnt < t.target * 4294967296
+    """,
+    tags=("ext-corpus",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (language-balancing) sample: every language
+    is downsampled toward the rarest language's size, the standard rebalance
+    before corpus mixing. A doc survives iff
+    u(doc) < target / cnt(lang), with u a 32-bit md5-derived uniform —
+    compared in INTEGER form (h·cnt < target·2³²) so neither engine does a
+    float division; sampling is reproducible row-local state, never rand().
+
+    Plan shape: the per-lang counts are one aggregate-sized collect (the
+    strata table is |langs| rows — driver-side control flow over a tiny
+    aggregate, like the dedup regime probe) inlined as a literal map, so
+    the sampled scan is ONE pass with a pure filter: no join, no exchange,
+    no second read of the fact table. At 100 TB sampling must be a
+    scan-side predicate, not a shuffle; for a strata column too wide for a
+    literal map, the same compare rides a broadcast join instead. h·cnt
+    stays far inside int64 up to ~10⁹ docs per language; past that,
+    promote the compare to DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    target = min(r["cnt"] for r in strata)
+    cnt_map = F.create_map(
+        *[F.lit(x) for r in strata for x in (r["lang"], r["cnt"])]
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.filter(h * cnt_map[F.col("lang")].cast("bigint") < F.lit(target * 4294967296))
+        .select("doc_id", "lang")
+    )
