@@ -35,3 +35,39 @@ def test_edge_direction_irrelevant(spark):
     # components are over the UNDIRECTED graph: reversed pairs, same answer
     comp = _components(spark, [(5, 3), (3, 9), (9, 7)])
     assert comp == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def _union_find(edges):
+    """Reference labeling: textbook union-find, min id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Randomized shapes vs a reference union-find — each example spins
+    Spark jobs, so examples are few and tiny (the value is the shapes:
+    self-merging stars, bridges, duplicate and self-referential edges)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ids = st.integers(min_value=0, max_value=15)
+    edges = st.lists(st.tuples(ids, ids), min_size=1, max_size=12)
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(e=edges)
+    def check(e):
+        assert _components(spark, e) == _union_find(e)
+
+    check()
