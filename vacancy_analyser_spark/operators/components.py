@@ -63,5 +63,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Never return silently-wrong labels: min-label moves the minimum
+        # one hop per round, so a component with diameter > max_rounds
+        # would come back fractured (and hash-mismatch the fixpoint
+        # oracle). Adversarial-diameter graphs need the
+        # large-star/small-star variant, not a bigger round budget.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still shrinking); component diameter exceeds "
+            "the round budget"
+        )
     sym.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -43,6 +43,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: first: that pushes every unchecked operator into the checked window
 #: while the confirmed ones keep their repo-side parity test coverage
 #: (tests/test_oracle_parity.py runs all of them every session).
+#:
+#: Deliberate trade-off: ngram_jaccard_dedup / simhash / simhash_near_dup
+#: were REWRITTEN in r2 but stay classified confirmed — the unconfirmed
+#: group already holds exactly 50 keys, and re-classifying the rewritten
+#: trio would push three never-checked keys out of the window (strictly
+#: worse: the trio is re-verified against its oracles at the driver's own
+#: SF both repo-side and at sf0.1). Rotate them to the front of the r3
+#: ordering once CORRECTNESS_r02 confirms the current window.
 _R01_CONFIRMED = frozenset(
     {
         "explode_count", "skill_freq", "max_dates", "pct_of_total",

@@ -160,8 +160,12 @@ def lsh_candidates(
 ) -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) from the band-key equi-join.
     The shuffle carries (vec_id, band, key) triples — never embeddings —
-    and the join is hash/sort-merge on (band, key), never a nested loop."""
-    sigs = _band_sigs(spark, sf_dir, bands, rbits)
+    and the join is hash/sort-merge on (band, key), never a nested loop.
+    The signature table is persisted and materialized first: the Arrow
+    matmul is the dominant stage and a self-join would otherwise compute
+    it once per side (same pattern as the simhash band table)."""
+    sigs = _band_sigs(spark, sf_dir, bands, rbits).persist()
+    sigs.count()
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

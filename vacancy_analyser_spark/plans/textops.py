@@ -664,7 +664,10 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stratified_sample",
     oracle="""
-        WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS cnt FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang
+        ),
         t AS (SELECT MIN(cnt) AS target FROM counts)
         SELECT d.doc_id, d.lang
         FROM documents d
@@ -691,8 +694,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side predicate, not a shuffle; for a strata column too wide for a
     literal map, the same compare rides a broadcast join instead. h·cnt
     stays far inside int64 up to ~10⁹ docs per language; past that,
-    promote the compare to DECIMAL."""
-    docs = load_table(spark, sf_dir, "documents")
+    promote the compare to DECIMAL. NULL-lang docs are excluded up front
+    (a null literal map key is illegal, and the oracle's inner join drops
+    them anyway — untagged docs are not a stratum)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     strata = docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
     target = min(r["cnt"] for r in strata)
     cnt_map = F.create_map(

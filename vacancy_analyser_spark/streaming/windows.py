@@ -119,9 +119,10 @@ def attribution_join(
 
     Batch/scale shape: an equi-join on the key with the time range as a
     join residual — shuffles once on `key`, never enumerates a time cross
-    product. The gap is returned in whole microseconds (unix_micros on
-    both sides), so the value is an exact integer on Spark and DuckDB
-    alike — no float round-trip in the hash compare."""
+    product. The gap is returned in whole microseconds via
+    timestampdiff(MICROSECOND, ...), exact on TIMESTAMP_NTZ and TIMESTAMP
+    alike with no session-timezone dependence — an exact integer on Spark
+    and DuckDB, no float round-trip in the hash compare."""
     v = with_watermark(
         views.select(
             F.col("event_id").alias("view_id"),
