@@ -79,13 +79,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(3):
+        runs: list[float] = []
+        # min-of-3, plus up to 2 adaptive reruns: the host occasionally
+        # injects 2-3x contention spikes (observed with an idle guest), and
+        # a spiky triple would record a number that is pure scheduler luck.
+        # If the runs disagree by >40% of the min, buy more samples.
+        while len(runs) < 3 or (len(runs) < 5 and max(runs) > 1.4 * min(runs)):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
