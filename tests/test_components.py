@@ -31,6 +31,25 @@ def test_long_chain_converges(spark):
     assert len(comp) == 13
 
 
+def test_pointer_doubling_beats_diameter(spark):
+    # a 24-edge path under a 8-round budget: pure min-propagation needs 24
+    # rounds (one hop each) and would raise; pointer doubling halves the
+    # remaining chain per round, so this MUST converge inside the budget
+    df = spark.createDataFrame([(i, i + 1) for i in range(24)], "a_id long, b_id long")
+    comp = {r["id"]: r["component"] for r in connected_components(df, max_rounds=8).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 25
+
+
+def test_nonconvergence_raises_not_lies(spark):
+    # an impossible budget must raise, never return fractured labels
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(24)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1)
+
+
 def test_edge_direction_irrelevant(spark):
     # components are over the UNDIRECTED graph: reversed pairs, same answer
     comp = _components(spark, [(5, 3), (3, 9), (9, 7)])

@@ -47,10 +47,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             # least() skips nulls, so isolated rounds keep the own label
             .select(labels["id"], F.least("label", "nbr_label").alias("label"))
+        )
+        # Pointer doubling (path compression): label ← label(label). Every
+        # label is a component-member id, so the lookup stays in-component
+        # and only decreases; combined with the neighbor-min step this
+        # halves remaining chain length per round — O(log diameter) rounds
+        # instead of O(diameter), the property that makes the operator
+        # usable on adversarial path graphs at scale.
+        new_labels = (
+            stepped.alias("l1")
+            .join(stepped.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
+            .select(
+                F.col("l1.id").alias("id"),
+                F.coalesce(F.col("l2.label"), F.col("l1.label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         # labels only decrease — converged when no row shrank this round
