@@ -167,3 +167,19 @@ def test_stratified_sample_balances_languages(spark, sf_dir):
         # mean = target; 4σ binomial band, never flaky under regeneration
         sigma = (target * max(0.0, 1 - target / cnt)) ** 0.5
         assert abs(k - target) <= 4 * sigma + 1
+
+
+def test_dedup_near_collapses_clusters(spark):
+    """A~B and B~C must drop BOTH B and C (transitive closure), docs in no
+    pair pass through, and the stage is idempotent."""
+    from vacancy_analyser_spark.corpus import dedup_near
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in (1, 2, 3, 7, 8, 20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a_id long, b_id long")
+
+    once = dedup_near(docs, pairs)
+    assert sorted(r["doc_id"] for r in once.collect()) == [1, 7, 20]
+    twice = dedup_near(once, pairs)
+    assert sorted(r["doc_id"] for r in twice.collect()) == [1, 7, 20]

@@ -7,6 +7,7 @@ the *programmatic* surface a pipeline author composes:
     docs = load_table(spark, sf_dir, "documents")
     corpus = quality_gate(docs)
     corpus = dedup_exact(corpus)
+    corpus = dedup_near(corpus, ngram_jaccard_dedup(spark, sf_dir))
     corpus = decontaminate(corpus, benchmark_docs)
     corpus = assign_split(corpus)
     packed = pack_sequences(corpus.filter("split = 'train'"))
@@ -28,6 +29,7 @@ from .functions.text import normalize_ws, tokens
 __all__ = [
     "quality_gate",
     "dedup_exact",
+    "dedup_near",
     "decontaminate",
     "assign_split",
     "pack_sequences",
@@ -78,6 +80,29 @@ def dedup_exact(docs: DataFrame, key: str = "doc_id") -> DataFrame:
         .filter(F.col(key) == F.col("_keep"))
         .drop("_fp", "_keep")
     )
+
+
+def dedup_near(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Collapse near-dup CLUSTERS to their canonical (minimum-key) member:
+    connected components over a pair table (any tier's output — Jaccard,
+    MinHash-LSH, SimHash, embedding-LSH pairs all fit the (a_id, b_id)
+    shape), then anti-join the non-canonical members away. Docs absent
+    from every pair pass through untouched. Pairs alone under-delete:
+    A~B plus B~C must drop BOTH B and C, which only the transitive
+    closure sees (the registered near_dup_groups query is the
+    driver-checked instance of the same labeling).
+
+    Note this stage is eager where the others are lazy: components are an
+    iterative fixpoint (operators/components.py), so the pair table is
+    consumed here, not fused into the surrounding plan."""
+    from .operators.components import connected_components
+
+    comp = connected_components(pairs.select(F.col("a_id"), F.col("b_id")))
+    losers = (
+        comp.filter(F.col("component") != F.col("id"))
+        .select(F.col("id").alias(key))
+    )
+    return docs.join(losers, key, "left_anti")
 
 
 def decontaminate(
