@@ -183,3 +183,19 @@ def test_dedup_near_collapses_clusters(spark):
     assert sorted(r["doc_id"] for r in once.collect()) == [1, 7, 20]
     twice = dedup_near(once, pairs)
     assert sorted(r["doc_id"] for r in twice.collect()) == [1, 7, 20]
+
+
+def test_redact_pii(spark):
+    from vacancy_analyser_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at john.doe+spam@example.co.uk please", "mail me at [EMAIL] please"),
+        ("server 192.168.0.1 went down", "server [IP] went down"),
+        ("call +7 (912) 345-67-89 now", "call [PHONE] now"),
+        ("ip 10.0.0.7 and bob@x.io and 8 800 555 35 35", "ip [IP] and [EMAIL] and [PHONE]"),
+        ("no pii here, year 2024", "no pii here, year 2024"),
+    ]
+    df = spark.createDataFrame(rows, "text string, want string")
+    got = df.select(redact_pii("text").alias("got"), "want").collect()
+    for r in got:
+        assert r["got"] == r["want"]

@@ -33,3 +33,25 @@ def tokens(col: str | Column) -> Column:
     """Whitespace tokenization → array<string> (notebook cells 15/27 use
     ``str.split``; split on space after whitespace normalization)."""
     return F.split(normalize_ws(col), " ")
+
+
+#: PII patterns a training-data scrub redacts, applied longest-match-first
+#: so an email is one [EMAIL], not a [USER]@[HOST] mangle. All three are
+#: plain POSIX-class regexes that mean the same thing to Spark's and
+#: DuckDB's regex engines, so a future registered query can oracle-check
+#: the redaction verbatim (stage for the r3 registry rotation).
+_PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d\s().-]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholders — the standard scrub before corpus publication.
+    Pure regexp_replace chain: scan-side, codegen'd, no UDF."""
+    out = _c(col)
+    for pattern, token in _PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
