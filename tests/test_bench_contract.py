@@ -1,0 +1,15 @@
+"""The bench harness is a driver contract: every headline key must resolve
+in the registry (a query rename must fail CI, not silently break the
+driver's recorded bench)."""
+
+from __future__ import annotations
+
+
+def test_headline_keys_all_registered():
+    import bench
+    from vacancy_analyser_spark.plans import queries
+
+    qs = queries()
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, f"bench.HEADLINE keys absent from registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))  # no dupes
