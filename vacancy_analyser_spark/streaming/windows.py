@@ -15,7 +15,7 @@ metrics_exporter.py:113-151 exports freshness gauges.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
