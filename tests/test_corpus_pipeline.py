@@ -199,3 +199,23 @@ def test_redact_pii(spark):
     got = df.select(redact_pii("text").alias("got"), "want").collect()
     for r in got:
         assert r["got"] == r["want"]
+
+
+def test_dedup_near_consistent_with_groups_on_harness(spark, sf_dir):
+    """The pipeline stage and the registered near_dup_groups query must
+    agree on harness data: survivors are exactly all docs minus every
+    non-canonical group member, and no near-dup pair survives intact."""
+    from vacancy_analyser_spark.corpus import dedup_near
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.dedup import near_dup_groups, ngram_jaccard_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(spark, sf_dir)
+    kept_ids = {r["doc_id"] for r in dedup_near(docs, pairs).select("doc_id").collect()}
+
+    groups = near_dup_groups(spark, sf_dir).collect()
+    dropped = {r["doc_id"] for r in groups if r["doc_id"] != r["group_id"]}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - dropped
+    for r in pairs.select("a_id", "b_id").collect():
+        assert not (r["a_id"] in kept_ids and r["b_id"] in kept_ids)
