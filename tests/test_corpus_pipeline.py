@@ -219,3 +219,22 @@ def test_dedup_near_consistent_with_groups_on_harness(spark, sf_dir):
     assert kept_ids == all_ids - dropped
     for r in pairs.select("a_id", "b_id").collect():
         assert not (r["a_id"] in kept_ids and r["b_id"] in kept_ids)
+
+
+def test_sample_per_group_fixed_size_and_deterministic(spark, sf_dir):
+    from vacancy_analyser_spark.corpus import sample_per_group
+    from vacancy_analyser_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = sample_per_group(docs, n=10)
+    per = {r["lang"]: r["count"] for r in s.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, cnt in full.items():
+        assert per.get(lang, 0) == min(10, cnt)  # exactly n (or the whole group)
+    # stable under physical repartitioning
+    a = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_per_group(docs.repartition(13), n=10).select("doc_id").collect()
+    )
+    assert a == b

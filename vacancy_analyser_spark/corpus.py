@@ -34,6 +34,7 @@ __all__ = [
     "assign_split",
     "pack_sequences",
     "mix_resample",
+    "sample_per_group",
 ]
 
 
@@ -161,6 +162,20 @@ def pack_sequences(
         "bin_id",
         F.floor(running_before.cast("double") / budget_tokens).cast("bigint"),
     )
+
+
+def sample_per_group(
+    docs: DataFrame, n: int, key: str = "doc_id", group: str = "lang"
+) -> DataFrame:
+    """Deterministic fixed-size sample per group (the distributed stand-in
+    for reservoir sampling): rank by md5(key) within each group, keep the
+    first ``n``. Reproducible row-local state — never rand() — so re-runs,
+    repartitionings, and a SQL oracle all agree. One shuffle on ``group``;
+    at scale the rank prunes map-side via WindowGroupLimit before the
+    exchange."""
+    order = F.md5(F.col(key).cast("string"))
+    rn = F.row_number().over(Window.partitionBy(group).orderBy(order, key))
+    return docs.withColumn("_rn", rn).filter(F.col("_rn") <= n).drop("_rn")
 
 
 def mix_resample(
