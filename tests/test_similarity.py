@@ -175,3 +175,21 @@ def test_ivf_partitioned_index_prunes_probe(spark, sf_dir, tmp_path):
 
     want = [(r["vec_id"], r["sim"]) for r in ivf_topk(spark, sf_dir, nprobe=1).collect()]
     assert got == want
+
+
+def test_lsh_params_planner_properties():
+    """The band-shape planner must (a) meet the recall target at the
+    threshold, (b) respect the plane budget, and (c) move to longer bands
+    (harder keyspace pruning) as the threshold rises."""
+    import math
+
+    from vacancy_analyser_spark.plans.similarity import lsh_params
+
+    prev_rbits = 0
+    for tau in (0.45, 0.6, 0.7, 0.8, 0.9, 0.95):
+        b, r = lsh_params(tau, target_recall=0.95, max_planes=1024)
+        p = 1 - math.acos(tau) / math.pi
+        assert 1 - (1 - p**r) ** b >= 0.95
+        assert b * r <= 1024
+        assert r >= prev_rbits
+        prev_rbits = r

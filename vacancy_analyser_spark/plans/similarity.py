@@ -111,6 +111,33 @@ NEAR_DUP_TAU = 0.45
 _COMP_SCALE = 1_000_000
 
 
+def lsh_params(
+    threshold: float, target_recall: float = 0.95, max_planes: int = 1024
+) -> tuple[int, int]:
+    """Pick (bands, rbits) for hyperplane LSH from the cosine threshold.
+
+    Collision theory: two vectors at cosine s agree on one sign bit with
+    p = 1 − arccos(s)/π, on an r-bit band with p^r, and survive b bands
+    with 1 − (1−p^r)^b. For each band width r (longest first — longer
+    bands mean fewer random collisions, so the 2^r keyspace prunes the
+    pair space harder) take the smallest b reaching ``target_recall`` at
+    the threshold; accept the first (b, r) within the plane budget.
+    Low thresholds force wide OR-amplification (τ=0.45 → 64×8-ish, ~24%
+    of the pair space exactly verified); production near-dup thresholds
+    invert it (τ=0.9 → a handful of 16-bit bands, <0.1%)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    for rbits in (16, 12, 8, 6, 4):
+        p_band = p**rbits
+        if p_band <= 0.0:
+            continue
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if b * rbits <= max_planes:
+            return b, rbits
+    return max_planes // 4, 4
+
+
 @lru_cache(maxsize=8)
 def _hyperplanes(n_planes: int, dim: int = EMB_DIM) -> np.ndarray:
     """Deterministic ±1 hyperplanes: w[j,p] = +1 iff the first hex char of
