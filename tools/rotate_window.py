@@ -23,24 +23,53 @@ import textwrap
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Keys allowed to count as confirmed on a rows-only check. Everything else
+# needs a full rows+schema+hash pass: "the query returned rows" is zero
+# correctness evidence, and auto-confirming it would rotate the key out of
+# all future driver checks. Additions here are a reviewed decision.
+ROWS_ONLY_ALLOWLIST = frozenset({"approx_distinct"})
+
+
 def green_keys(path: str) -> set[str]:
     out = set()
+    rows_only_seen: list[str] = []
     for key, row in json.load(open(path)).items():
         if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
             out.add(key)
         elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-            out.add(key)  # rows-only by design (e.g. approx_distinct)
+            rows_only_seen.append(key)
+            if key in ROWS_ONLY_ALLOWLIST:
+                out.add(key)
+    if rows_only_seen:
+        allowed = sorted(k for k in rows_only_seen if k in ROWS_ONLY_ALLOWLIST)
+        denied = sorted(k for k in rows_only_seen if k not in ROWS_ONLY_ALLOWLIST)
+        print(f"# {path}: rows-only keys confirmed via allowlist: {allowed}")
+        if denied:
+            print(f"# {path}: rows-only keys NOT confirmed (no allowlist entry): {denied}")
     return out
 
 
 def main() -> None:
     if len(sys.argv) < 2:
-        sys.exit("usage: rotate_window.py CORRECTNESS_r*.json ...")
+        sys.exit(
+            "usage: rotate_window.py [--drop key1,key2] CORRECTNESS_r*.json ...\n"
+            "  --drop: keys whose implementation changed since their green row —\n"
+            "          a driver pass belongs to the code that earned it, so a\n"
+            "          rewritten key must re-enter the unconfirmed window."
+        )
+    argv = sys.argv[1:]
+    dropped: set[str] = set()
+    if argv and argv[0] == "--drop":
+        dropped = set(argv[1].split(","))
+        argv = argv[2:]
     confirmed: set[str] = set()
-    for path in sys.argv[1:]:
+    for path in argv:
         got = green_keys(path)
         print(f"# {path}: {len(got)} green keys")
         confirmed |= got
+    if dropped:
+        print(f"# dropped as rewritten-since-pass: {sorted(confirmed & dropped)}")
+        confirmed -= dropped
 
     from vacancy_analyser_spark.plans.registry import all_specs
 

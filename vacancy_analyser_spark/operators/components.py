@@ -29,8 +29,19 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex in ``pairs``; component = min id
     reachable. Deterministic — no randomness, no order dependence."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    try:
+        return _propagate(sym, max_rounds)
+    finally:
+        # unpersist on every exit path — the non-convergence raise must not
+        # leave the symmetrized edge table pinned in executor storage
+        sym.unpersist()
+
+
+def _propagate(sym: DataFrame, max_rounds: int) -> DataFrame:
     # localCheckpoint (not persist) each round: iterative plans nest the
     # whole previous lineage otherwise, and Catalyst re-analysis grows
     # superlinearly with rounds — the classic iterative-algorithm trap.
@@ -41,6 +52,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -88,5 +100,4 @@ def connected_components(
             f"({changed} labels still shrinking); component diameter exceeds "
             "the round budget"
         )
-    sym.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -46,8 +46,13 @@ def _mg_partition(k: int, col: str):
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf[col].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(cnt)
+            # dropna=False + None-normalization: NULL is a countable value
+            # here, matching the SQL GROUP BY (which keeps the NULL group).
+            # pd.isna → None normalization matters because two float NaNs
+            # are not equal, so they'd fragment into separate dict keys.
+            for item, cnt in pdf[col].value_counts(dropna=False).items():
+                key = None if pd.isna(item) else item
+                counters[key] = counters.get(key, 0) + int(cnt)
             # compress lazily at 4k so per-batch work stays amortized O(1)
             if len(counters) > 4 * k:
                 _mg_compress(counters, k)
@@ -73,8 +78,12 @@ def heavy_hitters(items: DataFrame, col: str, threshold_frac: float) -> DataFram
         .select(col)
     )
     total = items.count()
+    # eqNullSafe: a NULL exceeding the threshold is a real heavy hitter —
+    # the SQL twin's GROUP BY keeps the NULL group, so the join must too
+    # (a plain equi-join would silently drop NULL keys).
     return (
-        items.join(F.broadcast(candidates), col)
+        items.join(F.broadcast(candidates), items[col].eqNullSafe(candidates[col]))
+        .drop(candidates[col])
         .groupBy(col)
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") > threshold_frac * total)

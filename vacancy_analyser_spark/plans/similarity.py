@@ -132,6 +132,10 @@ def lsh_params(
         p_band = p**rbits
         if p_band <= 0.0:
             continue
+        if p_band >= 1.0:
+            # threshold=1.0 → exact duplicates collide on every band with
+            # certainty; one band of this width already has recall 1
+            return 1, rbits
         b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
         if b * rbits <= max_planes:
             return b, rbits
