@@ -441,12 +441,20 @@ def ivf_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def ivf_probe_index(
-    spark: SparkSession, path: str, q_emb: list[float], probe_ids: list[int], k: int = IVF_K
+    spark: SparkSession,
+    path: str,
+    q_emb: list[float],
+    probe_ids: list[int],
+    k: int = IVF_K,
+    exclude_ids: tuple[int, ...] = (),
 ) -> DataFrame:
     """Exact top-k inside the probed buckets of a materialized index. The
     isin() filter on the partition column prunes at planning time — only
-    the probed directories are ever read."""
+    the probed directories are ever read. ``exclude_ids`` drops known ids
+    (typically the query vector itself) before the top-k."""
     idx = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe_ids))
+    if exclude_ids:
+        idx = idx.filter(~F.col("vec_id").isin(list(exclude_ids)))
     q = F.array(*[F.lit(float(x)) for x in q_emb])
     sim = F.round(cosine(F.col("embedding").cast("array<double>"), q), 6)
     return (
@@ -539,6 +547,116 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches exactly. Recall vs exact brute force is separately pinned
     in tests/test_similarity.py."""
     return ivf_topk(spark, sf_dir, nprobe=1)
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle(k: int, n_iters: int) -> str:
+    """DuckDB replay of kmeans_train: first-k-by-id init, then ``n_iters``
+    unrolled Lloyd steps (argmax cosine rounded to 9 with centroid-id
+    tie-break → decimal-exact element-wise means). Generated per iteration
+    count so the oracle and the Spark loop can't drift."""
+    assign = """
+        a{i} AS (
+            SELECT vec_id, emb, centroid_id FROM (
+                SELECT v.vec_id, v.emb, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                    c.centroid_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN c{prev} c
+            ) WHERE rn = 1
+        ),
+        m{i} AS (
+            SELECT centroid_id, pos - 1 AS pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+            FROM (
+                SELECT centroid_id, unnest(emb) AS val,
+                       generate_subscripts(emb, 1) AS pos
+                FROM a{i}
+            )
+            GROUP BY centroid_id, pos
+        ),
+        c{i} AS (
+            SELECT centroid_id, list(m ORDER BY pos) AS c_emb
+            FROM m{i} GROUP BY centroid_id
+        )"""
+    steps = ",".join(assign.format(i=i, prev=i - 1) for i in range(1, n_iters + 1))
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs ORDER BY vec_id LIMIT {k}
+        ),
+        {steps}
+        SELECT centroid_id, pos, round(m, 6) AS c_val
+        FROM m{n_iters}
+    """
+
+
+@register("kmeans_iterate", oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS), tags=("ext-sim",))
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means, driver-checked: first-k-by-id init,
+    KMEANS_ITERS assign+mean rounds (kmeans_train), output exploded to
+    (centroid_id, pos, c_val) with a 6-decimal output round. Every step is
+    exact — argmax on round-9 cosines with id tie-break, means through
+    DECIMAL(38,9) — so the unrolled SQL replay hash-matches the loop.
+
+    Scale shape per step: broadcast assignment against ≤10⁴ centroids (no
+    fact-side shuffle), posexplode → partial+final hash agg carrying
+    |centroids|×dim rows, localCheckpoint truncating the iterative
+    lineage. This is the trainer behind the IVF index; the registered
+    run pins the full loop, not just one step."""
+    vecs = _vectors(spark, sf_dir)
+    cent = kmeans_train(vecs, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    return cent.select(
+        "centroid_id", F.posexplode("c_emb").alias("pos", "c_val")
+    ).select("centroid_id", "pos", F.round("c_val", 6).alias("c_val"))
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+    )
+    return os.path.join(warehouse, f"ivf_{tag}", "index_by_centroid")
+
+
+@register("ivf_index_probe", oracle=_ivf_oracle(1), tags=("ext-sim", "opt-partition-pruning"))
+def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index ANN path, driver-checked end to end:
+    ivf_build_index writes the assigned table partitionBy(centroid_id)
+    once per sf_dir (idempotent via _SUCCESS, the lake.py pattern), then
+    ivf_probe_index answers the query by reading ONLY the probed
+    centroid's directory — partition pruning at planning time, the plan
+    shape asserted in tests/test_similarity.py. Same deterministic
+    assignment recipe as ann_ivf_topk, so the oracle is the same replay;
+    what this entry adds is the driver confirming the on-disk index round
+    trip, not just the in-memory plan."""
+    import os
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ivf_build_index(spark, sf_dir, path)
+    vecs = _vectors(spark, sf_dir)
+    # two driver-side scalars of control flow, not data: the query vector
+    # and its probe bucket (both one-row lookups)
+    q_emb = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    probes = [
+        r.centroid_id
+        for r in _ivf_ranked(vecs)
+        .filter((F.col("vec_id") == 0) & (F.col("rn") <= 1))
+        .select("centroid_id")
+        .collect()
+    ]
+    return ivf_probe_index(spark, path, q_emb, probes, k=IVF_K, exclude_ids=(0,))
 
 
 @register("ann_ivf_topk_nprobe2", oracle=_ivf_oracle(2), tags=("ext-sim",))
