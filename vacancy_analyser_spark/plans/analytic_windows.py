@@ -79,6 +79,12 @@ def moving_sum_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: approx_percentile accuracy for the boundary bands: rank error ≤ n/ACC,
+#: band margin ±MARGIN/ACC keeps a 2× safety factor over the guarantee.
+_NTILE_ACC = 10_000
+_NTILE_MARGIN = 4.0
+
+
 @register(
     "ntile_quartiles",
     oracle="""
@@ -96,17 +102,97 @@ def moving_sum_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window-ext",),
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) price quartiles with per-tile counts and fixed-point sums.
+    """ntile(4) price quartiles with per-tile counts and fixed-point sums —
+    WITHOUT the global single-partition sort ntile() itself would force.
 
-    The global ORDER BY forces a single sort partition — acceptable for a
-    driver-scale result, WRONG as a pattern at 100 TB: there, compute
-    approx quartile bounds first (approx_percentile / range sampling) and
-    bucket by comparison, which is embarrassingly parallel."""
-    orders = load_table(spark, sf_dir, "orders")
-    tile = F.ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey"))
+    Partition-parallel exact plan (the scale-safe replacement the old
+    docstring only promised):
+
+    1. one scan: n = count + approx_percentile band pivots around the three
+       ntile boundary ranks (rank error ≤ n/ACC by the sketch guarantee);
+    2. one scan: exact counts of rows strictly below each band's low pivot;
+    3. boundary pick: the three boundary KEYS (price, orderkey) are found
+       inside the narrow bands only (~MARGIN·n/ACC rows each) via a
+       per-band window — the sole sort touches band rows, never the table;
+    4. one scan: tile = 1 + Σ(key > boundary) comparisons, then the
+       grouped aggregate. Embarrassingly parallel; nothing global remains.
+
+    Boundary ranks replicate ntile arithmetic exactly (first n%4 tiles get
+    one extra row; ties broken by o_orderkey), so the result hash-matches
+    the same ntile() oracle. If a band misses its boundary (sketch
+    guarantee violated) this raises rather than returning a wrong split."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+
+    # pass 1: size + band pivots in a single aggregate
+    probe = orders.agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"approx_percentile(o_totalprice, array({0.25 * t} - {_NTILE_MARGIN / _NTILE_ACC},"
+                f" {0.25 * t} + {_NTILE_MARGIN / _NTILE_ACC}), {_NTILE_ACC})"
+            ).alias(f"band{t}")
+            for t in (1, 2, 3)
+        ],
+    ).head()
+    n = probe["n"]
+    base, extra = divmod(n, 4)
+    # last global rank of tiles 1..3 under ntile(4) arithmetic
+    cuts = []
+    acc = 0
+    for t in range(3):
+        acc += base + (1 if t < extra else 0)
+        cuts.append(acc)
+    bands = []
+    for t in (1, 2, 3):
+        lo, hi = probe[f"band{t}"]
+        bands.append((max(0.0, lo), hi))
+
+    # pass 2: exact rank offset of each band start (strictly-below counts)
+    offs = orders.agg(
+        *[
+            F.count(F.when(F.col("o_totalprice") < F.lit(lo), 1)).alias(f"off{i}")
+            for i, (lo, _hi) in enumerate(bands)
+        ]
+    ).head()
+
+    # pass 3: boundary keys from inside the bands only
+    band_rows = None
+    for i, (lo, hi) in enumerate(bands):
+        part = orders.filter(F.col("o_totalprice").between(F.lit(lo), F.lit(hi))).withColumn(
+            "cut", F.lit(i)
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    w = Window.partitionBy("cut").orderBy("o_totalprice", "o_orderkey")
+    targets = {i: cuts[i] - offs[f"off{i}"] for i in range(3)}
+    target_col = F.when(F.col("cut") == 0, F.lit(targets[0]))
+    for i in (1, 2):
+        target_col = target_col.when(F.col("cut") == i, F.lit(targets[i]))
+    boundaries = (
+        band_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == target_col)
+        .select("cut", "o_totalprice", "o_orderkey")
+        .collect()
+    )
+    if len(boundaries) != 3:
+        raise RuntimeError(
+            f"ntile boundary pick found {len(boundaries)}/3 boundaries — "
+            f"approx_percentile band guarantee violated (n={n}, bands={bands})"
+        )
+    bkeys = {row["cut"]: (row["o_totalprice"], row["o_orderkey"]) for row in boundaries}
+
+    # pass 4: comparison bucketing + grouped aggregate — fully parallel
+    def gt(bp: float, bk: int):
+        return (F.col("o_totalprice") > F.lit(bp)) | (
+            (F.col("o_totalprice") == F.lit(bp)) & (F.col("o_orderkey") > F.lit(bk))
+        )
+
+    tile = F.lit(1)
+    for i in range(3):
+        bp, bk = bkeys[i]
+        tile = tile + gt(bp, bk).cast("int")
     scaled = F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("bigint"))
     return (
-        orders.select("o_totalprice", tile.alias("tile"))
+        orders.select("o_totalprice", tile.cast("int").alias("tile"))
         .groupBy("tile")
         .agg(
             F.count("*").alias("n_orders"),

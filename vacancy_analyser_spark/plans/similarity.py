@@ -99,15 +99,17 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DIM = 64
 #: Harness configuration: the synthetic near-dup pairs sit at cosine
-#: 0.45–0.6 — a low-similarity regime that needs wide OR-amplification
-#: (64 bands × 8 bits; measured recall vs brute force: 14/14 at sf0.01,
-#: 6/7 at sf0.001, ~24% of the pair space exactly verified). Production
+#: 0.45–0.6 — a low-similarity regime that needs wide OR-amplification.
+#: The registered band shape is chosen by lsh_params(NEAR_DUP_TAU,
+#: NEAR_DUP_RECALL_TARGET) below, not hardcoded; LSH_BANDS/LSH_RBITS
+#: remain the documented default shape for direct API calls. Production
 #: near-dup thresholds (τ ≥ 0.8) invert the trade: fewer/longer bands —
 #: 8 bands × 16 bits touches 0.03% of the pair space on the same data
 #: (pinned in tests/test_similarity.py).
 LSH_BANDS = 64
 LSH_RBITS = 8
 NEAR_DUP_TAU = 0.45
+NEAR_DUP_RECALL_TARGET = 0.95
 _COMP_SCALE = 1_000_000
 
 
@@ -249,7 +251,13 @@ def exact_near_dup(spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP
     )
 
 
-_N_PLANES = LSH_BANDS * LSH_RBITS
+#: Planner-chosen band shape for the registered query: the production-τ
+#: knob in action. At τ=0.45 with a 0.95 recall target the planner lands
+#: on a wide-OR shape (95×8 under the 1024-plane budget); raising τ to a
+#: production 0.9 would flip it to a handful of 16-bit bands with no code
+#: change — the whole point of deriving (b, r) instead of freezing it.
+_PLAN_BANDS, _PLAN_RBITS = lsh_params(NEAR_DUP_TAU, NEAR_DUP_RECALL_TARGET)
+_N_PLANES = _PLAN_BANDS * _PLAN_RBITS
 
 
 @register(
@@ -276,9 +284,9 @@ _N_PLANES = LSH_BANDS * LSH_RBITS
             GROUP BY c.vec_id, pl.j
         ),
         bandkeys AS (
-            SELECT vec_id, j // {LSH_RBITS} AS band,
-                   SUM(bit * (1 << (j % {LSH_RBITS}))) AS key
-            FROM bits GROUP BY vec_id, j // {LSH_RBITS}
+            SELECT vec_id, j // {_PLAN_RBITS} AS band,
+                   SUM(bit * (1 << (j % {_PLAN_RBITS}))) AS key
+            FROM bits GROUP BY vec_id, j // {_PLAN_RBITS}
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -298,15 +306,16 @@ _N_PLANES = LSH_BANDS * LSH_RBITS
     tags=("ext-sim", "ext-dedup"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45) via random-
-    hyperplane LSH: sign-bit signatures over deterministic md5-derived
-    Rademacher planes, banded LSH_BANDS×LSH_RBITS (64×8) like the simhash
-    banding (plans/dedup.py), equi-join on band keys, exact cosine verify
-    inside the candidate set only. "Approximate" ≠ nondeterministic: every
-    stage is integer-exact, so the DuckDB oracle rebuilds the identical
-    index and hash-matches; recall vs brute force is pinned separately in
-    tests/test_similarity.py."""
-    return hyperplane_near_dup(spark, sf_dir)
+    """Embedding-cosine near-duplicate pairs (sim ≥ NEAR_DUP_TAU) via
+    random-hyperplane LSH: sign-bit signatures over deterministic
+    md5-derived Rademacher planes, banded (b, r) as chosen by the
+    lsh_params planner from (NEAR_DUP_TAU, NEAR_DUP_RECALL_TARGET) — not
+    hardcoded — then equi-join on band keys and exact cosine verify inside
+    the candidate set only. The oracle is generated with the same
+    planner-chosen shape, so the two engines always rebuild the same
+    index. "Approximate" ≠ nondeterministic: every stage is integer-exact;
+    recall vs brute force is pinned separately in tests/test_similarity.py."""
+    return hyperplane_near_dup(spark, sf_dir, bands=_PLAN_BANDS, rbits=_PLAN_RBITS)
 
 
 @register(
