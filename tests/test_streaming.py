@@ -118,6 +118,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(r["event_id"] for r in out) == [1, 2]
 
 
+def test_watermark_drops_late_rows_with_metric(spark, tmp_path):
+    """ST1 end-to-end: a row arriving later than the watermark is DROPPED
+    by the engine, the drop is COUNTED (late_drop_count reads Spark's
+    numRowsDroppedByWatermark), and the on-time aggregate is untouched.
+
+    Two availableNow runs over one checkpoint make the sequencing
+    deterministic: run 1 establishes the watermark (max 10:05 − 10 min =
+    09:55, persisted in the checkpoint offset log); run 2 delivers one
+    on-time row (10:20) and one row whose whole window closed before the
+    watermark (08:30, window 08:00–09:00 < 09:55) — the late one must not
+    create or touch any window."""
+    from vacancy_analyser_spark.streaming.windows import late_drop_count
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt_late")
+    schema = _events(spark, []).schema
+
+    def run():
+        # foreachBatch, not the memory sink: only foreachBatch supports
+        # resuming from the checkpoint, and watermark recovery across the
+        # two runs is the whole point of the fixture
+        emitted: list = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q, emitted
+
+    _events(spark, [(1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+                    (2, TS(2024, 1, 1, 10, 5), 1, "click", 1.0)]).write.mode("append").parquet(src)
+    q1, out1 = run()
+    assert late_drop_count(q1) == 0
+    assert [(r["window_start"], r["n_events"]) for r in out1] == [(TS(2024, 1, 1, 10, 0), 2)]
+
+    _events(spark, [(3, TS(2024, 1, 1, 10, 20), 1, "click", 1.0),   # on time
+                    (4, TS(2024, 1, 1, 8, 30), 1, "click", 1.0)]).write.mode("append").parquet(src)
+    q2, out2 = run()
+
+    # the metric: exactly the one late row was dropped, and it is visible
+    assert late_drop_count(q2) == 1
+    # on-time row updated its window to 3; the 08:00 window never appears
+    assert [(r["window_start"], r["n_events"]) for r in out2] == [(TS(2024, 1, 1, 10, 0), 3)]
+
+
 def test_session_windows_batch_fixture(spark):
     """Two bursts for user 10 separated by > gap → two sessions; the
     reference has no session concept — hand-computed expectation."""

@@ -8,9 +8,11 @@ the semantics the stream runs.
 Watermark policy: the reference *hard-fails* on out-of-order data
 (feeder_postgres.py:156-159). For a 100 TB stream that is unusable — we
 instead bound lateness with a watermark (late rows beyond it are dropped by
-the engine) and surface the drop via the observation API
-(count_late_metric), which a StreamingQueryListener exports the way
-metrics_exporter.py:113-151 exports freshness gauges.
+the engine) and surface the drop count via ``late_drop_count`` (the
+engine's numRowsDroppedByWatermark, readable per micro-batch the same way
+FreshnessListener exports freshness gauges — metrics_exporter.py:113-151).
+The drop-late-with-a-metric contract is pinned end-to-end in
+tests/test_streaming.py::test_watermark_drops_late_rows_with_metric.
 """
 
 from __future__ import annotations
@@ -156,6 +158,24 @@ def attribution_join(
         # non-UTC session zone) and matches the oracle's date_diff.
         F.expr("timestampdiff(MICROSECOND, v_ts, c_ts)").alias("gap_us"),
     )
+
+
+def late_drop_count(query) -> int:
+    """ST1 metric: total rows the engine dropped as later-than-watermark,
+    summed over ``query``'s recorded progress (every state operator, every
+    micro-batch). This is Spark's own ``numRowsDroppedByWatermark`` — the
+    authoritative count, measured where the drop happens, no second scan.
+    Pair it with an alerting export exactly like FreshnessListener pairs
+    observed metrics with gauges."""
+    total = 0
+    for prog in query.recentProgress:
+        if not isinstance(prog, dict):  # StreamingQueryProgress object
+            import json
+
+            prog = json.loads(prog.json)
+        for op in prog.get("stateOperators", []) or []:
+            total += int(op.get("numRowsDroppedByWatermark") or 0)
+    return total
 
 
 def observe_freshness(df: DataFrame, time_col: str = "ts") -> DataFrame:
