@@ -239,6 +239,10 @@ MAX_BITMAP_VOCAB = 65_536
 #: work instead of broadcasting it.
 MAX_BITMAP_DOCS = 16_384
 JACCARD_T = 0.5
+#: Hash buckets for the parallel vocab-index ranking inside the bitmap
+#: plan. Bounded driver traffic: the collected bucket-count vector has at
+#: most this many rows regardless of vocab size.
+_VOCAB_IDX_BUCKETS = 64
 
 
 def _jaccard_bitmap(g: DataFrame, n_vocab: int) -> DataFrame:
@@ -247,10 +251,32 @@ def _jaccard_bitmap(g: DataFrame, n_vocab: int) -> DataFrame:
     the packed table, and evaluate every a<b pair with bit_count(a&b) sums
     — a single whole-stage-codegen pipeline over primitive longs: no pair
     shuffle, no aggregation. |∩| and set sizes are exact integers, so the
-    Jaccard DOUBLE is the same single division the oracle computes."""
-    vocab = g.select("bigram").distinct()
+    Jaccard DOUBLE is the same single division the oracle computes.
+
+    The vocab index only needs to be a bijection into [0, n_vocab) —
+    Jaccard is a popcount over AND/OR, so the bit ORDER is irrelevant.
+    That frees the indexing from a global row_number() sort (the engine's
+    last `WindowExec: No Partition Defined` source): hash the vocabulary
+    into _VOCAB_IDX_BUCKETS, rank within each bucket in parallel, and add
+    per-bucket offsets computed from a collected bucket-count vector — an
+    aggregate-sized control scalar (≤ _VOCAB_IDX_BUCKETS rows), the same
+    driver-side pattern the high-water-mark merge uses."""
+    vocab = g.select("bigram").distinct().withColumn(
+        "vb", F.pmod(F.xxhash64("bigram"), F.lit(_VOCAB_IDX_BUCKETS)).cast("int")
+    )
+    counts = {
+        r["vb"]: r["c"]
+        for r in vocab.groupBy("vb").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for vb in sorted(counts):
+        offsets[vb] = acc
+        acc += counts[vb]
+    off_map = F.create_map(*[F.lit(x) for vb in offsets for x in (vb, offsets[vb])])
+    wb = Window.partitionBy("vb").orderBy("bigram")
     idx = vocab.select(
-        "bigram", (F.row_number().over(Window.orderBy("bigram")) - 1).alias("idx")
+        "bigram",
+        (F.element_at(off_map, F.col("vb")) + F.row_number().over(wb) - 1).alias("idx"),
     )
     n_words = max(1, (n_vocab + 63) // 64)
     packed = (

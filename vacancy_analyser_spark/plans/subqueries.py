@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, davg_sql, dsum, dsum_over, dsum_sql
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 from ..io import load_table
 from .registry import register
 
@@ -212,22 +212,24 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scalar MAX over an aggregated view, compared back against the same view.
     Naive decorrelation (aggregate → MAX → cross join back) plans TWO
     lineitem scans because the pushed null-filters differ between the
-    subtrees and Spark can't reuse the exchange. Instead the global MAX is
-    a window over the ALREADY-AGGREGATED revenue table — one row per
-    supplier, so the unpartitioned window is a single tiny partition (fine
-    even at 100 TB of lineitem: the window input scales with |supplier|,
-    not |lineitem|) and lineitem is scanned exactly once. Revenue goes
-    through fixed-point sums so the equality against MAX is exact — with
-    raw double sums, ties at the top could differ between engines."""
-    from pyspark.sql import Window
-
+    subtrees and Spark can't reuse the exchange (probed: 3 parquet scans,
+    no ReusedExchange). The r2 shape avoided the rescan with an
+    unpartitioned window over the aggregated table — but that serializes
+    |supplier| rows (~1e8 at extreme SF) into one partition. The r3 shape
+    gets both: PERSIST the per-supplier revenue (small relative to
+    lineitem, stays distributed), reduce the cached table to a one-row MAX,
+    and broadcast it back with a scalar cross join — lineitem scanned once,
+    nothing ever single-partition. Revenue goes through fixed-point sums so
+    the equality against MAX is exact — with raw double sums, ties at the
+    top could differ between engines."""
     li = load_table(spark, sf_dir, "lineitem")
     revenue = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).persist()
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supplier = load_table(spark, sf_dir, "supplier")
     return (
-        revenue.withColumn("max_revenue", F.max("total_revenue").over(Window.partitionBy()))
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -362,12 +364,14 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scalar subquery compares each group against an aggregate OF the
     same aggregation — naive decorrelation recomputes the whole
-    lineitem⋈supplier subtree for the threshold. Like top_supplier_revenue,
-    the global sum is instead a window over the ALREADY-AGGREGATED per-part
-    values: lineitem is scanned once, and the unpartitioned window's input
-    scales with |parts one nation supplies|, not |lineitem|. Both the
-    per-part values and the global sum are fixed-point, so threshold
-    membership at the boundary is exact on both engines."""
+    lineitem⋈supplier subtree for the threshold (probed: 6 parquet scans,
+    no ReusedExchange). Like top_supplier_revenue, the r3 shape persists
+    the aggregated per-part values (|parts one nation supplies| rows, tiny
+    next to lineitem, still distributed), reduces the cache to a one-row
+    total, and broadcasts it back — one lineitem scan, no unpartitioned
+    window serializing the per-part table. Both the per-part values and
+    the global sum are fixed-point, so threshold membership at the
+    boundary is exact on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     supp = (
@@ -379,9 +383,10 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
-    )
+    ).persist()
+    total = natval.agg(dsum("value").alias("total"))
     return (
-        natval.withColumn("total", dsum_over("value", Window.partitionBy()))
+        natval.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("total") * 0.001)
         .select("partkey", "value")
     )
