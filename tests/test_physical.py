@@ -243,6 +243,11 @@ def test_bitmap_dispatch_gates_on_doc_count(spark):
     assert D._dense_regime(n_vocab=100, n_docs=D.MAX_BITMAP_DOCS)
     assert not D._dense_regime(n_vocab=100, n_docs=D.MAX_BITMAP_DOCS + 1)
     assert not D._dense_regime(n_vocab=D.MAX_BITMAP_VOCAB + 1, n_docs=100)
+    # the cost gate rejects a corpus both absolute ceilings admit: 10k docs
+    # x 2,790 vocab (44 words) = 4.4e9 word-ops measured at 80s vs the
+    # count-join's 4.4s (tools/scale_stress.py x2 surrogate)
+    assert not D._dense_regime(n_vocab=2_790, n_docs=10_000)
+    assert D._dense_regime(n_vocab=931, n_docs=5_000)  # the sf0.1 corpus
 
     # many docs, 30-shingle vocabulary: every doc holds 10 of 30 shingles
     rows = [

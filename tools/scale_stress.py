@@ -1,0 +1,129 @@
+"""Near-dup stack scale-stress: the sf1-equivalent run the driver can't
+provide (testdata ships sf0.001/0.01/0.1 only — TESTDATA.md).
+
+Builds a deterministic ×REPLICAS surrogate corpus from sf0.1 documents and
+measures the three near-dup headliners at ×1 vs ×N, validating:
+
+1. **Dispatcher crossover** — 50,000 docs exceeds MAX_BITMAP_DOCS
+   (16,384), so ngram_jaccard_dedup must LEAVE the dense vocab-bitmap
+   plan (its pair loop is O(|docs|²) over a broadcast) and pick a sparse
+   shuffling plan. The chosen plan is logged.
+2. **Near-linear scaling** — wall(×N) within 2× of N·wall(×1) for the
+   banded/bucketed plans (MinHash LSH, simhash), whose candidate volume
+   is linear in docs when duplication density is held constant.
+
+Corpus construction (pure DataFrame, no driver loops): replica r of doc d
+gets doc_id = d + r·10⁹; replicas r>0 get r-tagged word variants so
+within-replica near-dup structure is preserved (shared positions get the
+same tag) while cross-replica pairs are excluded — true pairs scale ×N,
+not ×N² as naive exact duplication would force. Two PERTURB modes:
+
+- ``all`` (default): every word tagged → replica-local vocabulary, df per
+  shingle constant — the constant-density model of a real sf1 (new data
+  brings new vocabulary). Candidate volume scales ×N.
+- ``third``: every 3rd word tagged → 1/3 of bigrams shared across ALL
+  replicas, so their df grows ×N and Σdf² grows ×N² — a density-growth
+  stress of the inverted-index plans (cross-replica Jaccard ≈ 0.2 < 0.5,
+  pairs still ×N).
+
+Run:
+
+    python tools/scale_stress.py 2>/dev/null          # full (×1 + ×10)
+    REPLICAS=4 PERTURB=third python tools/scale_stress.py 2>/dev/null
+
+Recorded results live in PLANS.md ("near-dup stack at 10×").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("REPLICAS", "10"))
+PERTURB = os.environ.get("PERTURB", "all")
+STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/scale_stress")
+QUERIES = ("ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_near_dup")
+
+
+def build_corpus(spark) -> str:
+    out = os.path.join(STRESS_DIR, f"x{REPLICAS}_{PERTURB}")
+    marker = os.path.join(out, "documents.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("r"))
+    words = F.split(F.col("text"), " ")
+    tag_this = (lambda i: i >= 0) if PERTURB == "all" else (lambda i: i % 3 == 0)
+    perturbed = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                (F.col("r") > 0) & tag_this(i),
+                F.concat(F.lit("r"), F.col("r").cast("string"), F.lit("·"), w),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    scaled = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("r").cast("bigint") * 1_000_000_000).alias("doc_id"),
+            perturbed.alias("text"),
+            "lang",
+            "source",
+            F.length(perturbed).alias("n_chars"),
+        )
+        .repartition(32)
+    )
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def run(spark, qs, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    from vacancy_analyser_spark.plans import dedup
+    from vacancy_analyser_spark.plans.registry import queries
+    from vacancy_analyser_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    qs = queries()
+    stress_dir = build_corpus(spark)
+
+    report: dict[str, object] = {"replicas": REPLICAS, "perturb": PERTURB}
+    base = {q: run(spark, qs, q, BASE_SF) for q in QUERIES}
+    scaledt = {q: run(spark, qs, q, stress_dir) for q in QUERIES}
+    g = dedup._doc_bigrams(spark, stress_dir)
+    nv, nd = dedup._regime_probe(g, stress_dir)
+    dense = dedup._dense_regime(nv, nd)
+    plan = "bitmap" if dense else dedup._sparse_plan_for(g, nd).__name__
+    report["stress_regime"] = {"n_vocab": nv, "n_docs": nd, "plan": plan}
+    for q in QUERIES:
+        ratio = scaledt[q] / (REPLICAS * base[q])
+        report[q] = {
+            "base_sec": base[q],
+            "scaled_sec": scaledt[q],
+            "vs_linear": round(ratio, 2),
+            "within_2x_linear": ratio <= 2.0,
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

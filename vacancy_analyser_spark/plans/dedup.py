@@ -138,7 +138,8 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — trivial next to either plan:
 
     - dense (distinct shingles ≤ MAX_BITMAP_VOCAB AND docs ≤
-      MAX_BITMAP_DOCS): a tiny shared vocabulary means every shingle is
+      MAX_BITMAP_DOCS AND docs²·⌈vocab/64⌉ ≤ BITMAP_WORDOP_BUDGET — the
+      pair-loop cost gate): a tiny shared vocabulary means every shingle is
       frequent — shingle-join plans blow up quadratically (measured on
       this corpus: count-join shuffles 36M pair rows for 256 true pairs,
       5-10s; PPJoin prefix filtering keeps 5.5M of 12.5M candidate pairs
@@ -171,10 +172,21 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dense_regime(n_vocab: int, n_docs: int) -> bool:
-    """The bitmap plan needs BOTH gates: a packable vocabulary and a
-    broadcastable doc count (its pair loop is O(|docs|²) over a broadcast
-    table — see MAX_BITMAP_DOCS)."""
-    return n_vocab <= MAX_BITMAP_VOCAB and n_docs <= MAX_BITMAP_DOCS
+    """The bitmap plan needs the hard gates — a packable vocabulary and a
+    broadcastable doc count — AND a cost gate: its pair loop evaluates
+    |docs|²/2 pairs × ⌈|V|/64⌉ words each, so cost is the PRODUCT of the
+    two dimensions, and the absolute ceilings alone admit corpora where it
+    loses badly. Measured (tools/scale_stress.py, local[32]): 5,000 docs ×
+    15 words = 3.8e8 word-ops → ~1s (bitmap wins, count-join 5-10s);
+    10,000 docs × 44 words = 4.4e9 → 80s (count-join: 4.4s). The budget
+    sits at the comfortable end of that gap; past it the shuffling
+    count-join distributes the quadratic work instead of broadcasting it."""
+    n_words = max(1, (n_vocab + 63) // 64)
+    return (
+        n_vocab <= MAX_BITMAP_VOCAB
+        and n_docs <= MAX_BITMAP_DOCS
+        and n_docs * n_docs * n_words <= BITMAP_WORDOP_BUDGET
+    )
 
 
 #: Probe results keyed by sf_dir — the corpus under a directory is
@@ -238,6 +250,11 @@ MAX_BITMAP_VOCAB = 65_536
 #: through to the shuffling count-join, which distributes the quadratic
 #: work instead of broadcasting it.
 MAX_BITMAP_DOCS = 16_384
+#: Cost gate for the bitmap pair loop: |docs|² × ⌈|V|/64⌉ int64 word-ops.
+#: Calibrated by tools/scale_stress.py — 3.8e8 ops ≈ 1s (bitmap wins),
+#: 4.4e9 ≈ 80s (count-join wins at 4.4s); 1e9 keeps the worst admitted
+#: case around the count-join's own floor.
+BITMAP_WORDOP_BUDGET = 1_000_000_000
 JACCARD_T = 0.5
 #: Hash buckets for the parallel vocab-index ranking inside the bitmap
 #: plan. Bounded driver traffic: the collected bucket-count vector has at
