@@ -784,3 +784,74 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("group_id"),
         F.count("*").over(Window.partitionBy("component")).alias("group_size"),
     )
+
+
+#: Containment threshold: fraction of the contained doc's shingles that
+#: must appear in the container.
+CONTAIN_T = 0.8
+
+
+@register(
+    "containment_dedup",
+    oracle=f"""
+        WITH g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM g a JOIN g b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        directed AS (
+            SELECT i.a_id AS contained_id, i.b_id AS container_id,
+                   CAST(i.n_common AS DOUBLE) / sa.n AS containment
+            FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+            UNION ALL
+            SELECT i.b_id, i.a_id, CAST(i.n_common AS DOUBLE) / sb.n
+            FROM inter i JOIN sizes sb ON i.b_id = sb.doc_id
+        )
+        SELECT contained_id, container_id, containment
+        FROM directed WHERE containment >= {CONTAIN_T}
+    """,
+    tags=("ext-dedup",),
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: C(A→B) = |A∩B| / |A| ≥ CONTAIN_T — catches a
+    document CONTAINED in a larger one (quoted articles, boilerplate
+    wrappers, page-of-a-book), which symmetric Jaccard misses whenever the
+    container is much bigger (J = |∩|/|∪| shrinks with the union;
+    containment doesn't). The standard second pass of a training-corpus
+    dedup after the Jaccard tier.
+
+    Plan: the same shared-shingle bucket equi-join as _jaccard_countjoin
+    (hashed 8-byte keys, a<b candidate generation, partial-agg |∩|), then
+    BOTH directions are emitted from the one undirected intersection table
+    by two broadcast size-joins — the expensive candidate work is not
+    repeated per direction. Scale: Σ df² candidate rows, like the Jaccard
+    count-join; on dense corpora the bitmap regime's popcount form
+    (|∩| from bit_count(a&b), divide by a.n instead of the union) applies
+    identically if this ever becomes a headline op."""
+    g = _doc_bigrams(spark, sf_dir)
+    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = gh.alias("a"), gh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")))
+    both = inter.join(sa, "a_id").join(sb, "b_id")
+    fwd = both.select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("b_id").alias("contained_id"),
+        F.col("a_id").alias("container_id"),
+        (F.col("n_common").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAIN_T)

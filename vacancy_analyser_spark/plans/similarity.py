@@ -676,3 +676,61 @@ def ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe (tested); at scale each extra probe is one more pruned
     partition read, nothing else changes."""
     return ivf_topk(spark, sf_dir, nprobe=2)
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                       AS maxabs
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(i AS INT) AS pos,
+               CASE WHEN maxabs > 0
+                    THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / maxabs) AS INT)
+                    ELSE 0 END AS qv,
+               CAST(maxabs / 127.0 AS DOUBLE) AS scale
+        FROM m, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    """,
+    tags=("ext-sim",),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the storage/serve
+    form of an embedding index (4× smaller than float32, dot products in
+    integer SIMD): qv = floor(x · 127 / max|x|), dequantize ≈ qv · scale.
+
+    Engine-exact by construction: max|x| is a float32 max cast to double
+    (no accumulation), and floor over the double product is the same IEEE
+    operation in both engines — unlike round(), whose half-way tie rule
+    differs across engines. Zero vectors quantize to 0 with scale 0.
+
+    Scale shape: pure per-row Column algebra (transform/array_max/
+    posexplode) — no shuffle, no UDF; the quantized table is written
+    partitioned exactly like ivf_build_index's buckets in a real serving
+    pipeline. Output is exploded to (vec_id, pos, qv) scalars so the
+    driver's value-hash sees engine-portable primitives rather than
+    engine-specific array renderings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", F.abs)).cast("double").alias("maxabs"),
+    )
+    exploded = m.select(
+        "vec_id",
+        "maxabs",
+        F.posexplode("embedding").alias("pos0", "x"),
+    )
+    qv = F.when(
+        F.col("maxabs") > 0,
+        F.floor(F.col("x").cast("double") * 127.0 / F.col("maxabs")).cast("int"),
+    ).otherwise(F.lit(0))
+    return exploded.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        qv.alias("qv"),
+        (F.col("maxabs") / 127.0).alias("scale"),
+    )

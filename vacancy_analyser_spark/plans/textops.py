@@ -712,3 +712,56 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(h * cnt_map[F.col("lang")].cast("bigint") < F.lit(target * 4294967296))
         .select("doc_id", "lang")
     )
+
+
+_BIGRAMS_LIST_SQL = (
+    f"list_transform(generate_series(1, len({_TOKS_SQL}) - 1), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])"
+)
+
+
+@register(
+    "repetition_ngram_ratio",
+    oracle=f"""
+        WITH b AS (SELECT doc_id, {_BIGRAMS_LIST_SQL} AS bg FROM documents)
+        SELECT doc_id,
+               CAST(len(bg) AS INT) AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS INT) AS n_distinct,
+               CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_ratio
+        FROM b WHERE len(bg) >= 1
+    """,
+    tags=("ext-quality",),
+)
+def repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fraction per document — the repetition signal of
+    the Gopher/MassiveText quality rules (duplicated n-grams mark
+    boilerplate, keyword stuffing, and decoding loops; docs above ~0.2
+    are dropped or down-weighted before training).
+
+    Scale shape: pure scan-side Column algebra — the word-bigram array is
+    materialized once per row and both counts come from ``size`` /
+    ``array_distinct`` on it, so there is NO explode, NO shuffle, and the
+    signal costs one codegen'd pass over the scan (same tier as
+    doc_quality_filter). The dup_ratio division is bigint→double in both
+    engines — bit-identical. Docs with <2 tokens have no bigrams and are
+    excluded (their ratio is undefined), matching the oracle's len>=1
+    guard."""
+    from .dedup import _bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array BEFORE the bigram lambda touches it —
+    # expressions inlined into a HOF lambda re-evaluate per element
+    # (see _bigrams' docstring; O(len) vs O(len²) per row)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    b = toks.select("doc_id", _bigrams("toks").alias("bg"))
+    n_all = F.size("bg")
+    n_distinct = F.size(F.array_distinct("bg"))
+    return (
+        b.filter(n_all >= 1)
+        .select(
+            "doc_id",
+            n_all.alias("n_bigrams"),
+            n_distinct.alias("n_distinct"),
+            ((n_all - n_distinct).cast("double") / n_all).alias("dup_ratio"),
+        )
+    )
