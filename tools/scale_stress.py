@@ -110,7 +110,7 @@ def main() -> None:
     base = {q: run(spark, qs, q, BASE_SF) for q in QUERIES}
     scaledt = {q: run(spark, qs, q, stress_dir) for q in QUERIES}
     g = dedup._doc_bigrams(spark, stress_dir)
-    nv, nd = dedup._regime_probe(g, stress_dir)
+    nv, nd, _bc = dedup._regime_probe(g, stress_dir)
     dense = dedup._dense_regime(nv, nd)
     plan = "bitmap" if dense else dedup._sparse_plan_for(g, nd).__name__
     report["stress_regime"] = {"n_vocab": nv, "n_docs": nd, "plan": plan}

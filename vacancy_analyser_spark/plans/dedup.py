@@ -165,9 +165,9 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+bigram stage per subtree (measured: min-of-3 2.4s → 3.9s
     # when the probe cache made this path skip its materializing count).
     g.count()
-    n_vocab, n_docs = _regime_probe(g, sf_dir)
+    n_vocab, n_docs, bucket_counts = _regime_probe(g, sf_dir)
     if _dense_regime(n_vocab, n_docs):
-        return _jaccard_bitmap(g, n_vocab)
+        return _jaccard_bitmap(g, n_vocab, bucket_counts)
     return _sparse_plan_for(g, n_docs)(g)
 
 
@@ -191,14 +191,29 @@ def _dense_regime(n_vocab: int, n_docs: int) -> bool:
 
 #: Probe results keyed by sf_dir — the corpus under a directory is
 #: immutable for a session, so the planner's eager jobs run once.
-_REGIME_PROBE_CACHE: dict[str, tuple[int, int]] = {}
+_REGIME_PROBE_CACHE: dict[str, tuple[int, int, dict[int, int]]] = {}
 
 
-def _regime_probe(g: DataFrame, sf_dir: str) -> tuple[int, int]:
+def _regime_probe(g: DataFrame, sf_dir: str) -> tuple[int, int, dict[int, int]]:
+    """(n_vocab, n_docs, vocab-bucket counts) in two jobs.
+
+    The vocab scan doubles as the bitmap plan's index-bucket census:
+    counting the distinct bigrams GROUPED by their _VOCAB_IDX_BUCKETS hash
+    bucket costs the same distinct pass and hands the bitmap plan its
+    ranking offsets for free (n_vocab is the sum) — one collected
+    ≤64-row vector instead of a separate job per bitmap build."""
     if sf_dir not in _REGIME_PROBE_CACHE:
-        n_vocab = g.select("bigram").distinct().count()  # also materializes g's cache
+        rows = (
+            g.select("bigram")
+            .distinct()  # also materializes g's cache
+            .groupBy(F.pmod(F.xxhash64("bigram"), F.lit(_VOCAB_IDX_BUCKETS)).cast("int").alias("vb"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        bucket_counts = {r["vb"]: r["c"] for r in rows}
+        n_vocab = sum(bucket_counts.values())
         n_docs = g.select("doc_id").distinct().count()
-        _REGIME_PROBE_CACHE[sf_dir] = (n_vocab, n_docs)
+        _REGIME_PROBE_CACHE[sf_dir] = (n_vocab, n_docs, bucket_counts)
     return _REGIME_PROBE_CACHE[sf_dir]
 
 
@@ -262,7 +277,9 @@ JACCARD_T = 0.5
 _VOCAB_IDX_BUCKETS = 64
 
 
-def _jaccard_bitmap(g: DataFrame, n_vocab: int) -> DataFrame:
+def _jaccard_bitmap(
+    g: DataFrame, n_vocab: int, bucket_counts: dict[int, int] | None = None
+) -> DataFrame:
     """Dense-regime plan: index the vocabulary (a small dimension), pack
     each doc's bigram set into ⌈|V|/64⌉ int64 words with bit_or, broadcast
     the packed table, and evaluate every a<b pair with bit_count(a&b) sums
@@ -277,14 +294,18 @@ def _jaccard_bitmap(g: DataFrame, n_vocab: int) -> DataFrame:
     into _VOCAB_IDX_BUCKETS, rank within each bucket in parallel, and add
     per-bucket offsets computed from a collected bucket-count vector — an
     aggregate-sized control scalar (≤ _VOCAB_IDX_BUCKETS rows), the same
-    driver-side pattern the high-water-mark merge uses."""
+    driver-side pattern the high-water-mark merge uses. The census rides
+    the regime probe's own distinct pass when the caller passes
+    ``bucket_counts`` (the registered path) — zero extra jobs there."""
     vocab = g.select("bigram").distinct().withColumn(
         "vb", F.pmod(F.xxhash64("bigram"), F.lit(_VOCAB_IDX_BUCKETS)).cast("int")
     )
-    counts = {
-        r["vb"]: r["c"]
-        for r in vocab.groupBy("vb").agg(F.count("*").alias("c")).collect()
-    }
+    counts = bucket_counts
+    if counts is None:
+        counts = {
+            r["vb"]: r["c"]
+            for r in vocab.groupBy("vb").agg(F.count("*").alias("c")).collect()
+        }
     offsets, acc = {}, 0
     for vb in sorted(counts):
         offsets[vb] = acc
