@@ -455,3 +455,42 @@ def test_freshness_listener_receives_observed_metrics(spark, tmp_path):
         assert published and published[-1][0] == "obs_out"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path, sf_dir):
+    """The banded-state streaming near-dup must emit EXACTLY the pair set
+    the batch minhash_lsh_dedup computes over the union of the
+    micro-batches — state carries earlier batches, the first-agreeing-band
+    filter dedups across buckets, and signatures are bit-identical between
+    the row-local (streaming) and aggregate (batch) formulations."""
+    from vacancy_analyser_spark.plans.dedup import minhash_lsh_dedup
+    from vacancy_analyser_spark.streaming.neardup import streaming_near_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # two micro-batches: even doc_ids arrive first, odd second
+    src = str(tmp_path / "docs_stream")
+    docs.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_near_dup(stream)
+        .writeStream.format("memory")
+        .queryName("near_dup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["a_id"], r["b_id"]) for r in spark.sql("select * from near_dup_stream").collect()
+    }
+    batch = {(r["a_id"], r["b_id"]) for r in minhash_lsh_dedup(spark, sf_dir).collect()}
+    assert streamed == batch
+    assert len(batch) > 0  # the fixture corpus does contain collisions
+    # no pair may be emitted twice (the first-agreeing-band contract)
+    n_rows = spark.sql("select count(*) c from near_dup_stream").collect()[0]["c"]
+    assert n_rows == len(streamed)

@@ -1,0 +1,163 @@
+"""Streaming near-dup: MinHash-LSH band state over a document stream.
+
+The streaming generalization of ``minhash_lsh_dedup`` (plans/dedup.py) and
+the per-ingest companion of ``incremental_dedup``: every arriving document
+is checked against EVERYTHING seen so far, in O(its band buckets), not
+O(corpus). The reference's seen-id set (get_vacancies.py:67-72) is the
+exact-key special case of this operator.
+
+Design:
+
+1. **Signatures are row-local Column algebra** — the batch path computes
+   MinHash via explode + groupBy(min); on a stream that aggregation would
+   pin per-doc state forever. Instead each component is
+   ``array_min(transform(hashes, mix_i))`` over the materialized bigram
+   array: the same Carter-Wegman values (constants shared with the batch
+   module), zero aggregation state, whole-stage codegen.
+2. **State is keyed by (band_id, band_val)** — the LSH bucket. Per bucket,
+   ``applyInPandasWithState`` keeps the (doc_id, signature) list seen so
+   far; an arriving doc emits a pair per stored doc it collides with.
+3. **Cross-band dedup without a second stateful stage** — a colliding pair
+   would surface in every band it agrees on; both signatures are in hand,
+   so a bucket emits the pair only when ITS band is the pair's
+   first-agreeing band (the same narrow filter the batch simhash path
+   uses). Exactly one bucket owns each pair.
+
+Scale: state size is O(corpus × (1 id + N_MINHASH longs)) sharded by band
+value across the state store — RocksDB-backed on a cluster, far smaller
+than the corpus (no text is stored). Hot buckets (a band value shared by
+many near-identical docs) concentrate in one key: production deployments
+shard such buckets by salting the band value with a doc-hash suffix at
+the cost of recall on the salted fraction, or TTL-expire state
+(GroupStateTimeout) when the dedup horizon is bounded — both are knobs on
+this operator, not rewrites. The batch twin is pinned equivalent in
+tests/test_streaming.py (streamed pair set == minhash_lsh_dedup's).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..plans.dedup import BAND_ROWS, MINHASH_A, MINHASH_B, MINHASH_P, N_MINHASH, _bigrams
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+N_BANDS = N_MINHASH // BAND_ROWS
+
+OUTPUT_SCHEMA = "a_id bigint, b_id bigint"
+#: Flattened per-bucket corpus: ids[i] owns sigs[N_MINHASH*i : N_MINHASH*(i+1)].
+STATE_SCHEMA = "ids array<bigint>, sigs array<bigint>"
+
+
+def _mix(s: int, h: Column) -> Column:
+    return (F.lit(MINHASH_A[s]) * h + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)
+
+
+def minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>, band_id, band_val) — one row per band.
+
+    Works on static AND streaming frames: no aggregation, no state — the
+    signature is a pure function of the row. Docs with no bigrams (<2
+    tokens) produce no rows, matching the batch path (their shingle set is
+    empty; near-dup over nothing is undefined).
+    """
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    bg = toks.select("doc_id", F.array_distinct(_bigrams("toks")).alias("bg")).filter(
+        F.size("bg") >= 1
+    )
+    hs = bg.select(
+        "doc_id",
+        F.transform(
+            "bg", lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+        ).alias("hs"),
+    )
+    def _mixer(s: int):
+        # a SINGLE-param lambda: pyspark passes (element, index) to any
+        # two-param lambda, so the `s=s` default-arg idiom would silently
+        # bind s to the array index Column
+        return lambda h: _mix(s, h)
+
+    sigs = hs.select(
+        "doc_id",
+        F.array(*[F.array_min(F.transform("hs", _mixer(s))) for s in range(N_MINHASH)]).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                (
+                    F.element_at("sig", band * BAND_ROWS + 1) * F.lit(MINHASH_P)
+                    + F.element_at("sig", band * BAND_ROWS + 2)
+                ).alias("band_val"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", "sig", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "sig", F.col("bs.band_id").alias("band_id"), F.col("bs.band_val").alias("band_val")
+    )
+
+
+def _first_agreeing_band(sig_a: list[int], sig_b: list[int]) -> int | None:
+    for band in range(N_BANDS):
+        lo = band * BAND_ROWS
+        if sig_a[lo : lo + BAND_ROWS] == sig_b[lo : lo + BAND_ROWS]:
+            return band
+    return None
+
+
+def streaming_near_dup(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs over a document stream, emitted as they appear.
+
+    ``docs`` is a streaming DataFrame with ``doc_id``/``text``. Output is
+    append-mode (a_id < b_id) candidate pairs — the same pair set the
+    batch ``minhash_lsh_dedup`` computes over the union of all
+    micro-batches (pinned by test).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: "GroupState"
+    ) -> Iterator["pd.DataFrame"]:
+        band_id = int(key[0])
+        ids: list[int]
+        sigs: list[int]
+        if state.exists:
+            stored_ids, stored_sigs = state.get
+            ids, sigs = list(stored_ids), list(stored_sigs)
+        else:
+            ids, sigs = [], []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+                did = int(did)
+                sig = [int(x) for x in sig]
+                for j, other in enumerate(ids):
+                    if other == did:
+                        continue
+                    osig = sigs[N_MINHASH * j : N_MINHASH * (j + 1)]
+                    if _first_agreeing_band(sig, osig) == band_id:
+                        a, b = (did, other) if did < other else (other, did)
+                        out_a.append(a)
+                        out_b.append(b)
+                ids.append(did)
+                sigs.extend(sig)
+        state.update((ids, sigs))
+        yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    banded = minhash_banded(docs)
+    return banded.groupBy("band_id", "band_val").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
