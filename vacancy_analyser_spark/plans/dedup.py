@@ -761,10 +761,9 @@ def _jaccard_ppjoin(g: DataFrame, t: float = JACCARD_T) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_groups",
-    oracle=f"""
-        WITH RECURSIVE {_JACCARD_PAIR_CTES},
+#: The pair→component CTE chain — shared by the groups oracle and the
+#: keeper-selection oracle so the fixpoint definition cannot drift.
+_GROUPS_CTES = f"""{_JACCARD_PAIR_CTES},
         edges AS (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL
@@ -776,7 +775,13 @@ def _jaccard_ppjoin(g: DataFrame, t: float = JACCARD_T) -> DataFrame:
             UNION
             SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
         ),
-        comp AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id)
+        comp AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id)"""
+
+
+@register(
+    "near_dup_groups",
+    oracle=f"""
+        WITH RECURSIVE {_GROUPS_CTES}
         SELECT doc_id, group_id,
                COUNT(*) OVER (PARTITION BY group_id) AS group_size
         FROM comp
@@ -945,4 +950,61 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "corpus_id")
         .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_GROUPS_CTES},
+        scored AS (
+            SELECT c.doc_id, c.group_id, d.n_chars
+            FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT group_id, doc_id,
+                   row_number() OVER (PARTITION BY group_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY group_id) AS n_members
+            FROM scored
+        )
+        SELECT group_id, doc_id AS keeper_id, n_members
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("ext-dedup",),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection per near-dup group: instead of the
+    canonical min-id keeper, retain the BEST member — here the longest
+    document (n_chars, deterministic doc_id tie-break), the stand-in for
+    a real pipeline's quality score. Dedup that keeps an arbitrary copy
+    throws away the highest-quality variant about half the time; keeping
+    the argmax is the standard refinement (and a one-column change to
+    swap in any other score).
+
+    Plan: the component labels come from the same iterative
+    min-label propagation as near_dup_groups; the score join is
+    |group members| rows against broadcast-size per-doc metadata, and the
+    argmax is a window PARTITIONED by group_id — parallel in the number
+    of groups, with WindowGroupLimit keeping only one row per group
+    before the final projection."""
+    from ..operators.components import connected_components
+
+    pairs = ngram_jaccard_dedup(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = comp.select(F.col("id").alias("doc_id"), F.col("component").alias("group_id")).join(
+        docs, "doc_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("group_id")
+    return (
+        scored.select(
+            "group_id",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("group_id", F.col("doc_id").alias("keeper_id"), "n_members")
     )
