@@ -263,3 +263,42 @@ def test_bitmap_dispatch_gates_on_doc_count(spark):
     g.unpersist()
     assert bitmap == countjoin
     assert len(bitmap) > 0  # modular shingle reuse does create true pairs
+
+
+def test_countjoin_df_cap_inactive_is_exact(spark, sf_dir):
+    """max_df above the corpus's max document frequency must leave the
+    count-join's result byte-identical to the uncapped plan — the cap is
+    a head mitigation, never a silent approximation when inactive."""
+    from vacancy_analyser_spark.plans import dedup as D
+
+    g = D._doc_bigrams(spark, sf_dir).persist()
+    g.count()
+    uncapped = sorted(map(tuple, D._jaccard_countjoin(g).collect()))
+    capped = sorted(map(tuple, D._jaccard_countjoin(g, max_df=10**9).collect()))
+    assert capped == uncapped
+    assert len(uncapped) > 0
+    g.unpersist()
+
+
+def test_countjoin_df_cap_drops_head_pairs_only(spark):
+    """With a real head: 3 docs share one universal shingle; two of them
+    are near-dups through rare shingles. Capping at df<=2 removes the
+    universal shingle from all sets — the rare-shingle pair survives with
+    its capped-set Jaccard, the head-only pair disappears."""
+    from vacancy_analyser_spark.plans import dedup as D
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "head"), (2, "head"), (3, "head"),  # universal shingle df=3
+        (1, "r1"), (1, "r2"), (2, "r1"), (2, "r2"),  # docs 1,2 share rare
+        (3, "z9"),
+    ]
+    g = spark.createDataFrame(rows, "doc_id long, bigram string")
+    capped = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in D._jaccard_countjoin(g, max_df=2).collect()
+    }
+    # capped sets: 1->{r1,r2}, 2->{r1,r2}, 3->{z9}: only (1,2) at J=1.0
+    assert capped == {(1, 2, 1.0)}
+    uncapped = {(r["a_id"], r["b_id"]) for r in D._jaccard_countjoin(g).collect()}
+    assert (1, 2) in uncapped

@@ -114,6 +114,33 @@ def main() -> None:
     dense = dedup._dense_regime(nv, nd)
     plan = "bitmap" if dense else dedup._sparse_plan_for(g, nd).__name__
     report["stress_regime"] = {"n_vocab": nv, "n_docs": nd, "plan": plan}
+
+    if PERTURB == "third" and not dense:
+        # density-growth mode: measure the frequent-head mitigation — the
+        # df-capped count-join vs the exact one (cap = docs/10: the head
+        # the replication manufactures has df ≈ REPLICAS × base, far above)
+        gp = g.persist()
+        gp.count()
+        cap = max(64, nd // 10)
+        t0 = time.monotonic()
+        exact_pairs = {(r["a_id"], r["b_id"]) for r in dedup._jaccard_countjoin(gp).collect()}
+        t_exact = time.monotonic() - t0
+        t0 = time.monotonic()
+        capped_pairs = {
+            (r["a_id"], r["b_id"])
+            for r in dedup._jaccard_countjoin(gp, max_df=cap).collect()
+        }
+        t_capped = time.monotonic() - t0
+        kept = len(exact_pairs & capped_pairs)
+        report["df_cap"] = {
+            "cap": cap,
+            "exact_sec": round(t_exact, 2),
+            "capped_sec": round(t_capped, 2),
+            "exact_pairs": len(exact_pairs),
+            "capped_pairs": len(capped_pairs),
+            "recall_of_exact": round(kept / len(exact_pairs), 3) if exact_pairs else None,
+        }
+        gp.unpersist()
     for q in QUERIES:
         ratio = scaledt[q] / (REPLICAS * base[q])
         report[q] = {

@@ -362,14 +362,33 @@ def _jaccard_bitmap(
     )
 
 
-def _jaccard_countjoin(g: DataFrame) -> DataFrame:
+def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
     """Sparse-regime plan: candidate pairs from an equi-join on shared
     bigrams (a bucket join, never a cross product), |∩| counted by one
     partial-aggregated groupBy, set sizes attached afterwards by broadcast.
     Bigrams are replaced by xxhash64 8-byte keys before the join (the
     output carries no bigram values), so the heavy shuffle moves longs,
-    not strings. Scales with Σ df² — near-linear when shingles are rare."""
+    not strings. Scales with Σ df² — near-linear when shingles are rare.
+
+    ``max_df`` is the frequent-head mitigation (standard MinHash/PPJoin
+    practice): shingles with document frequency above the cap are dropped
+    from BOTH the candidate join and the set sizes, so the result is the
+    exact Jaccard over the capped shingle sets — a deterministic,
+    documented metric change, not sampling. The head contributes the df²
+    blow-up but almost no discriminative signal (a shingle in every doc
+    says nothing about any pair); measured under tools/scale_stress.py
+    PERTURB=third, where density growth is exactly such a head. With
+    ``max_df=None`` (every registered path) the plan is byte-identical to
+    before (pinned in tests)."""
     gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    if max_df is not None:
+        rare = (
+            gh.groupBy("bh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("bh")
+        )
+        gh = gh.join(rare, "bh", "left_semi")
     sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = gh.alias("a"), gh.alias("b")
     inter = (
