@@ -53,3 +53,13 @@ def test_sketch_is_bounded(spark):
     batches = iter([pd.DataFrame({"t": [f"v{i % 500}" for i in range(5000)]})])
     (out,) = list(_mg_partition(k, "t")(batches))
     assert len(out) <= k
+
+
+def test_nan_heavy_hitter_counts_as_null(spark):
+    """A NaN-valued heavy hitter on a double column must surface (counted
+    under the NULL group, like the pandas pass normalizes it) — not be
+    silently dropped by the NULL≠NaN mismatch in the verify join."""
+    rows = [(float("nan"),)] * 60 + [(1.5,)] * 30 + [(float(i),) for i in range(10)]
+    items = spark.createDataFrame(rows, "score double").repartition(4)
+    got = {(r["score"], r["freq"]) for r in heavy_hitters(items, "score", 0.25).collect()}
+    assert got == {(None, 60), (1.5, 30)}

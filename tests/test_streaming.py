@@ -128,8 +128,16 @@ def test_watermark_drops_late_rows_with_metric(spark, tmp_path):
     09:55, persisted in the checkpoint offset log); run 2 delivers one
     on-time row (10:20) and one row whose whole window closed before the
     watermark (08:30, window 08:00–09:00 < 09:55) — the late one must not
-    create or touch any window."""
+    create or touch any window.
+
+    Both metric paths are pinned: late_drop_count (recentProgress sum —
+    exact within its retained-batch window) and WatermarkDropListener
+    (the accumulating lifetime counter a long-running stream needs)."""
+    from vacancy_analyser_spark.streaming.listeners import WatermarkDropListener
     from vacancy_analyser_spark.streaming.windows import late_drop_count
+
+    drop_listener = WatermarkDropListener()
+    spark.streams.addListener(drop_listener)
 
     src = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt_late")
@@ -168,6 +176,16 @@ def test_watermark_drops_late_rows_with_metric(spark, tmp_path):
     assert late_drop_count(q2) == 1
     # on-time row updated its window to 3; the 08:00 window never appears
     assert [(r["window_start"], r["n_events"]) for r in out2] == [(TS(2024, 1, 1, 10, 0), 3)]
+    # the accumulating listener saw the same single drop (listener events
+    # deliver asynchronously — give the bus a moment)
+    import time as _time
+
+    for _ in range(50):
+        if sum(drop_listener.dropped.values()) >= 1:
+            break
+        _time.sleep(0.2)
+    assert sum(drop_listener.dropped.values()) == 1
+    spark.streams.removeListener(drop_listener)
 
 
 def test_session_windows_batch_fixture(spark):
@@ -467,10 +485,12 @@ def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path, sf_dir):
     from vacancy_analyser_spark.streaming.neardup import streaming_near_dup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    # two micro-batches: even doc_ids arrive first, odd second
+    # three micro-batches: even doc_ids, odd, then the evens RE-DELIVERED —
+    # at-least-once replay must not duplicate pairs or grow state
     src = str(tmp_path / "docs_stream")
     docs.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
     docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)

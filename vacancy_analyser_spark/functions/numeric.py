@@ -53,16 +53,6 @@ def davg(col: str | Column) -> Column:
     return ((F.sum(_scaled(c)).cast("double") / _SCALE) / F.count(c)).cast("double")
 
 
-def dsum_over(col: str | Column, window) -> Column:
-    """Order-independent SUM window over a DOUBLE column → DOUBLE.
-
-    ``dsum(...)`` is sum-then-divide, so ``.over`` cannot attach to it (the
-    division sits outside the aggregate). This applies the window to the
-    scaled-long SUM itself and divides after.
-    """
-    return (F.sum(_scaled(col)).over(window).cast("double") / _SCALE).cast("double")
-
-
 def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 

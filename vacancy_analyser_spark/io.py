@@ -176,3 +176,24 @@ __all__ = [
     "write_csv",
     "write_parquet",
 ]
+
+
+def materialization_is_fresh(path: str, source: str) -> bool:
+    """True iff the derived layout at ``path`` is complete (_SUCCESS) and
+    no file of ``source`` is newer than it.
+
+    The _SUCCESS marker alone is not enough for an idempotent
+    materialization gate: a regenerated source under the same path would
+    keep serving the stale derived data (lake layouts, ANN indexes).
+    Filesystem-metadata only — one stat per source file, no data scan, so
+    the idempotent fast path stays cheap."""
+    import os
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        return False
+    built_at = os.path.getmtime(marker)
+    paths = [source]
+    if os.path.isdir(source):
+        paths = [os.path.join(source, f) for f in os.listdir(source)]
+    return all(os.path.getmtime(p) <= built_at for p in paths if os.path.exists(p))

@@ -65,10 +65,26 @@ def _mg_partition(k: int, col: str):
 def heavy_hitters(items: DataFrame, col: str, threshold_frac: float) -> DataFrame:
     """Exact items with frequency > threshold_frac · count(items), found
     via a Misra-Gries candidate pass + one exact verify aggregate.
-    Returns (col, freq) — freq is the true count, never the sketch's."""
+    Returns (col, freq) — freq is the true count, never the sketch's.
+
+    Float NaN counts as NULL: the pandas pass normalizes NaN→None (two
+    NaNs are unequal as dict keys), so the Spark side must agree — the
+    column is NaN→NULL-normalized up front, otherwise the eqNullSafe
+    verify join (NULL ≠ NaN in Spark) would silently drop a NaN-valued
+    heavy hitter. The projected single-column input is persisted so the
+    three consumers (sketch pass, total count, exact verify) share ONE
+    materialization — without it the upstream lineage (tokenize/explode
+    for the registered query) would execute three times."""
     k = max(1, int(2.0 / threshold_frac))
-    dtype = items.schema[col].dataType.simpleString()
-    sketch = items.select(col).mapInPandas(
+    dt = items.schema[col].dataType
+    dtype = dt.simpleString()
+    projected = items.select(col)
+    if dtype in ("float", "double"):
+        projected = projected.select(
+            F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col)).alias(col)
+        )
+    projected = projected.persist()
+    sketch = projected.mapInPandas(
         _mg_partition(k, col), schema=f"{col} {dtype}, mg_count long"
     )
     candidates = (
@@ -77,12 +93,12 @@ def heavy_hitters(items: DataFrame, col: str, threshold_frac: float) -> DataFram
         .filter(F.col("mg_total") > 0)
         .select(col)
     )
-    total = items.count()
+    total = projected.count()  # also materializes the shared cache
     # eqNullSafe: a NULL exceeding the threshold is a real heavy hitter —
     # the SQL twin's GROUP BY keeps the NULL group, so the join must too
     # (a plain equi-join would silently drop NULL keys).
     return (
-        items.join(F.broadcast(candidates), items[col].eqNullSafe(candidates[col]))
+        projected.join(F.broadcast(candidates), projected[col].eqNullSafe(candidates[col]))
         .drop(candidates[col])
         .groupBy(col)
         .agg(F.count("*").alias("freq"))

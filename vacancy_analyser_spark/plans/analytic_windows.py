@@ -155,13 +155,24 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).head()
 
-    # pass 3: boundary keys from inside the bands only
-    band_rows = None
-    for i, (lo, hi) in enumerate(bands):
-        part = orders.filter(F.col("o_totalprice").between(F.lit(lo), F.lit(hi))).withColumn(
-            "cut", F.lit(i)
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    # pass 3: boundary keys from inside the bands only — ONE scan, not a
+    # 3-way union of filters (which would issue three table reads): each
+    # row computes which bands it falls in as an array and explodes the
+    # non-empty memberships (bands can overlap, so a row may carry 2 cuts)
+    membership = F.filter(
+        F.array(
+            *[
+                F.when(F.col("o_totalprice").between(F.lit(lo), F.lit(hi)), F.lit(i))
+                for i, (lo, hi) in enumerate(bands)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    band_rows = (
+        orders.select("o_totalprice", "o_orderkey", membership.alias("cuts"))
+        .filter(F.size("cuts") >= 1)
+        .select("o_totalprice", "o_orderkey", F.explode("cuts").alias("cut"))
+    )
     w = Window.partitionBy("cut").orderBy("o_totalprice", "o_orderkey")
     targets = {i: cuts[i] - offs[f"off{i}"] for i in range(3)}
     target_col = F.when(F.col("cut") == 0, F.lit(targets[0]))

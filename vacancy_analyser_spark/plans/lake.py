@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_sql
-from ..io import load_table, write_parquet
+from ..io import load_table, materialization_is_fresh, write_parquet
 from .registry import register
 
 _WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse")
@@ -41,7 +41,9 @@ def orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderdate), 50k-row files for parity with feeder_hadoop.py:20.
     """
     path = _orders_lake_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # _SUCCESS + source-mtime freshness: a regenerated orders.parquet under
+    # the same sf_dir must rebuild the layout, not serve the stale one
+    if not materialization_is_fresh(path, os.path.join(sf_dir, "orders.parquet")):
         orders = load_table(spark, sf_dir, "orders")
         write_parquet(
             orders.withColumn("o_year", F.year("o_orderdate")),

@@ -635,24 +635,40 @@ def _ivf_index_path(sf_dir: str) -> str:
     warehouse = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
-    return os.path.join(warehouse, f"ivf_{tag}", "index_by_centroid")
+    # the builder recipe is part of the identity: changing N_CENTROIDS (or
+    # any future assignment constant) must produce a NEW index directory,
+    # never silently serve one built under the old recipe
+    return os.path.join(warehouse, f"ivf_{tag}", f"index_by_centroid_c{N_CENTROIDS}")
+
+
+def _ivf_index_is_fresh(path: str, sf_dir: str) -> bool:
+    """The _SUCCESS marker alone is not enough: a regenerated corpus under
+    the same sf_dir would otherwise keep serving the stale index (the
+    oracle replays from the fresh parquet — driver hash-mismatch at best,
+    silently wrong neighbors at worst). Source-mtime check via
+    io.materialization_is_fresh; the recipe constants are covered by the
+    recipe-tagged path."""
+    import os
+
+    from ..io import materialization_is_fresh
+
+    return materialization_is_fresh(path, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 @register("ivf_index_probe", oracle=_ivf_oracle(1), tags=("ext-sim", "opt-partition-pruning"))
 def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized-index ANN path, driver-checked end to end:
     ivf_build_index writes the assigned table partitionBy(centroid_id)
-    once per sf_dir (idempotent via _SUCCESS, the lake.py pattern), then
-    ivf_probe_index answers the query by reading ONLY the probed
-    centroid's directory — partition pruning at planning time, the plan
-    shape asserted in tests/test_similarity.py. Same deterministic
-    assignment recipe as ann_ivf_topk, so the oracle is the same replay;
-    what this entry adds is the driver confirming the on-disk index round
-    trip, not just the in-memory plan."""
-    import os
-
+    once per sf_dir (idempotent via _SUCCESS + source-mtime freshness +
+    a recipe-tagged path — see _ivf_index_is_fresh; the lake.py pattern
+    plus staleness guards), then ivf_probe_index answers the query by
+    reading ONLY the probed centroid's directory — partition pruning at
+    planning time, the plan shape asserted in tests/test_similarity.py.
+    Same deterministic assignment recipe as ann_ivf_topk, so the oracle
+    is the same replay; what this entry adds is the driver confirming the
+    on-disk index round trip, not just the in-memory plan."""
     path = _ivf_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not _ivf_index_is_fresh(path, sf_dir):
         ivf_build_index(spark, sf_dir, path)
     vecs = _vectors(spark, sf_dir)
     # two driver-side scalars of control flow, not data: the query vector

@@ -714,10 +714,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAMS_LIST_SQL = (
-    f"list_transform(generate_series(1, len({_TOKS_SQL}) - 1), "
-    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])"
-)
+# the one word-bigram recipe — shared with every dedup oracle so the
+# cross-engine twin definition cannot drift between modules
+from .dedup import _BIGRAMS_SQL as _BIGRAMS_LIST_SQL  # noqa: E402
 
 
 @register(

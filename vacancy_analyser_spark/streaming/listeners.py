@@ -62,3 +62,51 @@ class FreshnessListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
+
+
+class WatermarkDropListener(StreamingQueryListener):
+    """Accumulates ``numRowsDroppedByWatermark`` per query across the WHOLE
+    stream lifetime — the durable form of the ST1 drop-late metric.
+
+    ``late_drop_count`` (streaming/windows.py) sums the query's
+    ``recentProgress``, which Spark caps at
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    micro-batches and clears on restart — right for tests and short jobs,
+    an undercount on a long-running stream. This listener receives every
+    progress event exactly once and adds the per-operator drop counts into
+    a monotone counter, so an alerting export sees the true total no
+    matter how many batches ran (checkpoint-restart resets it like any
+    process-local counter — export deltas, as Prometheus counters do)."""
+
+    def __init__(self, publish: Callable[[str, int], None] | None = None) -> None:
+        #: query name (or id) → total rows dropped as later-than-watermark
+        self.dropped: dict[str, int] = {}
+        self._publish = publish
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        import json
+
+        progress = event.progress
+        # the JSON form is version-stable; attribute names on the
+        # StateOperatorProgress wrapper are not (same parsing as
+        # late_drop_count)
+        prog = json.loads(progress.json)
+        batch_drops = sum(
+            int(op.get("numRowsDroppedByWatermark") or 0)
+            for op in prog.get("stateOperators", []) or []
+        )
+        if batch_drops == 0:
+            return
+        key = progress.name or str(progress.id)
+        self.dropped[key] = self.dropped.get(key, 0) + batch_drops
+        if self._publish is not None:
+            self._publish(key, self.dropped[key])
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass

@@ -136,13 +136,18 @@ def streaming_near_dup(docs: DataFrame) -> DataFrame:
             ids, sigs = [], []
         out_a: list[int] = []
         out_b: list[int] = []
+        seen = set(ids)
         for pdf in pdfs:
             for did, sig in zip(pdf["doc_id"], pdf["sig"]):
                 did = int(did)
+                # at-least-once delivery: a re-delivered doc is already in
+                # state — appending it again would double its pairs on
+                # every later match and grow state per DELIVERY, breaking
+                # the one-bucket-one-pair append contract
+                if did in seen:
+                    continue
                 sig = [int(x) for x in sig]
                 for j, other in enumerate(ids):
-                    if other == did:
-                        continue
                     osig = sigs[N_MINHASH * j : N_MINHASH * (j + 1)]
                     if _first_agreeing_band(sig, osig) == band_id:
                         a, b = (did, other) if did < other else (other, did)
@@ -150,6 +155,7 @@ def streaming_near_dup(docs: DataFrame) -> DataFrame:
                         out_b.append(b)
                 ids.append(did)
                 sigs.extend(sig)
+                seen.add(did)
         state.update((ids, sigs))
         yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
 

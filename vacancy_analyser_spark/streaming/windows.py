@@ -161,12 +161,20 @@ def attribution_join(
 
 
 def late_drop_count(query) -> int:
-    """ST1 metric: total rows the engine dropped as later-than-watermark,
-    summed over ``query``'s recorded progress (every state operator, every
-    micro-batch). This is Spark's own ``numRowsDroppedByWatermark`` — the
-    authoritative count, measured where the drop happens, no second scan.
-    Pair it with an alerting export exactly like FreshnessListener pairs
-    observed metrics with gauges."""
+    """ST1 metric: rows the engine dropped as later-than-watermark, summed
+    over ``query``'s RETAINED progress (every state operator, every
+    retained micro-batch). This is Spark's own
+    ``numRowsDroppedByWatermark`` — the authoritative count, measured
+    where the drop happens, no second scan.
+
+    Window bound: ``recentProgress`` keeps only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    batches and clears on restart — exact for tests and short jobs, an
+    undercount past that horizon. A long-running stream must accumulate
+    per-event instead: ``listeners.WatermarkDropListener`` receives each
+    progress exactly once and keeps the monotone lifetime total (pinned
+    side-by-side with this function in
+    tests/test_streaming.py::test_watermark_drops_late_rows_with_metric)."""
     total = 0
     for prog in query.recentProgress:
         if not isinstance(prog, dict):  # StreamingQueryProgress object
