@@ -112,16 +112,57 @@ def _first_agreeing_band(sig_a: list[int], sig_b: list[int]) -> int | None:
     return None
 
 
-def streaming_near_dup(docs: DataFrame) -> DataFrame:
+#: Shard-mix constants: MINSTD multiplier over the Mersenne-31 modulus —
+#: every intermediate stays < 2^47, identical arithmetic on the Column
+#: (bigint) and Python (int) sides.
+_SHARD_P = 2_147_483_647
+_SHARD_A = 48_271
+_SHARD_B = 9_973
+
+
+def _shard(doc_id: int, band: int, salt: int) -> int:
+    return ((doc_id % _SHARD_P) * _SHARD_A + band * _SHARD_B) % _SHARD_P % salt
+
+
+def _owning_band(sig_a: list[int], sig_b: list[int], a: int, b: int, salt: int) -> int | None:
+    """The ONE bucket allowed to emit the pair under salting: the first
+    band where the signatures agree AND both docs hash to the same shard
+    (co-sharding is exactly the condition for the pair to meet there)."""
+    for band in range(N_BANDS):
+        lo = band * BAND_ROWS
+        if sig_a[lo : lo + BAND_ROWS] == sig_b[lo : lo + BAND_ROWS] and _shard(
+            a, band, salt
+        ) == _shard(b, band, salt):
+            return band
+    return None
+
+
+def streaming_near_dup(docs: DataFrame, bucket_salt: int = 1) -> DataFrame:
     """Near-dup pairs over a document stream, emitted as they appear.
 
     ``docs`` is a streaming DataFrame with ``doc_id``/``text``. Output is
-    append-mode (a_id < b_id) candidate pairs — the same pair set the
-    batch ``minhash_lsh_dedup`` computes over the union of all
-    micro-batches (pinned by test).
+    append-mode (a_id < b_id) candidate pairs — with ``bucket_salt=1``
+    (default) the same pair set the batch ``minhash_lsh_dedup`` computes
+    over the union of all micro-batches (pinned by test).
+
+    ``bucket_salt`` is the hot-bucket knob: S > 1 splits every LSH bucket
+    into S state shards by a doc-hash (same band_val no longer means same
+    task/state key), bounding per-key state and parallelizing a band
+    value shared by a million near-identical docs. The price is recall: a
+    pair is found only in a band where it ALSO co-shards, so a pair whose
+    signatures agree on bands F is missed with probability
+    Π_{f∈F}(1−1/S) — high-similarity pairs (agreeing on many bands)
+    survive best. Deduplication stays exact: the emitting bucket is the
+    pair's first agreeing AND co-sharded band, computable locally from
+    the two (doc_id, signature) pairs in hand. The salted pair set is a
+    deterministic function of (corpus, S), replayed exactly in the test.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if bucket_salt < 1:
+        raise ValueError(f"bucket_salt must be >= 1, got {bucket_salt}")
+    salt = bucket_salt
 
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: "GroupState"
@@ -149,7 +190,12 @@ def streaming_near_dup(docs: DataFrame) -> DataFrame:
                 sig = [int(x) for x in sig]
                 for j, other in enumerate(ids):
                     osig = sigs[N_MINHASH * j : N_MINHASH * (j + 1)]
-                    if _first_agreeing_band(sig, osig) == band_id:
+                    owner = (
+                        _first_agreeing_band(sig, osig)
+                        if salt == 1
+                        else _owning_band(sig, osig, did, other, salt)
+                    )
+                    if owner == band_id:
                         a, b = (did, other) if did < other else (other, did)
                         out_a.append(a)
                         out_b.append(b)
@@ -160,7 +206,16 @@ def streaming_near_dup(docs: DataFrame) -> DataFrame:
         yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
 
     banded = minhash_banded(docs)
-    return banded.groupBy("band_id", "band_val").applyInPandasWithState(
+    keys = ["band_id", "band_val"]
+    if salt > 1:
+        shard = (
+            (F.pmod(F.col("doc_id"), F.lit(_SHARD_P)) * _SHARD_A + F.col("band_id") * _SHARD_B)
+            % _SHARD_P
+            % salt
+        )
+        banded = banded.withColumn("shard", shard.cast("int"))
+        keys.append("shard")
+    return banded.groupBy(*keys).applyInPandasWithState(
         update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
