@@ -500,3 +500,51 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"))
     )
+
+
+#: Columns the orders profile covers — exact-arithmetic types only
+#: (bigint/string/timestamp/int); doubles are deliberately excluded from
+#: min/max-free profiling anyway, and their distinct counts are exact.
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS
+    ),
+    tags=("ext-profile",),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column null count and exact distinct
+    cardinality — the observability primitive behind schema drift alerts,
+    join-key health checks, and partition-key selection (a column's NDV
+    is what decides bucketing/broadcast strategy at 100 TB).
+
+    ONE scan for all columns: a single aggregate computes every
+    (count, exact count-distinct) pair, then a stack() unpivots the
+    5×2 scalars into rows — versus the oracle's 5-branch UNION ALL, which
+    re-reads the table per column (fine for DuckDB's correctness replay,
+    wrong at scale). Exact distincts expand the aggregate buffer per
+    column; at 100 TB swap approx_count_distinct into the same shape for
+    a single-pass sketch profile (the approx_distinct query pins that
+    tier)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
+    )

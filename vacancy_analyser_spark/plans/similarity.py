@@ -750,3 +750,51 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv.alias("qv"),
         (F.col("maxabs") / 127.0).alias("scale"),
     )
+
+
+@register(
+    "filtered_ann_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        gated AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            WHERE e.vec_id <> 0 AND d.lang = 'en' AND d.n_chars >= 200
+        )
+        SELECT b.vec_id AS vec_id,
+               {_COS_SQL.replace('a.embedding', 'q.embedding')} AS sim
+        FROM gated b, q
+        ORDER BY sim DESC, b.vec_id
+        LIMIT 10
+    """,
+    tags=("ext-sim",),
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (metadata-filtered) similarity search: top-k cosine among
+    the vectors whose DOCUMENT passes a quality gate (here lang='en' AND
+    n_chars ≥ 200 — any corpus predicate slots in). This is the retrieval
+    shape RAG/dedup pipelines actually run: filter-then-rank, never
+    rank-then-filter (which under-fills k whenever the gate is
+    selective).
+
+    Scale shape: the gate is a semi-join of the vector table against the
+    pushed-down document predicate — the predicate prunes at the document
+    scan, the join carries only ids, and the cosine evaluates ONLY gated
+    rows. Top-k is TakeOrderedAndProject (per-partition heaps). With the
+    IVF index, the same gate applies inside probed buckets (pre-filtering
+    ids before the distance evaluation, the standard filtered-ANN
+    design); the brute-force form registered here is its exact oracle."""
+    vecs = _vectors(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    gate = docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200)).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    gated = vecs.filter(F.col("vec_id") != 0).join(gate, "vec_id", "left_semi")
+    q = F.broadcast(vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        gated.crossJoin(q)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
