@@ -134,10 +134,18 @@ def test_watermark_drops_late_rows_with_metric(spark, tmp_path):
     exact within its retained-batch window) and WatermarkDropListener
     (the accumulating lifetime counter a long-running stream needs)."""
     from vacancy_analyser_spark.streaming.listeners import WatermarkDropListener
-    from vacancy_analyser_spark.streaming.windows import late_drop_count
 
     drop_listener = WatermarkDropListener()
     spark.streams.addListener(drop_listener)
+    try:
+        _watermark_metric_body(spark, tmp_path, drop_listener)
+    finally:
+        # never leak the listener into the session-scoped SparkSession
+        spark.streams.removeListener(drop_listener)
+
+
+def _watermark_metric_body(spark, tmp_path, drop_listener) -> None:
+    from vacancy_analyser_spark.streaming.windows import late_drop_count
 
     src = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt_late")
@@ -185,7 +193,6 @@ def test_watermark_drops_late_rows_with_metric(spark, tmp_path):
             break
         _time.sleep(0.2)
     assert sum(drop_listener.dropped.values()) == 1
-    spark.streams.removeListener(drop_listener)
 
 
 def test_session_windows_batch_fixture(spark):

@@ -3,10 +3,13 @@
 Usage:
     python tools/explain.py [sf_dir] [query ...]      # default: headline set
 
-Each query is executed into the noop sink first so AQE finalizes its runtime
-decisions (broadcast promotion, partition coalescing), then the executed plan
-is printed. This is the tool behind PLANS.md — rerun it after changing a
-query and diff the shapes.
+Each query is executed via collect() FIRST — through the Dataset's own
+QueryExecution — so AQE finalizes its runtime decisions (broadcast
+promotion, partition coalescing) on the plan that gets printed. (A sink
+write would run a separate QueryExecution and leave the Dataset's plan at
+isFinalPlan=false: the static, pre-AQE strategy — probed.) This is the
+tool behind PLANS.md — rerun it after changing a query and diff the
+shapes.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ def main() -> None:
     qs = queries()
     for name in names or HEADLINE:
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        df.collect()
         print(f"===== {name} =====")
         print(df._jdf.queryExecution().executedPlan().toString())
 

@@ -50,8 +50,15 @@ UNREPLICATED = ("nation", "region", "events", "documents", "embeddings")
 
 def build(spark) -> str:
     out = os.path.join(STRESS_DIR, f"x{REPLICAS}")
-    marker = os.path.join(out, "lineitem.parquet", "_SUCCESS")
-    if os.path.exists(marker):
+    # completeness marker written LAST (a per-table _SUCCESS would declare
+    # an interrupted build complete); staleness vs the base corpus rides
+    # the same mtime check the engine's materializations use
+    from vacancy_analyser_spark.io import materialization_is_fresh
+
+    done = os.path.join(out, "_BUILD_DONE")
+    if os.path.exists(done) and materialization_is_fresh(
+        os.path.join(out, "lineitem.parquet"), os.path.join(BASE_SF, "lineitem.parquet")
+    ):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -73,6 +80,8 @@ def build(spark) -> str:
             spark.read.parquet(src_path).write.mode("overwrite").parquet(
                 os.path.join(out, f"{table}.parquet")
             )
+    with open(os.path.join(out, "_BUILD_DONE"), "w") as fh:
+        fh.write("")
     return out
 
 
@@ -111,8 +120,15 @@ def main() -> None:
     # graceful-degradation contract — no hint is hard-coded on orders)?
     def star_plan() -> str:
         df = qs["star_join_3way"](spark, stress_dir)
-        df.write.format("noop").mode("overwrite").save()
-        return df._jdf.queryExecution().executedPlan().toString()
+        # execute through the Dataset's OWN QueryExecution (collect, not a
+        # noop write — the write spawns a separate execution and the
+        # Dataset's plan would still read `isFinalPlan=false` with the
+        # static pre-AQE strategy); output is aggregate-sized
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # keep only the final section — the string appends "== Initial
+        # Plan ==", which would double every operator count
+        return plan.split("== Initial Plan ==")[0]
 
     plan = star_plan()
     default_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

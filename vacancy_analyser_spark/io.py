@@ -166,25 +166,17 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
-__all__ = [
-    "TESTDATA_SCHEMAS",
-    "load_table",
-    "load_tables",
-    "read_snapshot_csv",
-    "read_jdbc",
-    "table_path",
-    "write_csv",
-    "write_parquet",
-]
 
 
 def materialization_is_fresh(path: str, source: str) -> bool:
-    """True iff the derived layout at ``path`` is complete (_SUCCESS) and
-    no file of ``source`` is newer than it.
+    """True iff the derived layout at ``path`` is complete (_SUCCESS), the
+    source exists, and no file of ``source`` is newer than the layout.
 
     The _SUCCESS marker alone is not enough for an idempotent
     materialization gate: a regenerated source under the same path would
     keep serving the stale derived data (lake layouts, ANN indexes).
+    A MISSING source is "not fresh" — the caller's rebuild then fails
+    loudly on read instead of silently serving orphaned derived data.
     Filesystem-metadata only — one stat per source file, no data scan, so
     the idempotent fast path stays cheap."""
     import os
@@ -192,8 +184,23 @@ def materialization_is_fresh(path: str, source: str) -> bool:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         return False
+    if not os.path.exists(source):
+        return False
     built_at = os.path.getmtime(marker)
     paths = [source]
     if os.path.isdir(source):
         paths = [os.path.join(source, f) for f in os.listdir(source)]
     return all(os.path.getmtime(p) <= built_at for p in paths if os.path.exists(p))
+
+__all__ = [
+    "TESTDATA_SCHEMAS",
+    "load_table",
+    "load_tables",
+    "materialization_is_fresh",
+    "read_snapshot_csv",
+    "read_jdbc",
+    "table_path",
+    "write_csv",
+    "write_parquet",
+]
+

@@ -87,17 +87,10 @@ class WatermarkDropListener(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
-        import json
+        from .windows import batch_drop_count
 
         progress = event.progress
-        # the JSON form is version-stable; attribute names on the
-        # StateOperatorProgress wrapper are not (same parsing as
-        # late_drop_count)
-        prog = json.loads(progress.json)
-        batch_drops = sum(
-            int(op.get("numRowsDroppedByWatermark") or 0)
-            for op in prog.get("stateOperators", []) or []
-        )
+        batch_drops = batch_drop_count(progress)
         if batch_drops == 0:
             return
         key = progress.name or str(progress.id)

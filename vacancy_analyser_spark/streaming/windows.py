@@ -175,15 +175,23 @@ def late_drop_count(query) -> int:
     progress exactly once and keeps the monotone lifetime total (pinned
     side-by-side with this function in
     tests/test_streaming.py::test_watermark_drops_late_rows_with_metric)."""
-    total = 0
-    for prog in query.recentProgress:
-        if not isinstance(prog, dict):  # StreamingQueryProgress object
-            import json
+    return sum(batch_drop_count(prog) for prog in query.recentProgress)
 
-            prog = json.loads(prog.json)
-        for op in prog.get("stateOperators", []) or []:
-            total += int(op.get("numRowsDroppedByWatermark") or 0)
-    return total
+
+def batch_drop_count(progress) -> int:
+    """numRowsDroppedByWatermark summed over one progress record's state
+    operators. Accepts a dict or a StreamingQueryProgress (parsed via its
+    version-stable JSON form). The ONE place this field is walked —
+    late_drop_count and listeners.WatermarkDropListener both call it, so
+    the two metric paths cannot drift."""
+    if not isinstance(progress, dict):
+        import json
+
+        progress = json.loads(progress.json)
+    return sum(
+        int(op.get("numRowsDroppedByWatermark") or 0)
+        for op in progress.get("stateOperators", []) or []
+    )
 
 
 def observe_freshness(df: DataFrame, time_col: str = "ts") -> DataFrame:
