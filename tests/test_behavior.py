@@ -1,0 +1,119 @@
+"""Property tests for the behavioral analytics ops (plans/behavior.py) and
+the SemDeDup-style semantic_dedup (plans/similarity.py) beyond oracle
+parity: funnel monotonicity and ordering semantics vs a driver-side replay,
+z-score outliers vs a pandas recompute, and semantic_dedup's
+precision-1/containment-in-exact contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.io import load_table
+from vacancy_analyser_spark.plans.behavior import (
+    FUNNEL_STAGES,
+    ZSCORE_LIMIT,
+    funnel_conversion,
+    value_zscore_outliers,
+)
+from vacancy_analyser_spark.plans.similarity import (
+    SEMANTIC_TAU,
+    exact_near_dup,
+    semantic_dedup,
+)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+
+def test_funnel_matches_sequence_replay(spark, sf_dir):
+    rows = _events(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    expected = []
+    survivors = None
+    prev_t: dict[int, object] = {}
+    for etype in FUNNEL_STAGES:
+        nxt = {}
+        pool = by_user if survivors is None else {u: by_user[u] for u in survivors}
+        for u, evs in pool.items():
+            ts = [t for t, e in evs if e == etype and (u not in prev_t or t > prev_t[u])]
+            if ts:
+                nxt[u] = min(ts)
+        expected.append(len(nxt))
+        survivors = set(nxt)
+        prev_t = nxt
+    got = {r["stage"]: r for r in funnel_conversion(spark, sf_dir).collect()}
+    assert [got[i + 1]["n_users"] for i in range(3)] == expected
+    # monotone: each stage keeps at most the previous stage's users
+    assert expected[0] >= expected[1] >= expected[2]
+    assert got[1]["conv_from_prev"] is None
+    if expected[0]:
+        assert got[2]["conv_from_prev"] == round(expected[1] / expected[0], 6)
+
+
+def test_funnel_requires_order_not_just_presence(spark, sf_dir):
+    # users with all three event types but NOT in funnel order must not all
+    # convert: the stage-3 count is <= the unordered any-presence count.
+    ev = _events(spark, sf_dir)
+    unordered = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == len(FUNNEL_STAGES))
+        .count()
+    )
+    stage3 = (
+        funnel_conversion(spark, sf_dir).filter(F.col("stage") == 3).collect()[0]["n_users"]
+    )
+    assert stage3 <= unordered
+
+
+def test_zscore_outliers_match_pandas(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    pdf = ev.toPandas()
+    expected = set()
+    for etype, grp in pdf.groupby("event_type"):
+        # mirror the fixed-point discipline: scaled-long mean / mean-of-squares
+        sv = (grp["value"] * 10**6).round().astype("int64")
+        sq = (grp["value"] * grp["value"] * 10**6).round().astype("int64")
+        n = len(grp)
+        mean_v = (float(sv.sum()) / 10**6) / n
+        mean_sq = (float(sq.sum()) / 10**6) / n
+        var = mean_sq - mean_v * mean_v
+        if n <= 1 or var <= 0:
+            continue
+        z = (grp["value"] - mean_v) / var**0.5
+        expected |= set(grp.loc[abs(z) > ZSCORE_LIMIT, "event_id"])
+    got = {r["event_id"] for r in value_zscore_outliers(spark, sf_dir).collect()}
+    assert got == expected
+    assert got  # heavy-tailed fixture values do contain outliers
+
+
+def test_semantic_dedup_subset_of_exact_with_exact_sims(spark, sf_dir):
+    # every within-cluster pair must appear in the all-pairs exact set with
+    # the same similarity (precision 1.0); misses are cross-cluster only.
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in exact_near_dup(spark, sf_dir, threshold=SEMANTIC_TAU).collect()
+    }
+    got = semantic_dedup(spark, sf_dir).collect()
+    assert got  # fixture embeddings contain within-cluster near-dups
+    for r in got:
+        assert (r["a_id"], r["b_id"]) in exact
+        assert r["sim"] == exact[(r["a_id"], r["b_id"])]
+
+
+def test_semantic_dedup_pairs_share_cluster_assignment(spark, sf_dir):
+    from vacancy_analyser_spark.plans.similarity import _ivf_ranked, _vectors
+
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _ivf_ranked(_vectors(spark, sf_dir))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    for r in semantic_dedup(spark, sf_dir).collect():
+        assert assigned[r["a_id"]] == assigned[r["b_id"]] == r["centroid_id"]

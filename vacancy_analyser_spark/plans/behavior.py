@@ -1,0 +1,181 @@
+"""Behavioral / observability analytics over `events` (SURVEY.md §2.11 [ext]).
+
+The event-stream companions of the text-pipeline ops: multi-stage funnel
+conversion (the ordered-sequence query product analytics runs on every
+clickstream) and statistical outlier detection (the data-quality monitor a
+training-data ingest runs on numeric telemetry before trusting a batch).
+
+Both are pure DataFrame algebra over the shared `events` table — no UDFs,
+no windows without partitions — and both carry their DuckDB oracle next to
+the plan like every other registered query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, davg_sql
+from ..io import load_table
+from .registry import register
+
+#: Ordered funnel stages: a user converts to stage i+1 only with an event
+#: strictly after their first stage-i event.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', COUNT(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', COUNT(*) FROM s3
+        )
+        SELECT stage, event_type, n_users,
+               round(CAST(n_users AS DOUBLE)
+                     / NULLIF(LAG(n_users) OVER (ORDER BY stage), 0), 6)
+                   AS conv_from_prev
+        FROM counts
+    """,
+    tags=("ext-behavior",),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: how many users did view → click →
+    purchase IN THAT ORDER, with each stage strictly after the user's
+    first event of the previous stage. The sequence constraint is what
+    separates a funnel from three independent counts — a purchase before
+    the first view does not convert.
+
+    Plan: one stage = one filtered groupBy(user_id).min(ts) semi-joined
+    against the previous stage's first-event time — an equi-join on
+    user_id carrying (user_id, timestamp) pairs only, never event
+    payloads. Stages chain left-to-right, so the worked set shrinks
+    monotonically (each join keeps only converting users). The final
+    3-row result is aggregate-sized; the stage-over-stage ratio is a
+    single ordered window over those 3 rows (constant, not data-scaling).
+
+    At 100 TB: the event scan is pruned to the funnel's event types by
+    predicate pushdown, each per-stage aggregate map-side combines to one
+    row per user before its exchange, and AQE broadcasts the shrinking
+    stage frames against the next filtered scan. Time-boxed funnels
+    (convert within 7 days) add one predicate to each join — same shape."""
+    events = load_table(spark, sf_dir, "events")
+    stage_frames: list[DataFrame] = []
+    prev = None
+    for stage, etype in enumerate(FUNNEL_STAGES, start=1):
+        cur = events.filter(F.col("event_type") == etype)
+        if prev is None:
+            agg = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            agg = (
+                cur.join(prev, "user_id")
+                .filter(F.col("ts") > F.col("prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        stage_frames.append(
+            agg.agg(
+                F.lit(stage).alias("stage"),
+                F.lit(etype).alias("event_type"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        prev = agg.select("user_id", F.col("t").alias("prev_t"))
+    counts = stage_frames[0]
+    for f in stage_frames[1:]:
+        counts = counts.unionAll(f)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage")  # 3 constant rows — not a data-scaling window
+    conv = F.round(
+        F.col("n_users").cast("double")
+        / F.nullif(F.lag("n_users").over(w), F.lit(0)),
+        6,
+    )
+    return counts.select("stage", "event_type", "n_users", conv.alias("conv_from_prev"))
+
+
+#: Robustly detectable outlier threshold for the z-score monitor.
+ZSCORE_LIMIT = 3.0
+
+
+@register(
+    "value_zscore_outliers",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   {davg_sql("value")} AS mean_v,
+                   {davg_sql("value * value")} AS mean_sq,
+                   COUNT(value) AS n
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - s.mean_v)
+                     / sqrt(s.mean_sq - s.mean_v * s.mean_v), 6) AS zscore
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE s.n > 1
+          AND s.mean_sq > s.mean_v * s.mean_v
+          AND abs((e.value - s.mean_v)
+                  / sqrt(s.mean_sq - s.mean_v * s.mean_v)) > {ZSCORE_LIMIT}
+    """,
+    tags=("ext-behavior", "ext-profile"),
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical outliers: events whose value sits more than
+    ZSCORE_LIMIT population standard deviations from their event type's
+    mean — the ingest-monitor primitive behind "this batch's values look
+    wrong" alerts in a data pipeline.
+
+    Two-pass shape: pass 1 aggregates per-type (mean, mean-of-squares)
+    through the fixed-point discipline (functions/numeric.py) so both
+    engines hold bit-identical doubles; pass 2 re-scans events and joins
+    the tiny per-type stats frame back (broadcast — |event types| rows),
+    evaluating z = (v − μ)/σ with IEEE basic ops only (subtract, divide,
+    sqrt — all exactly rounded, so the filter threshold cannot flicker
+    across engines). Degenerate groups (σ² ≤ 0 or a single row) are
+    excluded on both sides.
+
+    At 100 TB: pass 1 map-side combines to |types| rows per partition;
+    pass 2 is scan + broadcast-hash-join + filter — no shuffle of the
+    fact table at all. The same two-pass recipe extends to per-(type,
+    day) drift monitors by widening the group key."""
+    events = load_table(spark, sf_dir, "events")
+    stats = F.broadcast(
+        events.groupBy("event_type").agg(
+            davg("value").alias("mean_v"),
+            davg(F.col("value") * F.col("value")).alias("mean_sq"),
+            F.count("value").alias("n"),
+        )
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(
+        F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+    )
+    return (
+        events.join(stats, "event_type")
+        .filter(
+            (F.col("n") > 1)
+            & (F.col("mean_sq") > F.col("mean_v") * F.col("mean_v"))
+            & (F.abs(z) > ZSCORE_LIMIT)
+        )
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )

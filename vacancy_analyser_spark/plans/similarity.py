@@ -798,3 +798,89 @@ def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+#: Within-cluster similarity floor for semantic_dedup — the harness
+#: embeddings put their synthetic near-dup pairs at cosine 0.45–0.6
+#: (NEAR_DUP_TAU); production SemDeDup thresholds sit at 0.9+ where
+#: clusters are tighter and the within-cluster pair count collapses.
+SEMANTIC_TAU = NEAR_DUP_TAU
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.centroid_id AS centroid_id,
+               a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {SEMANTIC_TAU}
+    """,
+    tags=("ext-sim", "ext-dedup"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    then find exact-cosine near-dup pairs ONLY within each cluster — the
+    cluster assignment replaces LSH banding as the candidate generator
+    (Abbas et al. 2023's recipe for web-scale corpora, built here from the
+    engine's own deterministic k-means/IVF assignment).
+
+    Plan: the IVF assignment (broadcast argmax-cosine against the first-N
+    deterministic centroids, round-9 + id tie-break) buckets every vector;
+    the pair generator is then a self-equi-join ON centroid_id — quadratic
+    only within a bucket, never across the corpus — and candidates pay one
+    exact cosine with the shared 6-decimal output round. The assigned
+    table is persisted so the self-join's two sides read one materialized
+    pass instead of re-running the assignment per side.
+
+    At 100 TB: k scales with the corpus (SemDeDup uses k ≈ n/20k, keeping
+    buckets ~10⁴ vectors), the assignment stays a broadcast against ≤10⁵
+    centroids, and the self-join shuffles on centroid_id with AQE handling
+    bucket skew. Pairs crossing a cluster boundary are the documented
+    recall trade — the same miss class as LSH band non-collision; raising
+    nprobe-style multi-assignment (assign each vector to its 2 nearest
+    centroids, dedup pairs) recovers boundary pairs at 2× assignment cost.
+    The within-cluster metric is exact, so precision is 1.0 by
+    construction."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = (
+        _ivf_ranked(vecs)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .persist()
+    )
+    assigned.count()  # materialize once; the self-join reads the cache twice
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(SEMANTIC_TAU))
+    )
