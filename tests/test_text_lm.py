@@ -1,0 +1,109 @@
+"""Property tests for the LM/profile text ops beyond oracle parity:
+bigram-LM probability-mass closure, logprob-score sign/shape invariants,
+categorical_profile vs an exact pandas replay, and ngram_jaccard_capped vs
+a driver-side capped-set recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.functions.text import tokens
+from vacancy_analyser_spark.io import load_table
+from vacancy_analyser_spark.plans.dedup import (
+    DF_CAP_DIVISOR,
+    JACCARD_T,
+    MIN_DF_CAP,
+    _bigrams,
+    ngram_jaccard_capped,
+)
+from vacancy_analyser_spark.plans.textops import (
+    bigram_lm_table,
+    categorical_profile,
+    token_count,
+    unigram_logprob_score,
+)
+
+
+def test_bigram_lm_probability_mass_closes(spark, sf_dir):
+    lm = bigram_lm_table(spark, sf_dir)
+    # cond_p is round(c12/c1, 6), so per w1 the mass Σ_w2 cond_p sits within
+    # k rounding half-steps of exactly 1
+    mass = lm.groupBy("w1").agg(
+        F.sum("cond_p").alias("rounded_mass"), F.count("*").alias("k")
+    )
+    rows = mass.collect()
+    assert rows
+    for r in rows:
+        assert abs(r["rounded_mass"] - 1.0) <= 5e-7 * r["k"] + 1e-12
+
+
+def test_bigram_lm_counts_match_replay(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(tokens("text").alias("t")).collect()
+    from collections import Counter
+
+    c12 = Counter()
+    for r in docs:
+        t = r["t"]
+        for i in range(len(t) - 1):
+            c12[(t[i], t[i + 1])] += 1
+    got = {(r["w1"], r["w2"]): r["c12"] for r in bigram_lm_table(spark, sf_dir).collect()}
+    assert got == dict(c12)
+
+
+def test_unigram_logprob_negative_and_token_aligned(spark, sf_dir):
+    score = unigram_logprob_score(spark, sf_dir)
+    tc = token_count(spark, sf_dir)
+    joined = score.join(tc, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["n_tokens"] == r["n_tokens"]  # both sides present
+        assert r["avg_logp"] < 0  # probabilities < 1 ⇒ log < 0
+    # every document scores (empty docs still have the [''] token)
+    assert score.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_categorical_profile_matches_pandas(spark, sf_dir):
+    pdf = load_table(spark, sf_dir, "documents").select("lang", "source").toPandas()
+    got = {r["column_name"]: r for r in categorical_profile(spark, sf_dir).collect()}
+    for col in ("lang", "source"):
+        counts = pdf[col].value_counts(dropna=False)
+        total = len(pdf)
+        assert got[col]["n_distinct"] == len(counts)
+        assert got[col]["top_share"] == round(counts.max() / total, 6)
+        sumsq = sum(round((c / total) * (c / total) * 10**12) for c in counts) / 10**12
+        assert got[col]["gini"] == round(1.0 - sumsq, 6)
+
+
+def _capped_sets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    rows = toks.select("doc_id", F.array_distinct(_bigrams("toks")).alias("bg")).collect()
+    sets = {r["doc_id"]: set(r["bg"]) for r in rows if r["bg"]}
+    from collections import Counter
+
+    df = Counter()
+    for s in sets.values():
+        for b in s:
+            df[b] += 1
+    cap = max(MIN_DF_CAP, len(sets) // DF_CAP_DIVISOR)
+    return {d: {b for b in s if df[b] <= cap} for d, s in sets.items()}
+
+
+def test_capped_jaccard_matches_set_replay(spark, sf_dir):
+    sets = _capped_sets(spark, sf_dir)
+    expected = {}
+    ids = sorted(d for d, s in sets.items() if s)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= JACCARD_T:
+                expected[(a, b)] = j
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_capped(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # fixture corpus has capped near-dup pairs

@@ -103,15 +103,20 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = stage_frames[0]
     for f in stage_frames[1:]:
         counts = counts.unionAll(f)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("stage")  # 3 constant rows — not a data-scaling window
-    conv = F.round(
-        F.col("n_users").cast("double")
-        / F.nullif(F.lag("n_users").over(w), F.lit(0)),
-        6,
+    # stage-over-stage ratio WITHOUT a partitionless window (even a 3-row
+    # ordered window trips the WindowExec single-partition warning the
+    # engine keeps out of its logs): broadcast-join each stage to its
+    # predecessor on stage-1 — same LAG semantics over the constant frame.
+    prev_counts = F.broadcast(
+        counts.select((F.col("stage") + 1).alias("stage"), F.col("n_users").alias("prev_users"))
     )
-    return counts.select("stage", "event_type", "n_users", conv.alias("conv_from_prev"))
+    conv = F.round(
+        F.col("n_users").cast("double") / F.nullif(F.col("prev_users"), F.lit(0)), 6
+    )
+    return (
+        counts.join(prev_counts, "stage", "left")
+        .select("stage", "event_type", "n_users", conv.alias("conv_from_prev"))
+    )
 
 
 #: Robustly detectable outlier threshold for the z-score monitor.

@@ -226,6 +226,14 @@ def _regime_probe(g: DataFrame, sf_dir: str) -> tuple[int, int, dict[int, int]]:
 #: quadratically in the head).
 PPJOIN_CAND_PER_DOC = 40_000
 
+#: Planner-derived df cap for the capped-Jaccard variant: drop shingles with
+#: df > max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR). The divisor is the
+#: measured sweet spot from tools/scale_stress.py's density-growth corpus
+#: (docs/10: 2.2× faster, recall 1.0 vs the uncapped pair set); the floor
+#: keeps tiny corpora from capping away every shingle.
+MIN_DF_CAP = 2
+DF_CAP_DIVISOR = 10
+
 
 def _sparse_plan_for(g: DataFrame, n_docs: int | None = None):
     """Choose the sparse-regime physical plan from a df-skew probe.
@@ -1027,3 +1035,62 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("group_id", F.col("doc_id").alias("keeper_id"), "n_members")
     )
+
+
+@register(
+    "ngram_jaccard_capped",
+    oracle=f"""
+        WITH g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM g),
+        dfreq AS (SELECT bigram, COUNT(*) AS df FROM g GROUP BY bigram),
+        capped AS (
+            SELECT g.doc_id, g.bigram
+            FROM g JOIN dfreq USING (bigram), nd
+            WHERE dfreq.df <= greatest({MIN_DF_CAP}, nd.n // {DF_CAP_DIVISOR})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM capped a JOIN capped b
+              ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_T}
+    """,
+    tags=("ext-dedup",),
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-Jaccard near-dup: the df-capped variant of the count-join,
+    with the cap PICKED BY THE PLANNER from the corpus stats — closing the
+    loop tools/scale_stress.py measured (the cap was a caller knob; the
+    dispatcher now derives it from the df probe it already runs).
+
+    The cap is a METRIC choice, not a physical one: shingles with document
+    frequency above max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR) are dropped
+    from both the candidate join and the set sizes, so the result is the
+    exact Jaccard over the capped shingle sets (standard MinHash/PPJoin
+    head mitigation — a shingle in a tenth of the corpus carries no
+    near-dup signal but contributes df²/2 candidate rows). Because the
+    semantics change with the cap, the cap formula lives in BOTH engines:
+    the oracle computes the same greatest(...) from the same distinct
+    counts, so the driver hash-checks the planner's choice rather than
+    trusting it. Measured on the density-growth corpus: 2.2× faster than
+    the uncapped count-join with recall 1.0 against the uncapped pair set
+    (tools/scale_stress.py PERTURB=third; numbers in PLANS.md).
+
+    At 100 TB the cap is what keeps Σ df² bounded as the corpus grows:
+    n_docs scales with the corpus while real shared-content df does not,
+    so the capped join's candidate volume stays near-linear where the
+    uncapped one degrades quadratically in the head."""
+    g = _doc_bigrams(spark, sf_dir).persist()
+    g.count()
+    _, n_docs, _ = _regime_probe(g, sf_dir)
+    cap = max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR)
+    return _jaccard_countjoin(g, max_df=cap)

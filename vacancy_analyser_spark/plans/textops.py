@@ -764,3 +764,182 @@ def repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n_all - n_distinct).cast("double") / n_all).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "bigram_lm_table",
+    oracle=f"""
+        WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+        pairs AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        ),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
+        SELECT c12.w1, c12.w2, c12.c12,
+               round(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6) AS cond_p
+        FROM c12 JOIN c1 USING (w1)
+    """,
+    tags=("ext-text",),
+)
+def bigram_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model: P(w2 | w1) = c(w1,w2) / c(w1,·)
+    over NON-distinct adjacent token pairs — the n-gram-LM training table
+    (KenLM-style counts before smoothing) that powers perplexity-based
+    quality filtering of training corpora (the CCNet/Gopher recipe).
+
+    Plan: adjacent pairs come from zipping the token array with its own
+    tail (two slices + arrays_zip — narrow row-local algebra, no
+    positional window), then ONE hash aggregate on (w1, w2); the
+    continuation counts c(w1,·) are re-aggregated from the (w1, w2) counts
+    — |bigram types| rows, NOT a second pass over the corpus — and joined
+    back. Both sides are integer counts; the conditional probability is
+    one exact integer-valued double division, identical in both engines.
+
+    At 100 TB the shape is the canonical n-gram count pipeline:
+    the pair aggregate map-side combines to |bigram types| rows per
+    partition, the c1 re-aggregation and join shuffle only the (typically
+    million-scale) model table, and the corpus is read exactly once.
+    Higher orders (trigram+) are the same two aggregates with a wider
+    zip."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("t"))
+    # adjacent (non-distinct) pairs: zip t[1..n-1] with t[2..n]
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    cond_p = F.round(F.col("c12").cast("double") / F.col("c1").cast("double"), 6)
+    return c12.join(c1, "w1").select("w1", "w2", "c12", cond_p.alias("cond_p"))
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+        cw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cw),
+        scored AS (
+            SELECT t.doc_id,
+                   round(ln(CAST(cw.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6) AS lp
+            FROM tok t JOIN cw USING (w) CROSS JOIN tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_logp
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("ext-text",),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: each document's mean token log-probability
+    under the corpus's own unigram distribution — the cheapest member of
+    the perplexity-filter family (documents full of out-of-distribution
+    tokens score low; boilerplate scores suspiciously high; both tails get
+    reviewed). Two passes: train (count every token once) and score (join
+    the model back and average per doc).
+
+    Float discipline: ln() is NOT an IEEE-exact operation, so each token's
+    log-prob is rounded to 6 decimals FIRST (the argument c/N is one exact
+    double division, bit-identical across engines, and a last-ulp ln()
+    divergence survives the round only if the true value sits within
+    ~1e-16 of a rounding boundary — checked empirically across all sf
+    dirs); the per-doc mean then runs through the fixed-point sum
+    (functions/numeric.py) so aggregation order cannot reorder doubles.
+
+    At 100 TB: the model is |vocab| rows (map-side combined), broadcasts
+    back against the token stream, and the per-doc mean map-side combines
+    to |docs| rows — corpus read twice, shuffled never. In production the
+    'train' pass runs on a held-out slice and the model table is reused
+    across scoring runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    cw = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cw.agg(F.sum("c").alias("n"))
+    lp = F.round(F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6)
+    scored = (
+        tok.join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    from ..functions.numeric import davg
+
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.round(davg("lp"), 6).alias("avg_logp")
+    )
+
+
+def _cat_profile_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS column_name,
+               COUNT(*) AS n_distinct,
+               round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+               round(1.0 - CAST(SUM(CAST(
+                       (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                       * (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS gini
+        FROM (
+            SELECT {col} AS v, COUNT(*) AS c FROM documents GROUP BY {col}
+        ), (SELECT COUNT(*) AS tot FROM documents)
+    """
+
+
+@register(
+    "categorical_profile",
+    oracle=" UNION ALL ".join(_cat_profile_sql(c) for c in ("lang", "source")),
+    tags=("ext-profile",),
+)
+def categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column profiling: distinct-value count, modal share, and
+    Gini impurity (1 − Σ p²) per column — table_profile's companion for
+    LOW-cardinality columns, where the interesting signal is the shape of
+    the distribution, not the NDV (a stratification key with top_share
+    0.99 will starve 99% of strata; Gini near 0 means the column carries
+    no mixing signal).
+
+    Gini instead of Shannon entropy is a deliberate portability choice:
+    entropy needs ln() (not IEEE-exact — see unigram_logprob_score's
+    mitigation), while Gini is built ONLY from exactly-rounded operations
+    (integer-ratio divisions, one multiply) plus the fixed-point sum over
+    the per-value squares — bit-identical across engines with no empirical
+    caveat.
+
+    Plan: one hash aggregate per column (|distinct| rows), a broadcast
+    scalar for the total, and an aggregate over the counts — per column,
+    one corpus scan that map-side combines; the final frame is
+    |columns| rows. At 100 TB this is the profiling pass a pipeline runs
+    per ingest batch, and each column's scan shares the same file read via
+    column pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()  # aggregate-sized control scalar (one job, reused per column)
+    frames = []
+    for col in ("lang", "source"):
+        counts = docs.groupBy(col).agg(F.count("*").alias("c"))
+        p = F.col("c").cast("double") / F.lit(float(total))
+        sq = F.round(p * p * F.lit(10.0**12)).cast("bigint")
+        frames.append(
+            counts.agg(
+                F.lit(col).alias("column_name"),
+                F.count("*").alias("n_distinct"),
+                F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+                    "top_share"
+                ),
+                F.round(
+                    F.lit(1.0) - (F.sum(sq).cast("double") / F.lit(10.0**12)), 6
+                ).alias("gini"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
