@@ -571,3 +571,51 @@ def test_streaming_near_dup_salted_shards_are_exactly_replayable(spark, tmp_path
     full = {(r["a_id"], r["b_id"]) for r in minhash_lsh_dedup(spark, sf_dir).collect()}
     assert got <= full
     assert 0 < len(got)
+
+
+def test_recommend_salt_probes_bucket_sizes(spark, sf_dir):
+    """The salt planner returns 1 when every LSH bucket fits the budget,
+    the exact ceil(max_bucket / budget) when one does not, and the
+    recommended S genuinely bounds the largest post-shard bucket on the
+    probe corpus."""
+    from vacancy_analyser_spark.streaming.neardup import (
+        _SHARD_A,
+        _SHARD_B,
+        _SHARD_P,
+        minhash_banded,
+        recommend_salt,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sizes = [
+        r["n"]
+        for r in minhash_banded(docs)
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    top = max(sizes)
+    assert recommend_salt(docs, max_bucket_rows=top) == 1
+    assert recommend_salt(docs, max_bucket_rows=top + 1) == 1
+    budget = max(1, top // 3)
+    s = recommend_salt(docs, max_bucket_rows=budget)
+    assert s == -(-top // budget)
+    # applying the recommended salt shards the hottest bucket below ~budget
+    # (hash splits are uneven; allow the binomial tail some slack)
+    salted = (
+        minhash_banded(docs)
+        .withColumn(
+            "shard",
+            (
+                (F.pmod(F.col("doc_id"), F.lit(_SHARD_P)) * _SHARD_A + F.col("band_id") * _SHARD_B)
+                % _SHARD_P
+                % s
+            ).cast("int"),
+        )
+        .groupBy("band_id", "band_val", "shard")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    assert salted <= 2 * budget + 8
+    assert salted < top

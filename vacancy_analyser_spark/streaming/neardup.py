@@ -137,6 +137,41 @@ def _owning_band(sig_a: list[int], sig_b: list[int], a: int, b: int, salt: int) 
     return None
 
 
+def recommend_salt(history: DataFrame, max_bucket_rows: int = 100_000) -> int:
+    """Pick ``bucket_salt`` for ``streaming_near_dup`` from data instead of
+    by hand: probe the LSH bucket-size distribution of a representative
+    STATIC corpus (yesterday's ingest, a sampled backfill) and return the
+    smallest S whose expected shard size fits ``max_bucket_rows`` —
+    S = ceil(max bucket / budget), 1 when every bucket already fits.
+
+    This is the lsh_params-style planner for the hot-bucket knob: the
+    trigger is automatic (derived from an observed size, not a guess) but
+    decided BEFORE the stream starts, because the state key cannot change
+    mid-stream — flipping a live bucket from unsalted to salted would
+    strand its existing state under the old key and break the
+    exactly-once emission contract (_owning_band needs every peer of a
+    doc to be reachable from its shard). In-stream, the bounded-state
+    levers remain TTL expiry (GroupStateTimeout) and restarting with a
+    larger S from a new checkpoint; re-probing per deploy window keeps S
+    tracking the corpus.
+
+    Cost: one aggregate over minhash_banded(history) — the probe returns
+    a single scalar to the driver; the banded frame itself is never
+    collected."""
+    if max_bucket_rows < 1:
+        raise ValueError(f"max_bucket_rows must be >= 1, got {max_bucket_rows}")
+    top = (
+        minhash_banded(history)
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    if top is None:
+        return 1
+    return max(1, -(-int(top) // max_bucket_rows))
+
+
 def streaming_near_dup(docs: DataFrame, bucket_salt: int = 1) -> DataFrame:
     """Near-dup pairs over a document stream, emitted as they appear.
 
