@@ -335,3 +335,56 @@ def test_corpus_prep_single_scan_no_joinback(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_semantic_dedup_pair_join_is_hash_on_centroid(spark, sf_dir):
+    # the pair generator must be an equi-join on centroid_id over the
+    # CACHED assignment (one assignment pass), never a nested-loop product
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    pair_section = plan.split("InMemoryTableScan")[0]
+    assert "BroadcastHashJoin [centroid_id" in pair_section or "SortMergeJoin [centroid_id" in pair_section
+    assert "InMemoryTableScan" in plan  # both sides read the persisted assignment
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_stage_filters_reach_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    # each stage's event_type predicate is pushed into its parquet scan
+    for etype in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in plan
+    assert "WindowExec" not in plan  # ratio step is a join, not a window
+
+
+def test_zscore_stats_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "value_zscore_outliers")
+    assert "BroadcastHashJoin [event_type" in plan
+    # the fact side is never exchanged: the only hashpartitioning exchange
+    # carries the 5-row per-type stats aggregate
+    import re
+
+    fact_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "event_type" not in ln
+    ]
+    assert not fact_exchanges
+
+
+def test_bigram_lm_reuses_pair_shuffle(spark, sf_dir):
+    # c(w1,·) must re-aggregate the (w1,w2) count shuffle, not rescan the corpus
+    plan = _plan(spark, sf_dir, "bigram_lm_table")
+    assert "ReusedExchange" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_unigram_logprob_single_corpus_shuffle_reuse(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "unigram_logprob_score")
+    assert "ReusedExchange" in plan  # model shares the token shuffle
+    assert "BroadcastHashJoin [w" in plan  # model joins back broadcast
+
+
+def test_capped_jaccard_cap_applied_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_jaccard_capped")
+    # the df cap reaches BOTH the candidate join and the size aggregate as
+    # semi-joins against the rare-shingle set
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
