@@ -107,3 +107,68 @@ def test_capped_jaccard_matches_set_replay(spark, sf_dir):
     }
     assert got == expected
     assert got  # fixture corpus has capped near-dup pairs
+
+
+def _bpe_python_replay(vocab: dict[str, int], n_steps: int):
+    """Ground-truth BPE: overlapping pair counts, lexicographic tie-break,
+    greedy left-to-right merge."""
+    from collections import Counter
+
+    state = {w: list(w) for w in vocab}
+    rules = []
+    for s in range(n_steps):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((s + 1, a, b, c))
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            state[w] = out
+    return rules, state
+
+
+def test_bpe_merges_match_python_replay(spark, sf_dir):
+    from vacancy_analyser_spark.plans.textops import BPE_STEPS, bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    vocab = {r["w"]: r["c"] for r in words}
+    expected, _ = _bpe_python_replay(vocab, BPE_STEPS)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_fold_handles_same_symbol_runs(spark):
+    # 'aaaa' under merge (a,a) must become [aa, aa] (greedy-left), never
+    # [aa, a, a] or a chained [aaa, a] — the run-alternation contract both
+    # the fold and the oracle's windowed formulation implement
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("baaab",)], "word string")
+    syms = F.expr("regexp_extract_all(word, '.', 0)")
+    a = b = "a"
+    merged = F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    got = {r["word"]: r["m"] for r in df.select("word", merged.alias("m")).collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["baaab"] == ["b", "aa", "a", "b"]

@@ -943,3 +943,153 @@ def categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+BPE_STEPS = 3
+
+
+def _bpe_step_sql(i: int) -> str:
+    """One unrolled BPE iteration for the oracle: weighted pair counts →
+    deterministic top pair → greedy-left merge expressed set-based (merge
+    flags alternate within runs of consecutive matches — the windowed
+    equivalent of the Spark side's left-to-right fold)."""
+    prev = f"w{i - 1}"
+    return f"""
+p{i} AS (
+    SELECT syms[k] AS left_sym, syms[k + 1] AS right_sym, cnt
+    FROM {prev}, LATERAL (SELECT unnest(range(1, len(syms))) AS k) rk
+),
+t{i} AS (
+    SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS c
+    FROM p{i} GROUP BY left_sym, right_sym
+    ORDER BY c DESC, left_sym, right_sym LIMIT 1
+),
+e{i} AS (
+    SELECT w.word, w.cnt, u.pos, u.sym,
+           COALESCE((u.sym = t.left_sym
+                     AND LEAD(u.sym) OVER (PARTITION BY w.word ORDER BY u.pos) = t.right_sym),
+                    false) AS m,
+           t.left_sym || t.right_sym AS merged
+    FROM {prev} w CROSS JOIN t{i} t,
+         LATERAL (SELECT unnest(w.syms) AS sym, generate_subscripts(w.syms, 1) AS pos) u
+),
+fa{i} AS (
+    SELECT word, cnt, pos, sym, merged, m,
+           pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+    FROM e{i}
+),
+fb{i} AS (
+    SELECT word, cnt, pos, sym, merged,
+           (m AND (ROW_NUMBER() OVER (PARTITION BY word, m, grp ORDER BY pos) % 2 = 1)) AS flag
+    FROM fa{i}
+),
+g{i} AS (
+    SELECT word, cnt, pos,
+           CASE WHEN flag THEN merged ELSE sym END AS sym,
+           COALESCE(LAG(flag) OVER (PARTITION BY word ORDER BY pos), false) AS dropped
+    FROM fb{i}
+),
+w{i} AS (
+    SELECT word, cnt, list(sym ORDER BY pos) AS syms
+    FROM g{i} WHERE NOT dropped GROUP BY word, cnt
+)"""
+
+
+def _bpe_oracle(n_steps: int) -> str:
+    steps = "".join("," + _bpe_step_sql(i) for i in range(1, n_steps + 1))
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, left_sym, right_sym, c AS pair_count FROM t{i}"
+        for i in range(1, n_steps + 1)
+    )
+    return f"""
+        WITH wtab AS (
+            SELECT w AS word, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
+        ),
+        w0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM wtab)
+        {steps}
+        {selects}
+    """
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle(BPE_STEPS), tags=("ext-text",))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, the real merge loop (Sennrich
+    et al. 2016): start from characters, repeatedly (1) count adjacent
+    symbol pairs weighted by word frequency, (2) adopt the most frequent
+    pair as a merge rule (ties broken lexicographically — deterministic),
+    (3) apply the rule greedily left-to-right in every word. Output is the
+    ordered merge table — the artifact a tokenizer ships.
+
+    Plan per step: the pair count is explode → one partial-aggregated
+    hash aggregate over the VOCABULARY table (|distinct words| rows — the
+    corpus itself is read once, up front, to build word counts); the
+    argmax is a TakeOrdered over |pair types| rows; the chosen pair is an
+    aggregate-sized control scalar collected to the driver (the same
+    pattern as the merge high-water mark); the merge itself is a row-local
+    array fold (F.aggregate) — no shuffle, no UDF — and each step
+    localCheckpoints like the other iterative plans (k-means, connected
+    components) so the loop's lineage stays flat.
+
+    The oracle replays the SAME algorithm with the merge expressed
+    set-based (flags alternating inside runs of consecutive matches,
+    windows partitioned per word) — two formulations of greedy-left,
+    pinned equal; the fold side is additionally property-tested against a
+    driver-side replay.
+
+    At 100 TB: the word-count aggregate is the only corpus-scale job and
+    map-side combines to |vocab| rows; every later step works on the
+    vocabulary table (millions of rows, not billions), which is the same
+    economy real BPE trainers exploit. More steps = same loop with the
+    merge table growing one row per step."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = words.select(
+        "word", "cnt", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
+    ).localCheckpoint(eager=True)
+    rules: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_STEPS + 1):
+        pairs = (
+            w.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda k: F.struct(
+                            F.element_at("syms", k).alias("l"),
+                            F.element_at("syms", k + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .first()
+        )
+        a, b = top["l"], top["r"]
+        rules.append((step, a, b, int(top["c"])))
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        w = w.select("word", "cnt", merged.alias("syms")).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "step int, left_sym string, right_sym string, pair_count bigint"
+    )
