@@ -193,3 +193,81 @@ def test_lsh_params_planner_properties():
         assert b * r <= 1024
         assert r >= prev_rbits
         prev_rbits = r
+
+
+def test_pq_adc_shortlist_recall_floor(spark, sf_dir):
+    """The registered two-stage PQ query must keep >= 3/5 of the exact-L2
+    top-5 (measured 4/5-5/5 across sf dirs — the PQ_M/PQ_K sizing basis),
+    and its output distances must be the EXACT re-ranked distances."""
+    from pyspark.sql import functions as F
+
+    from vacancy_analyser_spark.plans.similarity import (
+        PQ_TOPK,
+        _vectors,
+        ann_pq_adc_topk,
+        l2sq,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in vecs.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", F.round(l2sq(F.col("embedding"), F.col("q_emb")), 6).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(PQ_TOPK)
+        .collect()
+    }
+    got = {r["vec_id"]: r["l2_dist"] for r in ann_pq_adc_topk(spark, sf_dir).collect()}
+    assert len(got) == PQ_TOPK
+    hits = set(exact) & set(got)
+    assert len(hits) >= 3
+    for v in hits:
+        assert got[v] == exact[v]  # re-rank distances are the exact ones
+
+
+def test_pq_encode_codes_are_nearest_codebook_entries(spark, sf_dir):
+    """Every emitted code must be the argmin over its block's codebook
+    (round-9, cid tie-break), replayed in numpy from the same decimal-mean
+    codebook construction."""
+    import numpy as np
+
+    from vacancy_analyser_spark.plans.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _pq_codebook,
+        _pq_subvectors,
+        _vectors,
+        pq_encode,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    sub = _pq_subvectors(vecs)
+    cb = {
+        (r["block"], r["cid"]): np.array(r["c_sub"])
+        for r in _pq_codebook(sub).collect()
+    }
+    subs = {(r["vec_id"], r["block"]): np.array(r["sub"]) for r in sub.collect()}
+    got = pq_encode(spark, sf_dir).collect()
+    assert len(got) == len(subs)
+    for r in got[:500]:
+        s = subs[(r["vec_id"], r["block"])]
+        best = min(
+            (
+                (round(float(((s - c) ** 2).sum()), 9), cid)
+                for (blk, cid), c in cb.items()
+                if blk == r["block"]
+            ),
+        )
+        assert r["code"] == best[1]
+        assert r["qd"] == best[0]
+    # codebook is complete: every block trained entries (first-K seeds
+    # may collapse, but at least one entry per block survives)
+    blocks = {blk for blk, _ in cb}
+    assert blocks == set(range(PQ_M))
+    assert all(len(c) == PQ_SUB for c in cb.values())
+    assert max(cid for _, cid in cb) < PQ_K

@@ -884,3 +884,290 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= F.lit(SEMANTIC_TAU))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression half of an IVFPQ-style index
+# ---------------------------------------------------------------------------
+#
+# Split the embedding into PQ_M contiguous sub-vectors, train a tiny k-means
+# codebook per sub-space (first-k deterministic init, like the IVF path), and
+# encode every vector as PQ_M small codes. ADC (asymmetric distance
+# computation) then answers queries from a per-block lookup table without
+# touching the original floats. Distances are squared-L2 computed as the
+# same sequential left fold both engines use for the cosine (zip_with +
+# aggregate / list_zip + list_reduce), rounded to 9 before every argmin.
+
+PQ_M = 16           # sub-spaces
+PQ_SUB = EMB_DIM // PQ_M
+PQ_K = 16           # codebook entries per sub-space (4 bits here; 256 in prod)
+PQ_TOPK = 5
+#: ADC is a SHORTLIST generator, not a ranker: on concentrated synthetic
+#: distances the quantization error swamps top-5 margins (measured: direct
+#: ADC top-5 overlap with exact ≈ 0 at 2-bit books, ≤1/5 at 6-bit), but
+#: the exact top-5 sits inside the ADC top-50 at 4/5–5/5 across all sf
+#: dirs with this 16×16 shape — so the registered query re-ranks the
+#: shortlist exactly, which is precisely how production IVFPQ serves.
+PQ_SHORTLIST = 50
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns — sequential
+    left fold, bit-identical to the oracle's list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _l2sq_sql(x: str, y: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({x}, {y}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (a, c) -> a + c)"
+    )
+
+
+def _pq_subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, block, sub array<double>) — row-local block split."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.slice("embedding", b * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for b in range(PQ_M)
+        ]
+    )
+    return vecs.select("vec_id", F.explode(blocks).alias("bs")).select(
+        "vec_id", F.col("bs.block").alias("block"), F.col("bs.sub").alias("sub")
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """One Lloyd step per sub-space from the first-PQ_K deterministic seed:
+    (block, cid, c_sub). The block is part of every key, so all PQ_M
+    codebooks train in the SAME two aggregates — no per-block loop."""
+    c0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "block", F.col("vec_id").alias("cid"), F.col("sub").alias("c_sub")
+    )
+    d = F.round(l2sq(F.col("sub"), F.col("c_sub")), 9)
+    ranked = (
+        sub.join(F.broadcast(c0), "block")
+        .select("vec_id", "block", "sub", "cid", d.alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "block").orderBy("d", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    means = (
+        ranked.select("block", "cid", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("block", "cid", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("m")
+        )
+    )
+    return (
+        means.groupBy("block", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("block", "cid", F.transform("pm", lambda s: s["m"]).alias("c_sub"))
+    )
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, block, code, qd) — nearest codebook entry per sub-vector,
+    with the round-6 quantization distance."""
+    d = F.round(l2sq(F.col("sub"), F.col("c_sub")), 9)
+    return (
+        sub.join(F.broadcast(codebook), "block")
+        .select("vec_id", "block", "cid", d.alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "block").orderBy("d", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        # qd stays at the argmin's own 9-decimal round: re-rounding a
+        # rounded double to 6 hits half-way ties where the engines'
+        # round() semantics differ (BigDecimal-on-shortest-string vs
+        # binary-value) — probed at sf0.1, block 15 vec 1655
+        .select("vec_id", "block", F.col("cid").alias("code"), F.col("d").alias("qd"))
+    )
+
+
+_PQ_CTES = f"""
+        vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, bl.block,
+                   (emb)[bl.block * {PQ_SUB} + 1 : bl.block * {PQ_SUB} + {PQ_SUB}] AS s
+            FROM vecs, (SELECT unnest(range(0, {PQ_M})) AS block) bl
+        ),
+        c0 AS (
+            SELECT block, vec_id AS cid, s AS c_sub FROM sub WHERE vec_id < {PQ_K}
+        ),
+        a1 AS (
+            SELECT vec_id, block, s, cid FROM (
+                SELECT sub.vec_id, sub.block, sub.s, c0.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY sub.vec_id, sub.block
+                           ORDER BY round({_l2sq_sql('sub.s', 'c0.c_sub')}, 9), c0.cid
+                       ) AS rn
+                FROM sub JOIN c0 ON sub.block = c0.block
+            ) WHERE rn = 1
+        ),
+        m1 AS (
+            SELECT block, cid, pos - 1 AS pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+            FROM (
+                SELECT block, cid, unnest(s) AS val, generate_subscripts(s, 1) AS pos
+                FROM a1
+            )
+            GROUP BY block, cid, pos
+        ),
+        cb AS (
+            SELECT block, cid, list(m ORDER BY pos) AS c_sub FROM m1 GROUP BY block, cid
+        ),
+        codes AS (
+            SELECT vec_id, block, cid AS code, d AS qd FROM (
+                SELECT sub.vec_id, sub.block, cb.cid,
+                       round({_l2sq_sql('sub.s', 'cb.c_sub')}, 9) AS d,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY sub.vec_id, sub.block
+                           ORDER BY round({_l2sq_sql('sub.s', 'cb.c_sub')}, 9), cb.cid
+                       ) AS rn
+                FROM sub JOIN cb ON sub.block = cb.block
+            ) WHERE rn = 1
+        )"""
+
+
+@register(
+    "pq_encode",
+    oracle=f"""
+        WITH {_PQ_CTES}
+        SELECT vec_id, block, code, qd FROM codes
+    """,
+    tags=("ext-sim",),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: train PQ_M per-sub-space codebooks
+    (one deterministic Lloyd step from the first-PQ_K seed) and emit every
+    vector's code per block with its quantization distance — the
+    compressed form an IVFPQ index stores (PQ_M small codes per vector
+    instead of EMB_DIM floats; 2 bits/block here, 8 in production).
+
+    Plan: the block split is a row-local explode (no shuffle); ALL
+    sub-space codebooks train in the same two jobs because block is part
+    of every key — a broadcast argmin against PQ_M·PQ_K codebook rows
+    (WindowGroupLimit keeps one row per (vec, block)) and one
+    decimal-exact mean aggregate carrying PQ_M·PQ_K·PQ_SUB rows. Encoding
+    is the same broadcast argmin against the trained book. The oracle
+    replays seed, fold, round-9 argmin, and decimal means verbatim.
+
+    At 100 TB: codebooks train on a sample (exactly as IVF centroids do),
+    the encode pass is scan + broadcast argmin — embarrassingly parallel,
+    no shuffle of the vector table — and the output is written alongside
+    the IVF partition layout for ADC serving (ann_pq_adc_topk)."""
+    vecs = _vectors(spark, sf_dir)
+    sub = _pq_subvectors(vecs).persist()
+    sub.count()  # codebook + encode both read the split; materialize once
+    cb = _pq_codebook(sub)
+    return _pq_assign(sub, cb)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+        WITH {_PQ_CTES},
+        q AS (SELECT block, s AS q_sub FROM sub WHERE vec_id = 0),
+        dtable AS (
+            SELECT cb.block, cb.cid,
+                   round({_l2sq_sql('q.q_sub', 'cb.c_sub')}, 9) AS d
+            FROM cb JOIN q ON cb.block = q.block
+        ),
+        adc AS (
+            SELECT c.vec_id,
+                   CAST(SUM(CAST(d.d AS DECIMAL(28,9))) AS DOUBLE) AS adc_dist
+            FROM codes c JOIN dtable d ON c.block = d.block AND c.code = d.cid
+            WHERE c.vec_id <> 0
+            GROUP BY c.vec_id
+        ),
+        shortlist AS (
+            SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {PQ_SHORTLIST}
+        ),
+        qv AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0)
+        SELECT v.vec_id,
+               round({_l2sq_sql('v.emb', 'qv.q_emb')}, 6) AS l2_dist
+        FROM vecs v JOIN shortlist s ON v.vec_id = s.vec_id CROSS JOIN qv
+        ORDER BY l2_dist, v.vec_id
+        LIMIT {PQ_TOPK}
+    """,
+    tags=("ext-sim",),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ-style serving: ADC (asymmetric distance computation) builds a
+    SHORTLIST from PQ codes alone, then the exact distance re-ranks the
+    shortlist — the two-stage recipe every production PQ index uses. The
+    query keeps its exact sub-vectors, each codebook entry gets ONE
+    precomputed distance per block (a PQ_M×PQ_K lookup table), every
+    database vector's approximate distance is the sum of table entries
+    selected by its codes, and only the top-PQ_SHORTLIST candidates pay a
+    float read.
+
+    ADC is deliberately NOT the final ranker: on this corpus the exact
+    top-5 margins are smaller than the quantization error (measured —
+    direct ADC top-5 overlap with exact is ~0), but the exact top-5 sits
+    inside the ADC top-50 at 4/5–5/5 across every sf dir (recall floor
+    pinned in tests). That measurement is the PQ_M/PQ_K sizing rationale
+    at PQ_SHORTLIST's definition.
+
+    Plan: distance table = PQ_M·PQ_K rows (broadcast); per-vector ADC =
+    one hash aggregate over codes through DECIMAL (order-independent);
+    shortlist = TakeOrderedAndProject over |vectors| scalar rows; re-rank
+    = semi-join of the float table against 50 ids + exact fold + top-k.
+    At 100 TB the same stages run inside probed IVF buckets: codes are
+    bytes (PQ_M·log₂PQ_K bits/vector), floats are touched for 50 rows."""
+    vecs = _vectors(spark, sf_dir)
+    sub = _pq_subvectors(vecs).persist()
+    sub.count()
+    cb = _pq_codebook(sub).persist()
+    cb.count()  # read twice: dtable + encode
+    codes = _pq_assign(sub, cb).select("vec_id", "block", "code")
+    q_sub = sub.filter(F.col("vec_id") == 0).select(
+        "block", F.col("sub").alias("q_sub")
+    )
+    dtable = F.broadcast(
+        cb.join(q_sub, "block").select(
+            "block",
+            "cid",
+            F.round(l2sq(F.col("q_sub"), F.col("c_sub")), 9).alias("d"),
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(dtable, (codes.block == dtable.block) & (codes.code == dtable.cid))
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("d") * F.lit(10.0**9)).cast("bigint")).cast("double")
+                / F.lit(10.0**9)
+            ).alias("adc_dist")
+        )
+    )
+    shortlist = adc.orderBy("adc_dist", "vec_id").limit(PQ_SHORTLIST).select("vec_id")
+    q_emb = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    rerank = (
+        vecs.join(shortlist, "vec_id", "left_semi")
+        .crossJoin(q_emb)
+        .select(
+            "vec_id", F.round(l2sq(F.col("embedding"), F.col("q_emb")), 6).alias("l2_dist")
+        )
+    )
+    return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
