@@ -117,3 +117,52 @@ def test_semantic_dedup_pairs_share_cluster_assignment(spark, sf_dir):
     }
     for r in semantic_dedup(spark, sf_dir).collect():
         assert assigned[r["a_id"]] == assigned[r["b_id"]] == r["centroid_id"]
+
+
+def test_retention_cohorts_invariants(spark, sf_dir):
+    from vacancy_analyser_spark.plans.behavior import retention_cohorts
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[int, dict[int, int]] = {}
+    for r in rows:
+        assert r["age_days"] >= 0  # nothing happens before a user's first event
+        by_cohort.setdefault(r["cohort_day"], {})[r["age_days"]] = r["n_users"]
+    users_total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user appears in exactly one cohort at age 0, and no later age
+    # can exceed the cohort's size
+    assert sum(c[0] for c in by_cohort.values()) == users_total
+    for c in by_cohort.values():
+        assert all(n <= c[0] for n in c.values())
+
+
+def test_event_transition_matrix_mass_and_replay(spark, sf_dir):
+    from vacancy_analyser_spark.plans.behavior import event_transition_matrix
+
+    got = {(r["src"], r["dst"]): (r["n"], r["p"]) for r in
+           event_transition_matrix(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    from collections import Counter
+
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    c = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            c[(a, b)] += 1
+    assert {k: v[0] for k, v in got.items()} == dict(c)
+    # per-src probability mass closes to 1 within rounding
+    srcs: dict[str, float] = {}
+    for (s, _), (_, p) in got.items():
+        srcs[s] = srcs.get(s, 0.0) + p
+    for s, mass in srcs.items():
+        k = sum(1 for (a, _) in got if a == s)
+        assert abs(mass - 1.0) <= 5e-7 * k + 1e-12

@@ -184,3 +184,105 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) // 86400000000 AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               (epoch_us(e.ts) // 86400000000) - f.cohort_day AS age_days,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY f.cohort_day, (epoch_us(e.ts) // 86400000000) - f.cohort_day
+    """,
+    tags=("ext-behavior",),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the day of their FIRST
+    event (the cohort), counted on each later day they return — the
+    (cohort_day, age_days, n_users) triangle every growth dashboard draws.
+    age_days=0 is the new-user count per day; a row's n_users / its
+    cohort's age-0 count is the retention rate.
+
+    Days are integer EPOCH days (floor(epoch_us / 86.4e9)) on both sides —
+    pure int64 arithmetic with no calendar or session-timezone semantics,
+    so the engines cannot disagree on a boundary (to_date() on a Spark
+    TIMESTAMP renders in the session timezone; the driver's vanilla
+    session makes that a dependency this formulation simply doesn't have).
+
+    Plan: pass 1 aggregates first-event day per user (map-side combined to
+    |users| rows); pass 2 joins it back on user_id and hash-aggregates
+    (cohort, age) with a distinct-user count. At 100 TB the firsts frame
+    is |users| rows — broadcastable for most products, shuffle-join on
+    user_id otherwise — and the matrix itself is |days|² rows, driver-tiny.
+    The same two-pass shape yields weekly cohorts by dividing by 7."""
+    events = load_table(spark, sf_dir, "events")
+    # wall-clock epoch micros: events.ts is TIMESTAMP_NTZ (naive micros in
+    # the parquet), so the NTZ-literal diff is pure integer arithmetic with
+    # no session-timezone semantics — the same recipe interval-join
+    # attribution uses, anchored at the epoch
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = F.floor(epoch_us / F.lit(86_400_000_000)).cast("bigint")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        events.join(firsts, "user_id")
+        .select("user_id", "cohort_day", (day - F.col("cohort_day")).alias("age_days"))
+        .groupBy("cohort_day", "age_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst
+            FROM events
+        ),
+        c AS (
+            SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+            GROUP BY src, dst
+        ),
+        tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY src)
+        SELECT c.src, c.dst, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS p
+        FROM c JOIN tot USING (src)
+    """,
+    tags=("ext-behavior",),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain: P(next event type | current type) from
+    each user's time-ordered event sequence — the transition matrix behind
+    drop-off analysis and journey simulation (bigram_lm_table's recipe
+    lifted from tokens to behavioral events).
+
+    Plan: one LEAD window PARTITIONED BY user_id (parallel in users, the
+    sequence never leaves its partition), then a hash aggregate on the
+    (src, dst) pair — |types|² rows — and the per-src totals re-aggregate
+    THOSE counts (no second corpus pass; the join back is broadcast-tiny).
+    The conditional probability is one exact integer-ratio division.
+
+    At 100 TB: the window shuffles on user_id once; everything after is
+    |types|²-sized. Time-windowed variants (transitions within a session)
+    reuse the sessionization window's partition layout for free."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = c.groupBy("src").agg(F.sum("n").alias("t"))
+    p = F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6)
+    return c.join(F.broadcast(tot), "src").select("src", "dst", "n", p.alias("p"))
