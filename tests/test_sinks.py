@@ -101,3 +101,52 @@ def test_csv_sink_roundtrip_embedded_newlines(spark, tmp_path):
     assert back[0].text == 'line1\nline2 with "quotes"'
     assert back[1].text is None
     assert back[2].archived is None
+
+
+def test_json_lines_roundtrip_with_schema(spark, tmp_path):
+    """JSON-lines sink/source: values round-trip under an explicit schema,
+    including nulls and unicode text; a malformed line degrades to nulls
+    (PERMISSIVE) instead of failing the read."""
+    from pyspark.sql import types as T
+
+    from vacancy_analyser_spark.io import read_json_lines, write_json_lines
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "plain", 0.5), (2, 'quote " and … unicode', None), (3, None, -1.25)],
+        schema,
+    )
+    path = str(tmp_path / "jl")
+    write_json_lines(df, path)
+    back = read_json_lines(spark, path, schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # corrupt line tolerance: append a malformed file into the directory
+    (tmp_path / "jl" / "part-junk.json").write_text('{"id": broken\n')
+    degraded = read_json_lines(spark, path, schema)
+    assert degraded.count() == 4  # 3 good + 1 all-null row, not an exception
+    assert degraded.filter("id IS NULL AND text IS NULL AND score IS NULL").count() >= 1
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    """ORC sink/source round-trips exactly, and the read plan shows the
+    same filter pushdown + column pruning contract as parquet."""
+    from vacancy_analyser_spark.io import read_orc, write_orc
+
+    src = spark.range(1000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS DOUBLE) / 3 AS v", "repeat('x', 10) AS pad"
+    )
+    path = str(tmp_path / "orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+    pushed = back.filter("k = 3").select("id", "v")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
+    assert "pad" not in plan.split("ReadSchema")[1].splitlines()[0]

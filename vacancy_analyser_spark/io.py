@@ -166,6 +166,38 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format LLM-corpus tooling speaks
+    (one JSON object per line; WebDataset/HF-datasets-style exports).
+    Spark's native json writer: task-commit atomicity, splittable files,
+    timestamps serialized ISO-8601."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-directed JSON-lines source. The explicit schema matters at
+    scale twice over: it skips the whole-file inference pass, and it keeps
+    types stable when a batch happens to contain only nulls for a column
+    (inference would demote it). columnNameOfCorruptRecord stays at the
+    default, so malformed lines surface as nulls rather than killing the
+    read (PERMISSIVE), matching the CSV source's tolerance contract."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative where the downstream warehouse
+    is Hive/Trino-flavored. Same task-commit atomicity as parquet; ORC's
+    built-in indexes (min/max per stride) give the same row-group skipping
+    predicate pushdown relies on."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. Spark pushes filters and prunes columns exactly as with
+    parquet (asserted in tests/test_sinks.py)."""
+    return spark.read.orc(path)
+
+
 
 
 def materialization_is_fresh(path: str, source: str) -> bool:
