@@ -1,0 +1,189 @@
+"""Scale-stress for the round-3 extension families (the sf1-equivalent run
+the driver can't provide): embeddings ×N for the PQ/SemDeDup stack, events
+×N for the behavioral stack, documents ×N (scale_stress's corpus builder)
+for the LM/BPE stack.
+
+Surrogate construction, all pure DataFrame:
+
+- embeddings: replica r of vector v gets vec_id = v + r·10⁹ and its
+  components ROTATED by r positions — an isometry, so within-replica
+  geometry (norms, dot products) is preserved exactly while cross-replica
+  cosines decorrelate; vector count scales ×N with the same per-replica
+  structure.
+- events: replica r shifts user_id by r·10⁶ (and event_id by r·10⁹) —
+  user population ×N over the same time range, per-user sequences
+  preserved, so windows partition ×N ways and cohort/funnel shapes repeat
+  per replica.
+- documents: scale_stress.build_corpus (tagged-word replicas).
+
+Validation target: wall(×N) within 2× of N·wall(×1) for the linear-shaped
+plans (pq_encode, bpe_train_merges, bigram_lm_table, retention_cohorts,
+event_transition_matrix, value_zscore_outliers, unigram_logprob_score);
+semantic_dedup is quadratic WITHIN clusters by design — with fixed
+N_CENTROIDS its pair stage grows ×N² at constant cluster count, which is
+exactly why production SemDeDup scales k with the corpus; the report
+prints the measured exponent so the trade is a recorded number, not a
+claim. ann_pq_adc_topk's shortlist stage is linear; the re-rank is
+constant (50 rows).
+
+Run:  python tools/ext_stress.py 2>/dev/null
+      REPLICAS=4 python tools/ext_stress.py 2>/dev/null
+
+Recorded results live in PLANS.md ("extension stack at 10×").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("REPLICAS", "10"))
+STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/ext_stress")
+
+EMB_QUERIES = ("pq_encode", "ann_pq_adc_topk", "semantic_dedup")
+EVT_QUERIES = (
+    "retention_cohorts",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "value_zscore_outliers",
+)
+DOC_QUERIES = ("bpe_train_merges", "bigram_lm_table", "unigram_logprob_score")
+
+
+def _done(path: str, table: str) -> bool:
+    return os.path.exists(os.path.join(path, f"{table}.parquet", "_SUCCESS"))
+
+
+def build_embeddings(spark) -> str:
+    out = os.path.join(STRESS_DIR, f"emb_x{REPLICAS}")
+    if _done(out, "embeddings"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("r"))
+    dim = F.size("embedding")
+    rotated = F.concat(
+        F.slice(F.col("embedding"), F.col("r") + 1, dim - F.col("r")),
+        F.slice(F.col("embedding"), F.lit(1), F.col("r")),
+    )
+    scaled = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("r").cast("bigint") * 1_000_000_000).alias("vec_id"),
+            rotated.alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    # filtered_ann-style queries join documents; not needed for EMB_QUERIES
+    return out
+
+
+def build_events(spark) -> str:
+    out = os.path.join(STRESS_DIR, f"evt_x{REPLICAS}")
+    if _done(out, "events"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("r"))
+    scaled = (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("r").cast("bigint") * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("r").cast("bigint") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+    )
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def run(spark, qs, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    import tools.scale_stress as dstress
+    from vacancy_analyser_spark.plans.registry import queries
+    from vacancy_analyser_spark.session import get_spark
+
+    spark = get_spark("ext-stress")
+    qs = queries()
+    report: dict[str, object] = {"replicas": REPLICAS}
+
+    emb_dir = build_embeddings(spark)
+    evt_dir = build_events(spark)
+    doc_dir = dstress.build_corpus(spark)
+
+    for fam, names, stress in (
+        ("embeddings", EMB_QUERIES, emb_dir),
+        ("events", EVT_QUERIES, evt_dir),
+        ("documents", DOC_QUERIES, doc_dir),
+    ):
+        fam_rep = {}
+        for q in names:
+            b = run(spark, qs, q, BASE_SF)
+            s = run(spark, qs, q, stress)
+            fam_rep[q] = {
+                "x1_sec": b,
+                f"x{REPLICAS}_sec": s,
+                "vs_linear": round(s / (REPLICAS * b), 2) if b > 0 else None,
+            }
+        report[fam] = fam_rep
+
+    # the SemDeDup k-scaling mitigation: with k held at N_CENTROIDS the
+    # within-cluster pair stage is quadratic in the corpus; scaling k by
+    # the same factor holds expected cluster size constant and must return
+    # the stage to ~linear. Measured here so the claim is a number.
+    from vacancy_analyser_spark.plans.similarity import (
+        N_CENTROIDS,
+        SEMANTIC_TAU,
+        _vectors,
+        semantic_dedup_pairs,
+    )
+
+    def run_pairs(sf_dir: str, k: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            semantic_dedup_pairs(_vectors(spark, sf_dir), k, SEMANTIC_TAU).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    b = run_pairs(BASE_SF, N_CENTROIDS)
+    s_fixed = report["embeddings"]["semantic_dedup"][f"x{REPLICAS}_sec"]
+    s_scaled = run_pairs(emb_dir, N_CENTROIDS * REPLICAS)
+    report["semantic_dedup_k_scaling"] = {
+        "k_fixed": N_CENTROIDS,
+        "k_scaled": N_CENTROIDS * REPLICAS,
+        "x1_sec": b,
+        "fixed_k_vs_linear": round(s_fixed / (REPLICAS * b), 2) if b > 0 else None,
+        "scaled_k_sec": s_scaled,
+        "scaled_k_vs_linear": round(s_scaled / (REPLICAS * b), 2) if b > 0 else None,
+    }
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -861,8 +861,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The within-cluster metric is exact, so precision is 1.0 by
     construction."""
     vecs = _vectors(spark, sf_dir)
+    return semantic_dedup_pairs(vecs, N_CENTROIDS, SEMANTIC_TAU)
+
+
+def semantic_dedup_pairs(vecs: DataFrame, n_centroids: int, tau: float) -> DataFrame:
+    """The parameterized SemDeDup core: k IS the scale knob. With k fixed,
+    clusters grow with the corpus and the within-cluster pair stage is
+    quadratic (measured: 3.35× of 10×-linear at ×10 vectors with k=8 —
+    tools/ext_stress.py); scaling k with the corpus (SemDeDup's k ≈ n/20k)
+    holds expected cluster size constant and returns the stage to linear
+    (also measured there, k×10 at corpus×10). The registered query pins
+    k=N_CENTROIDS so its oracle replays the same assignment."""
+    centroids = F.broadcast(
+        vecs.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
     assigned = (
-        _ivf_ranked(vecs)
+        vecs.crossJoin(centroids)
+        .select("vec_id", "embedding", "centroid_id", sim_c.alias("c_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+            ),
+        )
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
         .persist()
@@ -882,7 +906,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("b_id"),
             sim.alias("sim"),
         )
-        .filter(F.col("sim") >= F.lit(SEMANTIC_TAU))
+        .filter(F.col("sim") >= F.lit(tau))
     )
 
 
