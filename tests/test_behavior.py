@@ -73,14 +73,20 @@ def test_funnel_requires_order_not_just_presence(spark, sf_dir):
 def test_zscore_outliers_match_pandas(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     pdf = ev.toPandas()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
     expected = set()
     for etype, grp in pdf.groupby("event_type"):
-        # mirror the fixed-point discipline: scaled-long mean / mean-of-squares
+        # mirror the fixed-point discipline: scaled-long mean (DECIMAL(18,6)
+        # equivalent) and a DECIMAL(38,12) sum for the squares
         sv = (grp["value"] * 10**6).round().astype("int64")
-        sq = (grp["value"] * grp["value"] * 10**6).round().astype("int64")
+        sq_sum = sum(
+            Decimal(repr(v * v)).quantize(q12, ROUND_HALF_UP) for v in grp["value"]
+        )
         n = len(grp)
         mean_v = (float(sv.sum()) / 10**6) / n
-        mean_sq = (float(sq.sum()) / 10**6) / n
+        mean_sq = float(sq_sum) / n
         var = mean_sq - mean_v * mean_v
         if n <= 1 or var <= 0:
             continue

@@ -70,9 +70,12 @@ def build_embeddings(spark) -> str:
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("r"))
     dim = F.size("embedding")
+    # rotation amount mod dim: REPLICAS is a free knob, and r >= dim would
+    # make the first slice length negative (runtime error)
+    rot = F.pmod(F.col("r"), dim)
     rotated = F.concat(
-        F.slice(F.col("embedding"), F.col("r") + 1, dim - F.col("r")),
-        F.slice(F.col("embedding"), F.lit(1), F.col("r")),
+        F.slice(F.col("embedding"), rot + 1, dim - rot),
+        F.slice(F.col("embedding"), F.lit(1), rot),
     )
     scaled = (
         emb.crossJoin(F.broadcast(reps))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, davg_sql
+from ..functions.numeric import davg
 from ..io import load_table
 from .registry import register
 
@@ -128,8 +128,10 @@ ZSCORE_LIMIT = 3.0
     oracle=f"""
         WITH s AS (
             SELECT event_type,
-                   {davg_sql("value")} AS mean_v,
-                   {davg_sql("value * value")} AS mean_sq,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(value) AS DOUBLE) AS mean_v,
+                   CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+                        / COUNT(value) AS DOUBLE) AS mean_sq,
                    COUNT(value) AS n
             FROM events
             GROUP BY event_type
@@ -165,10 +167,20 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table at all. The same two-pass recipe extends to per-(type,
     day) drift monitors by widening the group key."""
     events = load_table(spark, sf_dir, "events")
+    # mean of squares goes through DECIMAL(38,12), not the 10^6-scaled
+    # bigint: squares blow the long accumulator's documented bound
+    # (numeric.py — |Σx| ≤ 9.2e12) at ~1e9 rows of value≈100, and the
+    # oracle's DECIMAL(18,6) even sooner; the 38-digit accumulator holds
+    # any realistic Σv² and both engines round v² identically at 12
+    # fractional digits before the exact decimal sum
+    mean_sq = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).cast("double")
+        / F.count("value")
+    ).cast("double")
     stats = F.broadcast(
         events.groupBy("event_type").agg(
             davg("value").alias("mean_v"),
-            davg(F.col("value") * F.col("value")).alias("mean_sq"),
+            mean_sq.alias("mean_sq"),
             F.count("value").alias("n"),
         )
     )

@@ -414,13 +414,15 @@ N_CENTROIDS = 8
 IVF_K = 5
 
 
-def _ivf_ranked(vecs: DataFrame) -> DataFrame:
+def _ivf_ranked(vecs: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Every vector ranked against every centroid (first-N deterministic
     seed): argmax cosine rounded to 9 decimals, centroid-id tie-break —
-    the shared assignment recipe of ivf_topk, the index builder, and the
-    oracle replay."""
+    the shared assignment recipe of ivf_topk, the index builder,
+    semantic_dedup, and the oracle replay. ``n_centroids`` is
+    semantic_dedup's scale knob; the IVF paths pin the default so their
+    oracles replay the same index."""
     centroids = F.broadcast(
-        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        vecs.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
         )
     )
@@ -871,22 +873,12 @@ def semantic_dedup_pairs(vecs: DataFrame, n_centroids: int, tau: float) -> DataF
     tools/ext_stress.py); scaling k with the corpus (SemDeDup's k ≈ n/20k)
     holds expected cluster size constant and returns the stage to linear
     (also measured there, k×10 at corpus×10). The registered query pins
-    k=N_CENTROIDS so its oracle replays the same assignment."""
-    centroids = F.broadcast(
-        vecs.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-        )
-    )
-    sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
+    k=N_CENTROIDS so its oracle replays the same assignment. The
+    assignment itself IS _ivf_ranked — one recipe, not a copy, so the
+    rounding/tie-break contract cannot drift between the IVF and SemDeDup
+    paths."""
     assigned = (
-        vecs.crossJoin(centroids)
-        .select("vec_id", "embedding", "centroid_id", sim_c.alias("c_sim"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-            ),
-        )
+        _ivf_ranked(vecs, n_centroids)
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
         .persist()

@@ -1075,6 +1075,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("c").desc(), "l", "r")
             .first()
         )
+        if top is None:
+            # corpus exhausted (no adjacent pairs left) — stop early. The
+            # oracle agrees: its p{i} CTE is empty, so t{i} contributes no
+            # row and every later step stays empty — both sides emit the
+            # same partial merge table.
+            break
         a, b = top["l"], top["r"]
         rules.append((step, a, b, int(top["c"])))
         merged = F.aggregate(
