@@ -271,3 +271,46 @@ def test_pq_encode_codes_are_nearest_codebook_entries(spark, sf_dir):
     assert blocks == set(range(PQ_M))
     assert all(len(c) == PQ_SUB for c in cb.values())
     assert max(cid for _, cid in cb) < PQ_K
+
+
+def test_knn_graph_ranks_and_cluster_locality(spark, sf_dir):
+    """Every source emits at most K neighbors, ranks are 1..k dense by
+    descending sim (ties by nbr_id), neighbors share the source's cluster,
+    and each neighbor row's sim equals the symmetric exact cosine."""
+    from pyspark.sql import functions as F
+
+    from vacancy_analyser_spark.plans.similarity import (
+        KNN_GRAPH_K,
+        _ivf_ranked,
+        _vectors,
+        knn_graph,
+    )
+
+    rows = knn_graph(spark, sf_dir).collect()
+    assert rows
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _ivf_ranked(_vectors(spark, sf_dir))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r["src_id"], []).append(r)
+        assert assigned[r["src_id"]] == assigned[r["nbr_id"]]
+        assert r["src_id"] != r["nbr_id"]
+    for src, nbrs in by_src.items():
+        nbrs.sort(key=lambda r: r["nrank"])
+        assert [r["nrank"] for r in nbrs] == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) <= KNN_GRAPH_K
+        sims = [(-r["sim"], r["nbr_id"]) for r in nbrs]
+        assert sims == sorted(sims)
+    # symmetry spot-check: sim(a->b) must equal sim(b->a) when both exist
+    sim_map = {(r["src_id"], r["nbr_id"]): r["sim"] for r in rows}
+    checked = 0
+    for (a, b), s in sim_map.items():
+        if (b, a) in sim_map:
+            assert sim_map[(b, a)] == s
+            checked += 1
+    assert checked > 0

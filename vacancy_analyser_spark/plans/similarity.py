@@ -1187,3 +1187,89 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
+
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        nbrs AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC,
+                                b.vec_id
+                   ) AS nrank
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+        )
+        SELECT src_id, nbr_id, CAST(nrank AS INT) AS nrank, sim
+        FROM nbrs WHERE nrank <= {KNN_GRAPH_K}
+    """,
+    tags=("ext-sim",),
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN graph construction: every vector's top-K neighbors
+    within its cluster — the directed neighbor lists behind diversity
+    sampling, graph-based dedup walk-throughs, and HNSW-style index
+    bootstrapping. semantic_dedup answers "who is above τ"; this answers
+    "who are my K closest", for every vector at once.
+
+    Plan: the shared deterministic assignment (_ivf_ranked) buckets
+    vectors; candidates are the within-cluster directed pairs (an
+    equi-join on centroid_id over the persisted assignment — never
+    all-pairs); the per-source top-K is a window PARTITIONED by src_id,
+    which WindowGroupLimit prunes map-side before the final projection —
+    K rows per vector survive the exchange, not the full candidate list.
+
+    Same scale law as semantic_dedup, same knob: with k(clusters) scaled
+    to hold bucket size constant (measured — PLANS.md "extension stack at
+    10×"), candidates stay linear in the corpus. Cross-cluster neighbors
+    are the recall trade; multi-assignment (rn ≤ 2) recovers boundary
+    neighbors at 2× candidate cost."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = (
+        _ivf_ranked(vecs)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .persist()
+    )
+    assigned.count()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("nrank", F.row_number().over(w).cast("int"))
+        .filter(F.col("nrank") <= KNN_GRAPH_K)
+        .select("src_id", "nbr_id", "nrank", "sim")
+    )
