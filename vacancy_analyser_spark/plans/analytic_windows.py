@@ -135,6 +135,10 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).head()
     n = probe["n"]
+    if n == 0:
+        # empty relation: no quartile boundaries exist; emit the empty
+        # frame with the output schema (the oracle's CTE chain is empty too)
+        return spark.createDataFrame([], "tile int, n_orders bigint, sum_price double")
     base, extra = divmod(n, 4)
     # last global rank of tiles 1..3 under ntile(4) arithmetic
     cuts = []

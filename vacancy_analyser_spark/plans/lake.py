@@ -50,7 +50,15 @@ def orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             partition_by=["o_year"],
         )
-    return spark.read.parquet(path)
+    # explicit schema: skips footer-based inference on the warm path and
+    # keeps an EMPTY layout readable (zero data files → inference fails
+    # with UNABLE_TO_INFER_SCHEMA; the declared schema serves 0 rows)
+    expected = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .schema
+    )
+    return spark.read.schema(expected).parquet(path)
 
 
 @register(

@@ -675,7 +675,11 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     # two driver-side scalars of control flow, not data: the query vector
     # and its probe bucket (both one-row lookups)
-    q_emb = vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    if q_row is None:
+        # no query vector (empty corpus): the probe has nothing to rank
+        return spark.createDataFrame([], "vec_id bigint, sim double")
+    q_emb = q_row[0]
     probes = [
         r.centroid_id
         for r in _ivf_ranked(vecs)

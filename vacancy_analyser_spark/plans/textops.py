@@ -699,6 +699,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     them anyway — untagged docs are not a stratum)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     strata = docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    if not strata:
+        # empty corpus: no strata, nothing to sample (oracle joins against
+        # an empty strata CTE and returns the same empty frame)
+        return docs.select("doc_id", "lang").limit(0)
     target = min(r["cnt"] for r in strata)
     cnt_map = F.create_map(
         *[F.lit(x) for r in strata for x in (r["lang"], r["cnt"])]
