@@ -619,3 +619,61 @@ def test_recommend_salt_probes_bucket_sizes(spark, sf_dir):
     )
     assert salted <= 2 * budget + 8
     assert salted < top
+
+
+def test_streaming_zscore_prequential_replay(spark, tmp_path, sf_dir):
+    """The drift monitor's flags must equal a driver-side prequential
+    replay: each batch scored against the stats of PRIOR batches only
+    (first batch flags nothing), then folded into state in event_id
+    order. Late batches flag against a baseline the offending batch has
+    not contaminated."""
+    from vacancy_analyser_spark.streaming.monitor import streaming_zscore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    b0 = ev.filter("event_id % 3 = 0")
+    b1 = ev.filter("event_id % 3 = 1")
+    b2 = ev.filter("event_id % 3 = 2")
+    src = str(tmp_path / "ev_stream")
+    for b in (b0, b1, b2):
+        b.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_zscore(stream, limit=2.0)
+        .writeStream.format("memory")
+        .queryName("zmon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_zmon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in spark.sql("select * from zmon").collect()
+    }
+
+    # prequential replay (batches in write order, fold by event_id)
+    stats: dict[str, tuple[int, float, float]] = {}
+    expected: dict[int, float] = {}
+    for b in (b0, b1, b2):
+        rows = sorted(b.collect(), key=lambda r: r["event_id"])
+        for r in rows:
+            n, s, s2 = stats.get(r["event_type"], (0, 0.0, 0.0))
+            if n > 1:
+                mean = s / n
+                var = s2 / n - mean * mean
+                if var > 0.0:
+                    z = (r["value"] - mean) / var**0.5
+                    if abs(z) > 2.0:
+                        expected[r["event_id"]] = round(z, 6)
+        for r in rows:
+            n, s, s2 = stats.get(r["event_type"], (0, 0.0, 0.0))
+            v = float(r["value"])
+            stats[r["event_type"]] = (n + 1, s + v, s2 + v * v)
+    assert got == expected
+    assert got  # the heavy-tailed fixture produces flags from batch 2 on

@@ -1,0 +1,96 @@
+"""Streaming drift/outlier monitor: prequential z-score over a stateful
+running mean/variance per event type — the streaming twin of
+``value_zscore_outliers`` (plans/behavior.py).
+
+Prequential semantics (test-then-train, the standard online-monitoring
+contract): each arriving event is scored against the statistics of all
+PREVIOUS micro-batches only, then the batch is folded into state. Scoring
+before folding is what makes the operator deterministic: flags cannot
+depend on the nondeterministic row order within the current batch, and an
+alert fires against a stable baseline rather than one the offending batch
+itself has already contaminated.
+
+State is (count, Σv, Σv²) per event type — O(|types|) rows total, the
+smallest useful sketch. The batch fold sorts by event_id first, so the
+float accumulation order is a deterministic function of the data and the
+batch boundaries (pinned by replay in tests/test_streaming.py). At scale
+this runs exactly like the other stateful operators: RocksDB-backed state,
+one shuffle on the group key per micro-batch, and the per-(type, day)
+drift variant widens the key without changing the shape.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+OUTPUT_SCHEMA = "event_id bigint, event_type string, value double, zscore double"
+STATE_SCHEMA = "n bigint, s double, s2 double"
+
+
+def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
+    """Append-mode stream of (event_id, event_type, value, zscore) rows
+    whose value sits more than ``limit`` standard deviations from the
+    running mean of their event type at the time the batch arrives."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: "GroupState"
+    ) -> Iterator["pd.DataFrame"]:
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic fold order: the shuffle's intra-group row order is
+        # not stable, the data's own key is
+        batch = batch.sort_values("event_id", ignore_index=True)
+        out = []
+        if n > 1:
+            mean = s / n
+            var = s2 / n - mean * mean
+            if var > 0.0:
+                std = var**0.5
+                z = (batch["value"] - mean) / std
+                hit = z.abs() > limit
+                out = [
+                    pd.DataFrame(
+                        {
+                            "event_id": batch.loc[hit, "event_id"],
+                            "event_type": key[0],
+                            "value": batch.loc[hit, "value"],
+                            "zscore": z[hit].round(6),
+                        }
+                    )
+                ]
+        for v in batch["value"]:
+            v = float(v)
+            n += 1
+            s += v
+            s2 += v * v
+        state.update((n, s, s2))
+        yield from out or [
+            pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "value": pd.Series([], dtype="float64"),
+                    "zscore": pd.Series([], dtype="float64"),
+                }
+            )
+        ]
+
+    return (
+        events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
