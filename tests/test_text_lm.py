@@ -172,3 +172,50 @@ def test_bpe_merge_fold_handles_same_symbol_runs(spark):
     assert got["aaaa"] == ["aa", "aa"]
     assert got["aaa"] == ["aa", "a"]
     assert got["baaab"] == ["b", "aa", "a", "b"]
+
+
+def test_bpe_merge_fold_matches_replay_on_random_words(spark):
+    """Hypothesis: for arbitrary small words over a 2-letter alphabet and
+    an arbitrary merge pair, the Spark fold merge equals the greedy-left
+    Python replay — the property the oracle's window formulation and the
+    registered loop both depend on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Row
+
+    def py_merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=6
+        ),
+        pair=st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
+    )
+    def check(words, pair):
+        a, b = pair
+        df = spark.createDataFrame([Row(word=w) for w in words])
+        syms = F.expr("regexp_extract_all(word, '.', 0)")
+        merged = F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        got = {r["word"]: r["m"] for r in df.select("word", merged.alias("m")).collect()}
+        for w in words:
+            assert got[w] == py_merge(list(w), a, b), (w, a, b)
+
+    check()
