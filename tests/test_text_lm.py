@@ -219,3 +219,37 @@ def test_bpe_merge_fold_matches_replay_on_random_words(spark):
             assert got[w] == py_merge(list(w), a, b), (w, a, b)
 
     check()
+
+
+def test_bpe_encode_counts_match_trained_replay(spark, sf_dir):
+    """Token counts under the trained vocabulary equal the Python replay's
+    post-merge symbol counts summed over each document's words, and sit
+    between the whitespace token count (merges only shrink) and the
+    character count."""
+    from vacancy_analyser_spark.plans.textops import (
+        BPE_STEPS,
+        bpe_encode_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    vocab = {r["w"]: r["c"] for r in words}
+    _, state = _bpe_python_replay(vocab, BPE_STEPS)
+    doc_words = docs.select("doc_id", F.explode(tokens("text")).alias("w")).collect()
+    expected: dict[int, int] = {}
+    for r in doc_words:
+        expected[r["doc_id"]] = expected.get(r["doc_id"], 0) + len(state[r["w"]])
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_token_count(spark, sf_dir).collect()
+    }
+    assert got == expected
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(spark, sf_dir).collect()}
+    for d, n in got.items():
+        assert n >= tc[d]  # every word is >= 1 symbol

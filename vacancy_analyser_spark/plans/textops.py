@@ -1103,3 +1103,99 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+@register(
+    "bpe_encode_token_count",
+    oracle=f"""
+        WITH wtab AS (
+            SELECT w AS word, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
+        ),
+        w0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM wtab)
+        {"".join("," + _bpe_step_sql(i) for i in range(1, BPE_STEPS + 1))},
+        tok AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+        )
+        SELECT t.doc_id,
+               CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+        FROM tok t JOIN w{BPE_STEPS} w USING (word)
+        GROUP BY t.doc_id
+    """,
+    tags=("ext-text",),
+)
+def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer roundtrip: encode every document
+    under the BPE_STEPS-merge vocabulary bpe_train_merges learns and count
+    its tokens — the number that actually prices a training run (token
+    budgets, packing, billing are all denominated in post-merge tokens,
+    not whitespace words; bpe_token_estimate is the cheap proxy, this is
+    the real count).
+
+    Plan: train exactly as bpe_train_merges (vocabulary-table loop, one
+    corpus scan for word counts), then SKIP re-tokenizing the corpus —
+    each word's post-merge symbol count joins back to the (doc_id, word)
+    token stream by word and sums per doc. The encode join is broadcast
+    (|vocab| rows carrying one int each); the per-doc sum map-side
+    combines. The oracle replays train and apply in one CTE chain.
+
+    At 100 TB the economics are the same as the trainer's: the corpus is
+    scanned twice total (word counts, token stream), everything else is
+    vocabulary-sized. New corpora encode against a FROZEN merge table by
+    starting the fold from the shipped rules instead of re-training."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = words.select(
+        "word", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
+    ).localCheckpoint(eager=True)
+    for step in range(1, BPE_STEPS + 1):
+        pairs = (
+            w.join(words, "word")
+            .filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda k: F.struct(
+                            F.element_at("syms", k).alias("l"),
+                            F.element_at("syms", k + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .first()
+        )
+        if top is None:
+            break
+        a, b = top["l"], top["r"]
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        w = w.select("word", merged.alias("syms")).localCheckpoint(eager=True)
+    vocab_len = F.broadcast(w.select("word", F.size("syms").alias("n_syms")))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        tok.join(vocab_len, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"))
+    )
