@@ -172,3 +172,29 @@ def test_event_transition_matrix_mass_and_replay(spark, sf_dir):
     for s, mass in srcs.items():
         k = sum(1 for (a, _) in got if a == s)
         assert abs(mass - 1.0) <= 5e-7 * k + 1e-12
+
+
+def test_active_users_rollup_consistency(spark, sf_dir):
+    from vacancy_analyser_spark.plans.behavior import active_users_rollup
+
+    rows = active_users_rollup(spark, sf_dir).collect()
+    by_gran: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_gran.setdefault(r["granularity"], {})[r["bucket"]] = r["n_users"]
+    assert set(by_gran) == {"day", "week", "month"}
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    for gran, buckets in by_gran.items():
+        # no bucket exceeds the population; every bucket is non-empty
+        assert all(0 < n <= total_users for n in buckets.values())
+    # a week's actives are at least the max of its days, at most their sum
+    for wk, wn in by_gran["week"].items():
+        days = [n for d, n in by_gran["day"].items() if d // 7 == wk]
+        assert days
+        assert max(days) <= wn <= sum(days)
+    # a month covers its weeks the same way (30-day fixed windows do not
+    # align with 7-day windows, so compare via days)
+    for mo, mn in by_gran["month"].items():
+        days = [n for d, n in by_gran["day"].items() if d // 30 == mo]
+        assert max(days) <= mn <= sum(days)

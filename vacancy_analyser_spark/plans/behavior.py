@@ -298,3 +298,61 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.groupBy("src").agg(F.sum("n").alias("t"))
     p = F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6)
     return c.join(F.broadcast(tot), "src").select("src", "dst", "n", p.alias("p"))
+
+
+@register(
+    "active_users_rollup",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        )
+        SELECT 'day' AS granularity, d AS bucket,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM e GROUP BY d
+        UNION ALL
+        SELECT 'week', d // 7, COUNT(DISTINCT user_id) FROM e GROUP BY d // 7
+        UNION ALL
+        SELECT 'month', d // 30, COUNT(DISTINCT user_id) FROM e GROUP BY d // 30
+    """,
+    tags=("ext-behavior",),
+)
+def active_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU: distinct active users per day, per 7-day window, and
+    per 30-day window — the engagement rollup every product dashboard
+    leads with. Buckets are INTEGER epoch-day arithmetic (d, d//7, d//30
+    — fixed-width windows, deliberately not calendar weeks/months), so
+    like retention_cohorts no session-timezone or calendar semantics can
+    move a boundary between engines.
+
+    Plan: one narrow projection to (user_id, day), then one
+    distinct-count aggregate per granularity, unioned — each map-side
+    combines (user, bucket) pairs before its exchange, and the exchanges
+    carry distinct pairs, not events. Distinct counts at different
+    granularities cannot share one aggregate (a user active on two days
+    of one week must count once there), which is why this is three
+    aggregates and not a grouping-sets single pass; at 100 TB each is the
+    same cheap shape, and approx_count_distinct swaps in per-granularity
+    when exactness stops mattering (the approx_distinct entry pins that
+    tier's contract)."""
+    events = load_table(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = events.select(
+        "user_id", F.floor(epoch_us / F.lit(86_400_000_000)).cast("bigint").alias("d")
+    )
+    frames = []
+    for gran, bucket in (
+        ("day", F.col("d")),
+        ("week", F.floor(F.col("d") / 7).cast("bigint")),
+        ("month", F.floor(F.col("d") / 30).cast("bigint")),
+    ):
+        frames.append(
+            e.groupBy(bucket.alias("bucket")).agg(
+                F.countDistinct("user_id").alias("n_users")
+            ).select(F.lit(gran).alias("granularity"), "bucket", "n_users")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
