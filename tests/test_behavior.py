@@ -81,8 +81,11 @@ def test_zscore_outliers_match_pandas(spark, sf_dir):
         # mirror the fixed-point discipline: scaled-long mean (DECIMAL(18,6)
         # equivalent) and a DECIMAL(38,12) sum for the squares
         sv = (grp["value"] * 10**6).round().astype("int64")
+        # float() first: numpy >= 2 reprs scalars as 'np.float64(x)',
+        # which Decimal cannot parse
         sq_sum = sum(
-            Decimal(repr(v * v)).quantize(q12, ROUND_HALF_UP) for v in grp["value"]
+            Decimal(repr(float(v) * float(v))).quantize(q12, ROUND_HALF_UP)
+            for v in grp["value"]
         )
         n = len(grp)
         mean_v = (float(sv.sum()) / 10**6) / n

@@ -253,3 +253,51 @@ def test_bpe_encode_counts_match_trained_replay(spark, sf_dir):
     tc = {r["doc_id"]: r["n_tokens"] for r in token_count(spark, sf_dir).collect()}
     for d, n in got.items():
         assert n >= tc[d]  # every word is >= 1 symbol
+
+
+def test_bpe_exhausted_merge_supply_matches_oracle(spark, tmp_path):
+    """A corpus whose merge supply dries up before BPE_STEPS (single-char
+    words only) must agree between the Spark loop (break, keep last
+    state) and the oracle (LEFT JOIN step = no-op): the trainer emits an
+    empty rule table and the encoder still emits real per-doc counts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vacancy_analyser_spark.plans.registry import all_specs
+    from vacancy_analyser_spark.schemas import TESTDATA_TABLES
+
+    out = tmp_path / "degen"
+    out.mkdir()
+    for t in TESTDATA_TABLES:
+        if t == "documents":
+            continue
+        pq.write_table(
+            pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet").empty_table(),
+            str(out / f"{t}.parquet"),
+        )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "a a", "b"], pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([5, 3, 1], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(out / "documents.parquet"))
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
+    for key, expect_rows in (("bpe_train_merges", 0), ("bpe_encode_token_count", 3)):
+        spec = all_specs()[key]
+        s = sorted(tuple(r) for r in spec.fn(spark, str(out)).collect())
+        d = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+        assert s == d, key
+        assert len(s) == expect_rows, key
+    # the encoder's counts on an unmergeable corpus are the char counts
+    enc = dict(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in all_specs()["bpe_encode_token_count"].fn(spark, str(out)).collect()
+    )
+    assert enc == {0: 3, 1: 2, 2: 1}

@@ -24,6 +24,20 @@ from .registry import register
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
+def _epoch_day(ts_col: str = "ts"):
+    """Integer epoch day of a TIMESTAMP_NTZ column — wall-clock
+    timestampdiff from the NTZ epoch, floor-divided to days. Pure int64
+    arithmetic with no calendar or session-timezone semantics, so the
+    engines cannot disagree on a boundary. Load-bearing for cross-engine
+    parity: every day-bucketing query (retention_cohorts,
+    active_users_rollup) shares THIS definition, mirrored in their
+    oracles as epoch_us(ts) // 86400000000."""
+    epoch_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    return F.floor(epoch_us / F.lit(86_400_000_000)).cast("bigint")
+
+
 @register(
     "funnel_conversion",
     oracle="""
@@ -234,14 +248,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id otherwise — and the matrix itself is |days|² rows, driver-tiny.
     The same two-pass shape yields weekly cohorts by dividing by 7."""
     events = load_table(spark, sf_dir, "events")
-    # wall-clock epoch micros: events.ts is TIMESTAMP_NTZ (naive micros in
-    # the parquet), so the NTZ-literal diff is pure integer arithmetic with
-    # no session-timezone semantics — the same recipe interval-join
-    # attribution uses, anchored at the epoch
-    epoch_us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
-    day = F.floor(epoch_us / F.lit(86_400_000_000)).cast("bigint")
+    day = _epoch_day("ts")
     firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
     return (
         events.join(firsts, "user_id")
@@ -335,12 +342,7 @@ def active_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     when exactness stops mattering (the approx_distinct entry pins that
     tier's contract)."""
     events = load_table(spark, sf_dir, "events")
-    epoch_us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
-    e = events.select(
-        "user_id", F.floor(epoch_us / F.lit(86_400_000_000)).cast("bigint").alias("d")
-    )
+    e = events.select("user_id", _epoch_day("ts").alias("d"))
     frames = []
     for gran, bucket in (
         ("day", F.col("d")),

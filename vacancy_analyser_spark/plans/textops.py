@@ -956,7 +956,14 @@ def _bpe_step_sql(i: int) -> str:
     """One unrolled BPE iteration for the oracle: weighted pair counts →
     deterministic top pair → greedy-left merge expressed set-based (merge
     flags alternate within runs of consecutive matches — the windowed
-    equivalent of the Spark side's left-to-right fold)."""
+    equivalent of the Spark side's left-to-right fold).
+
+    ``e{i}`` joins the (≤1-row) top-pair CTE with LEFT JOIN .. ON true,
+    NOT a cross join: when the merge supply dries up before the last step
+    (t{i} empty), a cross join would erase every word and the encoder's
+    final vocab read would return zero rows while the Spark loop breaks
+    and keeps the last state — the LEFT JOIN makes an exhausted step a
+    no-op (m = false everywhere), matching the break on both halves."""
     prev = f"w{i - 1}"
     return f"""
 p{i} AS (
@@ -974,7 +981,7 @@ e{i} AS (
                      AND LEAD(u.sym) OVER (PARTITION BY w.word ORDER BY u.pos) = t.right_sym),
                     false) AS m,
            t.left_sym || t.right_sym AS merged
-    FROM {prev} w CROSS JOIN t{i} t,
+    FROM {prev} w LEFT JOIN t{i} t ON true,
          LATERAL (SELECT unnest(w.syms) AS sym, generate_subscripts(w.syms, 1) AS pos) u
 ),
 fa{i} AS (
@@ -1046,6 +1053,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary table (millions of rows, not billions), which is the same
     economy real BPE trainers exploit. More steps = same loop with the
     merge table growing one row per step."""
+    rules, _w = _bpe_train(spark, sf_dir, BPE_STEPS)
+    return spark.createDataFrame(
+        rules, "step int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, n_steps: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE merge loop: returns (merge rules, final vocabulary state
+    (word, cnt, syms)). cnt rides INSIDE the checkpointed frame, so the
+    corpus is read exactly once (the word-count aggregate) no matter how
+    many steps run — both registered halves (train, encode) call this.
+    An exhausted step (no adjacent pairs anywhere) stops the loop and
+    keeps the last state, which the oracle's LEFT JOIN step mirrors."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
@@ -1056,7 +1078,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "cnt", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
     ).localCheckpoint(eager=True)
     rules: list[tuple[int, str, str, int]] = []
-    for step in range(1, BPE_STEPS + 1):
+    for step in range(1, n_steps + 1):
         pairs = (
             w.filter(F.size("syms") >= 2)
             .select(
@@ -1080,10 +1102,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         if top is None:
-            # corpus exhausted (no adjacent pairs left) — stop early. The
-            # oracle agrees: its p{i} CTE is empty, so t{i} contributes no
-            # row and every later step stays empty — both sides emit the
-            # same partial merge table.
             break
         a, b = top["l"], top["r"]
         rules.append((step, a, b, int(top["c"])))
@@ -1100,9 +1118,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))),
         )
         w = w.select("word", "cnt", merged.alias("syms")).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        rules, "step int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return rules, w
 
 
 @register(
@@ -1143,56 +1159,9 @@ def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned twice total (word counts, token stream), everything else is
     vocabulary-sized. New corpora encode against a FROZEN merge table by
     starting the fold from the shipped rules instead of re-training."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    w = words.select(
-        "word", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
-    ).localCheckpoint(eager=True)
-    for step in range(1, BPE_STEPS + 1):
-        pairs = (
-            w.join(words, "word")
-            .filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda k: F.struct(
-                            F.element_at("syms", k).alias("l"),
-                            F.element_at("syms", k + 1).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
-        )
-        top = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "l", "r")
-            .first()
-        )
-        if top is None:
-            break
-        a, b = top["l"], top["r"]
-        merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        w = w.select("word", merged.alias("syms")).localCheckpoint(eager=True)
+    _rules, w = _bpe_train(spark, sf_dir, BPE_STEPS)
     vocab_len = F.broadcast(w.select("word", F.size("syms").alias("n_syms")))
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     return (
         tok.join(vocab_len, "word")

@@ -43,8 +43,15 @@ def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: "GroupState"
     ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # NULL/non-finite values are dropped BEFORE scoring and folding —
+        # the batch twin's SQL SUM/COUNT skip nulls, and one NaN folded
+        # into (s, s2) would poison the state forever (var = NaN → the
+        # monitor silently never flags this type again)
+        batch = batch[np.isfinite(batch["value"].astype("float64"))]
         # deterministic fold order: the shuffle's intra-group row order is
         # not stable, the data's own key is
         batch = batch.sort_values("event_id", ignore_index=True)
