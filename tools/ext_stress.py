@@ -48,14 +48,20 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("REPLICAS", "10"))
 STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/ext_stress")
 
-EMB_QUERIES = ("pq_encode", "ann_pq_adc_topk", "semantic_dedup")
+EMB_QUERIES = ("pq_encode", "ann_pq_adc_topk", "semantic_dedup", "knn_graph")
 EVT_QUERIES = (
     "retention_cohorts",
     "event_transition_matrix",
     "funnel_conversion",
     "value_zscore_outliers",
+    "active_users_rollup",
 )
-DOC_QUERIES = ("bpe_train_merges", "bigram_lm_table", "unigram_logprob_score")
+DOC_QUERIES = (
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    "bigram_lm_table",
+    "unigram_logprob_score",
+)
 
 
 def _done(path: str, table: str) -> bool:
