@@ -201,3 +201,65 @@ def test_active_users_rollup_consistency(spark, sf_dir):
     for mo, mn in by_gran["month"].items():
         days = [n for d, n in by_gran["day"].items() if d // 30 == mo]
         assert max(days) <= mn <= sum(days)
+
+
+def test_semantic_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multiprobe pairs ⊇ single-probe pairs (never lose a pair by adding
+    probes), still ⊆ the exact all-pairs set with identical sims."""
+    from vacancy_analyser_spark.plans.similarity import semantic_dedup_multiprobe
+
+    single = {
+        (r["a_id"], r["b_id"]): r["sim"] for r in semantic_dedup(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in semantic_dedup_multiprobe(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in exact_near_dup(spark, sf_dir, threshold=SEMANTIC_TAU).collect()
+    }
+    assert set(single) <= set(multi) <= set(exact)
+    for p, s in multi.items():
+        assert s == exact[p]
+
+
+def test_value_drift_by_day_matches_replay(spark, sf_dir):
+    """Flagged (type, day) cells must equal a pandas replay of the same
+    fixed-point z-test, and daily means must come from the same decimal
+    discipline."""
+    from vacancy_analyser_spark.plans.behavior import DRIFT_Z, value_drift_by_day
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = ev.selectExpr(
+        "event_type",
+        "floor(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " / 86400000000) AS day",
+        "value",
+    ).toPandas()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+    expected = set()
+    for etype, grp in pdf.groupby("event_type"):
+        n = len(grp)
+        sv = (grp["value"] * 10**6).round().astype("int64")
+        mean_v = (float(sv.sum()) / 10**6) / n
+        sq_sum = sum(
+            Decimal(repr(float(v) * float(v))).quantize(q12, ROUND_HALF_UP)
+            for v in grp["value"]
+        )
+        var = float(sq_sum) / n - mean_v * mean_v
+        if n <= 1 or var <= 0:
+            continue
+        for day, dgrp in grp.groupby("day"):
+            dsv = (dgrp["value"] * 10**6).round().astype("int64")
+            dmean = (float(dsv.sum()) / 10**6) / len(dgrp)
+            z = (dmean - mean_v) * len(dgrp) ** 0.5 / var**0.5
+            if abs(z) > DRIFT_Z:
+                expected.add((etype, int(day)))
+    got = {
+        (r["event_type"], r["day"]) for r in value_drift_by_day(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # iid daily means still produce ~5% two-sided exceedances

@@ -301,3 +301,33 @@ def test_bpe_exhausted_merge_supply_matches_oracle(spark, tmp_path):
         for r in all_specs()["bpe_encode_token_count"].fn(spark, str(out)).collect()
     )
     assert enc == {0: 3, 1: 2, 2: 1}
+
+
+def test_bpe_apply_frozen_rules_matches_trained_encoder(spark, sf_dir):
+    """bpe_apply_rules given the trainer's own rules must reproduce
+    bpe_encode_token_count exactly — the frozen-vocab train-once/apply-
+    anywhere contract."""
+    from vacancy_analyser_spark.plans.textops import (
+        bpe_apply_rules,
+        bpe_encode_token_count,
+        bpe_train_merges,
+    )
+
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply_rules(docs, rules).collect()
+    }
+    expected = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_token_count(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # frozen rules applied to a DIFFERENT corpus slice still encode it
+    half = docs.filter("doc_id % 2 = 0")
+    part = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply_rules(half, rules).collect()}
+    assert part == {d: n for d, n in expected.items() if d % 2 == 0}

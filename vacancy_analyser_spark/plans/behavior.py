@@ -358,3 +358,86 @@ def active_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+#: Two-sided z-test threshold for the daily drift detector.
+DRIFT_Z = 2.0
+
+
+@register(
+    "value_drift_by_day",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(value) AS DOUBLE) AS mean_v,
+                   CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+                        / COUNT(value) AS DOUBLE) AS mean_sq,
+                   COUNT(value) AS n
+            FROM events GROUP BY event_type
+        ),
+        d AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(value) AS DOUBLE) AS daily_mean,
+                   COUNT(value) AS n_events
+            FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+        )
+        SELECT d.event_type, d.day, d.n_events, d.daily_mean,
+               round((d.daily_mean - s.mean_v) * sqrt(CAST(d.n_events AS DOUBLE))
+                     / sqrt(s.mean_sq - s.mean_v * s.mean_v), 6) AS ztest
+        FROM d JOIN s USING (event_type)
+        WHERE s.n > 1 AND s.mean_sq > s.mean_v * s.mean_v
+          AND abs((d.daily_mean - s.mean_v) * sqrt(CAST(d.n_events AS DOUBLE))
+                  / sqrt(s.mean_sq - s.mean_v * s.mean_v)) > {DRIFT_Z}
+    """,
+    tags=("ext-behavior", "ext-profile"),
+)
+def value_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity drift detection: days whose per-type mean value
+    deviates from the type's corpus-wide mean by more than DRIFT_Z
+    standard errors (a two-sided z-test of the daily mean, σ/√n) — the
+    batch-ingest question behind "did Tuesday's feed change?", one level
+    up from value_zscore_outliers' per-event alerts (an event can be fine
+    while the day's MEAN quietly shifts, and vice versa).
+
+    Plan: two aggregates — per-(type, day) daily means and per-type
+    global moments, both through the fixed-point/decimal discipline —
+    joined on type (broadcast: |types| rows). The test statistic is IEEE
+    basic ops over bit-identical doubles, so the flag set cannot flicker
+    across engines. Days come from the shared integer epoch-day helper
+    (no calendar semantics).
+
+    At 100 TB both aggregates map-side combine (|types|·|days| and
+    |types| rows); nothing else moves. Weekly windows or per-source
+    drill-downs widen the day key without changing the shape."""
+    events = load_table(spark, sf_dir, "events")
+    day = _epoch_day("ts")
+    daily = events.groupBy("event_type", day.alias("day")).agg(
+        davg("value").alias("daily_mean"), F.count("value").alias("n_events")
+    )
+    mean_sq = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).cast("double")
+        / F.count("value")
+    ).cast("double")
+    stats = F.broadcast(
+        events.groupBy("event_type").agg(
+            davg("value").alias("mean_v"),
+            mean_sq.alias("mean_sq"),
+            F.count("value").alias("n"),
+        )
+    )
+    z = (
+        (F.col("daily_mean") - F.col("mean_v"))
+        * F.sqrt(F.col("n_events").cast("double"))
+        / F.sqrt(F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"))
+    )
+    return (
+        daily.join(stats, "event_type")
+        .filter(
+            (F.col("n") > 1)
+            & (F.col("mean_sq") > F.col("mean_v") * F.col("mean_v"))
+            & (F.abs(z) > DRIFT_Z)
+        )
+        .select("event_type", "day", "n_events", "daily_mean", F.round(z, 6).alias("ztest"))
+    )

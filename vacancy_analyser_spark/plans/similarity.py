@@ -1277,3 +1277,73 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nrank") <= KNN_GRAPH_K)
         .select("src_id", "nbr_id", "nrank", "sim")
     )
+
+
+@register(
+    "semantic_dedup_multiprobe",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn <= 2)
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {SEMANTIC_TAU}
+    """,
+    tags=("ext-sim", "ext-dedup"),
+)
+def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup's boundary-recovery variant: every vector is
+    assigned to its TWO nearest centroids (rn ≤ 2), so a pair split by a
+    cluster boundary still meets wherever their probe sets overlap — the
+    multi-assignment remedy the base operator's docstring names, at 2×
+    assignment cost and ~2× candidate volume. Recall is monotonically ≥
+    the single-probe pair set (tested), precision stays 1.0 (the
+    within-bucket metric is exact).
+
+    The pair dedup (a pair can collide in up to 2 shared buckets) is a
+    DISTINCT over the POST-threshold result — bounded by the true-pair
+    count, not the candidate count, so unlike the pre-verify distinct the
+    simhash rewrite removed, this exchange carries only final rows. At
+    100 TB the same k-scaling law applies as the base operator's
+    (PLANS.md 'extension stack at 10×'); multiprobe doubles the constant,
+    not the exponent."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = (
+        _ivf_ranked(vecs)
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "embedding", "centroid_id")
+        .persist()
+    )
+    assigned.count()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(SEMANTIC_TAU))
+        .distinct()
+    )

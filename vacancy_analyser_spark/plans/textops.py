@@ -1168,3 +1168,55 @@ def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"))
     )
+
+
+def bpe_apply_rules(
+    docs: DataFrame, rules: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Encode documents against a FROZEN merge table — the serving path
+    the encoder's docstring promises: no training pass, just the shipped
+    rules applied in order. Returns (doc_id, n_bpe_tokens).
+
+    The fold runs over each document's DISTINCT words once (a vocabulary
+    projection of the batch, not the token stream), then joins the
+    per-word symbol count back — the same economy as training. Rules are
+    inlined as literals; a production merge table of 50k rules would
+    instead drive a chain fold generated once per job (the rule list is a
+    broadcast-sized artifact either way).
+
+    Unlike the registered pair, this is a pure-API operator: its
+    correctness is pinned by equivalence to bpe_encode_token_count when
+    given that query's own trained rules (tested), which is exactly the
+    frozen-vocab contract — train once, apply anywhere."""
+    toks = docs.select("doc_id", tokens(text_col).alias("t"))
+    vocab = (
+        toks.select(F.explode("t").alias("word"))
+        .distinct()
+        .select("word", F.expr("regexp_extract_all(word, '.', 0)").alias("syms"))
+    )
+    def _merge_fold(col, a: str, b: str):
+        # closure factory, NOT a default-arg lambda: pyspark rejects HOF
+        # lambdas whose signature carries extra (defaulted) parameters
+        return F.aggregate(
+            col,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    syms = F.col("syms")
+    for a, b in rules:
+        syms = _merge_fold(syms, a, b)
+    vocab_len = F.broadcast(vocab.select("word", F.size(syms).alias("n_syms")))
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("word"))
+    return (
+        tok.join(vocab_len, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"))
+    )
