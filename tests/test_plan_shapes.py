@@ -388,3 +388,32 @@ def test_capped_jaccard_cap_applied_semi_join(spark, sf_dir):
     # semi-joins against the rare-shingle set
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_distinct_after_threshold(spark, sf_dir):
+    # the pair dedup exchange must run AFTER the sim>=tau filter (bounded
+    # by true pairs), and the pair join stays an equi-join over the cache
+    plan = _plan(spark, sf_dir, "semantic_dedup_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    # the aggregate implementing distinct() groups the post-filter output
+    head = plan.split("InMemoryTableScan")[0]
+    assert "HashAggregate(keys=[a_id" in head or "HashAggregate(keys=[vec_id" in head
+
+
+def test_drift_by_day_fact_never_exchanged(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "value_drift_by_day")
+    assert "BroadcastHashJoin [event_type" in plan
+    # only aggregate-sized frames shuffle: every hashpartitioning exchange
+    # carries a grouping key, never raw event rows
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "event_type" in ln
+
+
+def test_active_users_rollup_partial_combines(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "active_users_rollup")
+    # per-granularity distinct aggregates must partial-combine before the
+    # exchange (the shuffle carries distinct (user, bucket) pairs)
+    assert plan.count("HashAggregate") >= 6
+    assert "CartesianProduct" not in plan
