@@ -13,3 +13,21 @@ def test_headline_keys_all_registered():
     missing = [k for k in bench.HEADLINE if k not in qs]
     assert not missing, f"bench.HEADLINE keys absent from registry: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))  # no dupes
+
+
+def test_queries_md_catalog_in_sync():
+    """QUERIES.md is generated from the registry; a stale catalog means a
+    registry change shipped without regenerating it."""
+    import io
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/catalog.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    ).stdout
+    with open("/root/repo/QUERIES.md") as f:
+        assert f.read() == out
