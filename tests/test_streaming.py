@@ -677,3 +677,50 @@ def test_streaming_zscore_prequential_replay(spark, tmp_path, sf_dir):
             stats[r["event_type"]] = (n + 1, s + v, s2 + v * v)
     assert got == expected
     assert got  # the heavy-tailed fixture produces flags from batch 2 on
+
+
+def test_corpus_ingest_stream_matches_sequential_replay(spark, tmp_path, sf_dir):
+    """The foreachBatch dedup-ingest loop must produce EXACTLY the corpus a
+    sequential driver-side replay of dedup_gate builds over the same
+    batches — exact dups and batch-vs-corpus near-dups are dropped,
+    in-batch near-dups survive (the incremental_dedup one-sided
+    contract), and restarts resume from the durable corpus, not operator
+    memory."""
+    from vacancy_analyser_spark.streaming.ingest import corpus_ingest_stream, dedup_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batches = [
+        docs.filter("doc_id % 3 = 0"),
+        docs.filter("doc_id % 3 = 1"),
+        docs.filter("doc_id % 3 = 2"),
+    ]
+    src = str(tmp_path / "ingest_src")
+    for b in batches:
+        b.write.mode("append").parquet(src)
+
+    corpus_dir = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        corpus_ingest_stream(stream, corpus_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+
+    # sequential replay with the same gate over the same batch order
+    replay_dir = str(tmp_path / "replay")
+    corpus = None
+    for b in batches:
+        surv = dedup_gate(spark, b, corpus)
+        surv.write.mode("append").parquet(replay_dir)
+        corpus = spark.read.parquet(replay_dir)
+    expected = {r["doc_id"] for r in corpus.collect()}
+    assert got == expected
+    # the gate actually dropped something (the fixture has dups) but not
+    # everything
+    total = docs.count()
+    assert 0 < len(got) < total
