@@ -18,16 +18,17 @@ def test_headline_keys_all_registered():
 def test_queries_md_catalog_in_sync():
     """QUERIES.md is generated from the registry; a stale catalog means a
     registry change shipped without regenerating it."""
-    import io
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "tools/catalog.py"],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=repo,
         check=True,
     ).stdout
-    with open("/root/repo/QUERIES.md") as f:
+    with open(os.path.join(repo, "QUERIES.md")) as f:
         assert f.read() == out

@@ -637,7 +637,7 @@ def test_streaming_zscore_prequential_replay(spark, tmp_path, sf_dir):
     b2 = ev.filter("event_id % 3 = 2")
     src = str(tmp_path / "ev_stream")
     for b in (b0, b1, b2):
-        b.write.mode("append").parquet(src)
+        b.coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -696,7 +696,9 @@ def test_corpus_ingest_stream_matches_sequential_replay(spark, tmp_path, sf_dir)
     ]
     src = str(tmp_path / "ingest_src")
     for b in batches:
-        b.write.mode("append").parquet(src)
+        # one file per logical batch: maxFilesPerTrigger=1 equates files
+        # with micro-batches, so a multi-part append would split a batch
+        b.coalesce(1).write.mode("append").parquet(src)
 
     corpus_dir = str(tmp_path / "corpus")
     stream = (
@@ -715,7 +717,7 @@ def test_corpus_ingest_stream_matches_sequential_replay(spark, tmp_path, sf_dir)
     replay_dir = str(tmp_path / "replay")
     corpus = None
     for b in batches:
-        surv = dedup_gate(spark, b, corpus)
+        surv = dedup_gate(b, corpus)
         surv.write.mode("append").parquet(replay_dir)
         corpus = spark.read.parquet(replay_dir)
     expected = {r["doc_id"] for r in corpus.collect()}

@@ -157,17 +157,11 @@ def test_bpe_merge_fold_handles_same_symbol_runs(spark):
     # 'aaaa' under merge (a,a) must become [aa, aa] (greedy-left), never
     # [aa, a, a] or a chained [aaa, a] — the run-alternation contract both
     # the fold and the oracle's windowed formulation implement
+    from vacancy_analyser_spark.plans.textops import _bpe_merge_fold
+
     df = spark.createDataFrame([("aaaa",), ("aaa",), ("baaab",)], "word string")
     syms = F.expr("regexp_extract_all(word, '.', 0)")
-    a = b = "a"
-    merged = F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+    merged = _bpe_merge_fold(syms, "a", "a")
     got = {r["word"]: r["m"] for r in df.select("word", merged.alias("m")).collect()}
     assert got["aaaa"] == ["aa", "aa"]
     assert got["aaa"] == ["aa", "a"]
@@ -201,19 +195,12 @@ def test_bpe_merge_fold_matches_replay_on_random_words(spark):
         pair=st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
     )
     def check(words, pair):
+        from vacancy_analyser_spark.plans.textops import _bpe_merge_fold
+
         a, b = pair
         df = spark.createDataFrame([Row(word=w) for w in words])
         syms = F.expr("regexp_extract_all(word, '.', 0)")
-        merged = F.aggregate(
-            syms,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        merged = _bpe_merge_fold(syms, a, b)
         got = {r["word"]: r["m"] for r in df.select("word", merged.alias("m")).collect()}
         for w in words:
             assert got[w] == py_merge(list(w), a, b), (w, a, b)

@@ -870,7 +870,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(vecs, N_CENTROIDS, SEMANTIC_TAU)
 
 
-def semantic_dedup_pairs(vecs: DataFrame, n_centroids: int, tau: float) -> DataFrame:
+def semantic_dedup_pairs(
+    vecs: DataFrame, n_centroids: int, tau: float, nprobe: int = 1
+) -> DataFrame:
     """The parameterized SemDeDup core: k IS the scale knob. With k fixed,
     clusters grow with the corpus and the within-cluster pair stage is
     quadratic (measured: 3.35× of 10×-linear at ×10 vectors with k=8 —
@@ -880,17 +882,23 @@ def semantic_dedup_pairs(vecs: DataFrame, n_centroids: int, tau: float) -> DataF
     k=N_CENTROIDS so its oracle replays the same assignment. The
     assignment itself IS _ivf_ranked — one recipe, not a copy, so the
     rounding/tie-break contract cannot drift between the IVF and SemDeDup
-    paths."""
+    paths.
+
+    ``nprobe`` is the boundary-recovery knob: vectors assigned to their
+    nprobe nearest centroids, pairs meeting in ANY shared bucket. With
+    nprobe > 1 a pair can collide in several buckets, so the per-bucket
+    centroid column is dropped and the post-threshold result is
+    DISTINCT'd (bounded by true pairs, not candidates)."""
     assigned = (
         _ivf_ranked(vecs, n_centroids)
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "embedding", "centroid_id")
         .persist()
     )
     assigned.count()  # materialize once; the self-join reads the cache twice
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -904,6 +912,9 @@ def semantic_dedup_pairs(vecs: DataFrame, n_centroids: int, tau: float) -> DataF
         )
         .filter(F.col("sim") >= F.lit(tau))
     )
+    if nprobe == 1:
+        return pairs
+    return pairs.select("a_id", "b_id", "sim").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -1322,28 +1333,9 @@ def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash rewrite removed, this exchange carries only final rows. At
     100 TB the same k-scaling law applies as the base operator's
     (PLANS.md 'extension stack at 10×'); multiprobe doubles the constant,
-    not the exponent."""
-    vecs = _vectors(spark, sf_dir)
-    assigned = (
-        _ivf_ranked(vecs)
-        .filter(F.col("rn") <= 2)
-        .select("vec_id", "embedding", "centroid_id")
-        .persist()
-    )
-    assigned.count()
-    a, b = assigned.alias("a"), assigned.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= F.lit(SEMANTIC_TAU))
-        .distinct()
+    not the exponent. The implementation IS semantic_dedup_pairs with
+    nprobe=2 — one core, so the assignment/threshold contract cannot
+    drift between the probe widths."""
+    return semantic_dedup_pairs(
+        _vectors(spark, sf_dir), N_CENTROIDS, SEMANTIC_TAU, nprobe=2
     )

@@ -1105,20 +1105,28 @@ def _bpe_train(
             break
         a, b = top["l"], top["r"]
         rules.append((step, a, b, int(top["c"])))
-        merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        w = w.select("word", "cnt", merged.alias("syms")).localCheckpoint(eager=True)
+        w = w.select(
+            "word", "cnt", _bpe_merge_fold("syms", a, b).alias("syms")
+        ).localCheckpoint(eager=True)
     return rules, w
+
+
+def _bpe_merge_fold(col, a: str, b: str):
+    """THE greedy left-to-right merge fold — the one expression whose
+    byte-identity underwrites every BPE contract in the module (train ==
+    oracle window formulation == frozen-rule apply). A closure factory,
+    not a default-arg lambda: pyspark rejects HOF lambdas whose signature
+    carries extra (defaulted) parameters."""
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
 
 @register(
@@ -1194,25 +1202,9 @@ def bpe_apply_rules(
         .distinct()
         .select("word", F.expr("regexp_extract_all(word, '.', 0)").alias("syms"))
     )
-    def _merge_fold(col, a: str, b: str):
-        # closure factory, NOT a default-arg lambda: pyspark rejects HOF
-        # lambdas whose signature carries extra (defaulted) parameters
-        return F.aggregate(
-            col,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-
     syms = F.col("syms")
     for a, b in rules:
-        syms = _merge_fold(syms, a, b)
+        syms = _bpe_merge_fold(syms, a, b)
     vocab_len = F.broadcast(vocab.select("word", F.size(syms).alias("n_syms")))
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("word"))
     return (

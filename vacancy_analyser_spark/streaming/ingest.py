@@ -12,63 +12,79 @@ the corpus itself (a parquet directory), not operator memory: restarts
 resume from the durable corpus, and the whole loop is deterministic given
 the batch order (pinned by sequential replay in tests/test_streaming.py).
 
-At 100 TB: the corpus side of the near-dup join is the standing shingle
-table (bucketed — the BucketedStateStore pattern — so repeat increments
-shuffle only the new batch); fingerprints are a 128-bit column join; the
-append writes partitioned by ingest date. The per-batch cost scales with
-the BATCH, not the corpus, which is the whole point.
+Cost contract: survivors are stored WITH their fingerprint and shingle
+hashes, so later batches never re-run text processing (md5, tokenize,
+bigram) over the corpus — per-batch TEXT work scales with the batch. The
+corpus-side join still reads the standing shingle column; at 100 TB that
+column lives as a bucketed table (the BucketedStateStore pattern) so
+repeat increments shuffle only the new batch, and the append writes
+partitioned by ingest date.
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_ws, tokens
 from ..plans.dedup import JACCARD_T, _bigrams
 
+#: Columns the durable corpus carries. fingerprint/shingles are the
+#: precomputed artifacts that keep per-batch text work batch-sized.
+CORPUS_COLUMNS = ("doc_id", "text", "fingerprint", "shingles")
+
+
+def _with_artifacts(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → + fingerprint (md5 of normalized text) + shingles
+    (distinct word-bigram xxhash64 array). Computed once per document, at
+    ingest; stored so no later batch re-derives them."""
+    toks = df.select("doc_id", "text", tokens("text").alias("toks"))
+    return toks.select(
+        "doc_id",
+        "text",
+        F.md5(normalize_ws("text")).alias("fingerprint"),
+        F.transform(
+            F.array_distinct(_bigrams("toks")), lambda bg: F.xxhash64(bg)
+        ).alias("shingles"),
+    )
+
 
 def dedup_gate(
-    spark: SparkSession,
-    batch: DataFrame,
-    corpus: DataFrame | None,
-    jaccard_t: float = JACCARD_T,
+    batch: DataFrame, corpus: DataFrame | None, jaccard_t: float = JACCARD_T
 ) -> DataFrame:
-    """Survivors of one batch against an optional existing corpus.
+    """Survivors of one (doc_id, text) batch against an optional existing
+    corpus, returned WITH their stored artifacts (CORPUS_COLUMNS).
 
     Order of gates (each narrows the next one's input):
     1. in-batch exact dedup — keep min(doc_id) per fingerprint;
-    2. corpus exact dedup — anti-join on fingerprint;
-    3. corpus near-dup — asymmetric shingle join (batch×corpus ONLY),
-       exact Jaccard ≥ ``jaccard_t`` kills the batch doc.
+    2. corpus exact dedup — anti-join on the corpus's STORED fingerprint;
+    3. corpus near-dup — asymmetric shingle join (batch×corpus ONLY, from
+       the corpus's STORED shingle arrays), exact Jaccard ≥ ``jaccard_t``
+       kills the batch doc.
 
     In-batch NEAR dups deliberately survive until a later batch sees them
     in the corpus — the same one-sided contract as incremental_dedup
     (batch-internal near-dup is a separate, quadratic-in-batch question a
-    pipeline schedules independently)."""
-    fp = F.md5(normalize_ws("text")).alias("fingerprint")
-    b = batch.select("doc_id", "text", fp)
+    pipeline schedules independently). A corpus frame without the stored
+    artifact columns (an externally-built corpus) gets them derived on
+    the fly — correct, just not the fast path."""
+    b = _with_artifacts(batch.select("doc_id", "text"))
     # gate 1: in-batch exact (deterministic keeper)
     keep = b.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     b = b.join(keep, ["fingerprint", "doc_id"], "left_semi")
     if corpus is None:
-        return b.select("doc_id", "text")
-    c = corpus.select("doc_id", "text", fp)
-    # gate 2: corpus exact
+        return b.select(*CORPUS_COLUMNS)
+    c = corpus if "shingles" in corpus.columns else _with_artifacts(
+        corpus.select("doc_id", "text")
+    )
+    # gate 2: corpus exact — a column anti-join, no corpus text touched
     b = b.join(c.select("fingerprint"), "fingerprint", "left_anti")
     # gate 3: corpus near-dup — the incremental_dedup shape: new-side
-    # shingles vs old-side shingles only, candidates linear in the batch
-    def shingles(df: DataFrame) -> DataFrame:
-        toks = df.select("doc_id", tokens("text").alias("toks"))
-        return toks.select(
-            "doc_id", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram")
-        ).select("doc_id", F.xxhash64("bigram").alias("bh"))
-
-    bg, cg = shingles(b).alias("a"), shingles(c).alias("o")
-    b_sizes = bg.groupBy("doc_id").agg(F.count("*").alias("na"))
-    c_sizes = cg.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    # shingles vs old-side STORED shingles, candidates linear in the batch
+    bg = b.select("doc_id", F.explode("shingles").alias("bh")).alias("a")
+    cg = c.select("doc_id", F.explode("shingles").alias("bh")).alias("o")
+    b_sizes = b.select("doc_id", F.size("shingles").alias("na"))
+    c_sizes = c.select("doc_id", F.size("shingles").alias("nb"))
     inter = (
         bg.join(cg, F.col("a.bh") == F.col("o.bh"))
         .groupBy(F.col("a.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
@@ -82,7 +98,22 @@ def dedup_gate(
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
-    return b.join(kill, "doc_id", "left_anti").select("doc_id", "text")
+    return b.join(kill, "doc_id", "left_anti").select(*CORPUS_COLUMNS)
+
+
+def _read_corpus(spark, corpus_path: str) -> DataFrame | None:
+    """Read the durable corpus, or None before the first append. Probed by
+    attempting the read — NOT by driver-local os.path checks, which would
+    silently report 'no corpus' for hdfs:///s3a:// paths and disable every
+    corpus-side gate on exactly the deployments this loop targets."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.parquet(corpus_path)
+        df.schema  # force analysis so an empty/missing path raises HERE
+        return df
+    except AnalysisException:
+        return None
 
 
 def corpus_ingest_stream(
@@ -94,16 +125,16 @@ def corpus_ingest_stream(
 
         corpus_ingest_stream(stream, path).option("checkpointLocation", ck)
             .trigger(availableNow=True).start()
+
+    Replays of a committed-but-uncheckpointed batch are idempotent: its
+    survivors are already in the corpus, so the fingerprint anti-join
+    drops every re-delivered row.
     """
 
     def step(batch: DataFrame, _bid: int) -> None:
         spark = batch.sparkSession
-        corpus = None
-        if os.path.isdir(corpus_path) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_path)
-        ):
-            corpus = spark.read.parquet(corpus_path)
-        survivors = dedup_gate(spark, batch, corpus, jaccard_t)
+        corpus = _read_corpus(spark, corpus_path)
+        survivors = dedup_gate(batch, corpus, jaccard_t)
         survivors.write.mode("append").parquet(corpus_path)
 
     return docs.select("doc_id", "text").writeStream.foreachBatch(step)
