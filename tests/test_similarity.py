@@ -314,3 +314,29 @@ def test_knn_graph_ranks_and_cluster_locality(spark, sf_dir):
             assert sim_map[(b, a)] == s
             checked += 1
     assert checked > 0
+
+
+def test_embedding_drift_matches_numpy_replay(spark, sf_dir):
+    """Per-label centroid shift equals a numpy replay of the same decimal
+    recipe within the 9-decimal mean rounding, and drift is non-negative
+    with one row per label present in both halves."""
+    import numpy as np
+
+    from vacancy_analyser_spark.plans.similarity import _vectors, embedding_drift
+
+    rows = _vectors(spark, sf_dir).collect()
+    halves: dict[tuple[int, int], list] = {}
+    for r in rows:
+        halves.setdefault((r["label"], r["vec_id"] % 2), []).append(
+            np.array(r["embedding"])
+        )
+    got = {r["label"]: r["centroid_shift"] for r in embedding_drift(spark, sf_dir).collect()}
+    labels = {l for l, h in halves} 
+    both = {l for l in labels if (l, 0) in halves and (l, 1) in halves}
+    assert set(got) == both
+    for l in both:
+        c0 = np.mean(np.vstack(halves[(l, 0)]), axis=0)
+        c1 = np.mean(np.vstack(halves[(l, 1)]), axis=0)
+        expect = float(np.sqrt(((c1 - c0) ** 2).sum()))
+        assert got[l] >= 0
+        assert abs(got[l] - expect) < 1e-5

@@ -1339,3 +1339,72 @@ def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         _vectors(spark, sf_dir), N_CENTROIDS, SEMANTIC_TAU, nprobe=2
     )
+
+
+@register(
+    "embedding_drift",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb, label,
+                   vec_id % 2 AS half
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, half, pos - 1 AS pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+            FROM (
+                SELECT label, half, unnest(emb) AS val,
+                       generate_subscripts(emb, 1) AS pos
+                FROM vecs
+            )
+            GROUP BY label, half, pos
+        ),
+        paired AS (
+            SELECT a.label, a.pos, a.m AS m0, b.m AS m1
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.pos = b.pos
+             AND a.half = 0 AND b.half = 1
+        )
+        SELECT label,
+               round(sqrt(CAST(SUM(CAST((m1 - m0) * (m1 - m0) AS DECIMAL(38,18)))
+                               AS DOUBLE)), 6) AS centroid_shift
+        FROM paired GROUP BY label
+    """,
+    tags=("ext-sim", "ext-profile"),
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: per-label centroid shift (L2 distance
+    between the label's mean vector in two corpus halves — vec_id parity
+    stands in for "last batch vs this batch"). The monitor that catches a
+    silently-retrained or re-normalized embedding model before it poisons
+    an ANN index: codes and centroids assume the space is stationary, and
+    a centroid that moved is the cheapest stationarity test.
+
+    Numeric discipline end to end: per-half means via DECIMAL(38,9)
+    partial aggregation (the embedding_centroids block, with `half` added
+    to the key); the squared component deltas sum through DECIMAL(38,18)
+    — (m1−m0)² is a deterministic double, and the decimal sum makes the
+    reduction order-independent — then one IEEE sqrt and the shared
+    6-decimal output round.
+
+    At 100 TB: one pass, map-side combined to |labels|×2×dim rows; the
+    pairing join and the final aggregate are centroid-sized. In
+    production `half` is the ingest-batch column and the alert is a
+    threshold on centroid_shift (or its z-score across labels)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cent = e.groupBy("label", "half", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("m")
+    )
+    a = cent.filter(F.col("half") == 0).select("label", "pos", F.col("m").alias("m0"))
+    b = cent.filter(F.col("half") == 1).select("label", "pos", F.col("m").alias("m1"))
+    d2 = ((F.col("m1") - F.col("m0")) * (F.col("m1") - F.col("m0"))).cast("decimal(38,18)")
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(d2).cast("double")), 6).alias("centroid_shift"))
+    )
