@@ -417,3 +417,46 @@ def test_active_users_rollup_partial_combines(spark, sf_dir):
     # exchange (the shuffle carries distinct (user, bucket) pairs)
     assert plan.count("HashAggregate") >= 6
     assert "CartesianProduct" not in plan
+
+
+def _forced_broadcasts(df) -> int:
+    """Count forced broadcast() hints surviving in the optimized logical
+    plan. A hint is a promise the side is bounded at ANY scale — only
+    schema-bounded dims (region, nation, taxonomy, 1-row scalars) may
+    carry one. AQE-chosen broadcasts (BroadcastHashJoin in the physical
+    plan without a hint) are fine: they re-decide from runtime sizes."""
+    return df._jdf.queryExecution().optimizedPlan().toString().count("strategy=broadcast")
+
+
+def test_jaccard_sparse_paths_never_hint_doc_scaled_sides(spark, sf_dir):
+    """The per-document sizes of the Jaccard family ride the shingle rows
+    (window + first()) — r3 verdict's scale-killer: a broadcast sizes
+    table is one row per corpus document, an OOM-by-construction at
+    100 TB. No plan in the sparse family may carry any broadcast hint."""
+    from vacancy_analyser_spark.plans.dedup import (
+        _doc_bigrams,
+        _jaccard_countjoin,
+        _jaccard_ppjoin,
+    )
+
+    g = _doc_bigrams(spark, sf_dir)
+    assert _forced_broadcasts(_jaccard_countjoin(g)) == 0
+    assert _forced_broadcasts(_jaccard_ppjoin(g)) == 0
+
+
+def test_containment_and_incremental_never_hint_doc_scaled_sides(spark, sf_dir):
+    assert _forced_broadcasts(QS["containment_dedup"](spark, sf_dir)) == 0
+    assert _forced_broadcasts(QS["incremental_dedup"](spark, sf_dir)) == 0
+
+
+def test_sf_scaling_joins_carry_no_hint(spark, sf_dir):
+    """customer and part scale with SF — the join discipline
+    (plans/joins.py header) says they get NO hint; AQE promotes them to
+    broadcast from runtime sizes at small SF, sort-merge at 100 TB."""
+    assert _forced_broadcasts(QS["employer_enrich_join"](spark, sf_dir)) == 0
+    assert _forced_broadcasts(QS["broadcast_synonym_join"](spark, sf_dir)) == 0
+    # ...and at the test SF, AQE must still pick the broadcast at runtime,
+    # proving dropping the hint costs nothing where broadcasting is right.
+    df = QS["broadcast_synonym_join"](spark, sf_dir)
+    df.collect()
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()

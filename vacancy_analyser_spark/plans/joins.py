@@ -38,10 +38,12 @@ from .registry import register
 def employer_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/J4 enrichment join: the reference does one HTTP GET per vacancy to
     fetch employer industries (get_vacancies.py:136-148). Engine version:
-    fetch the employer dim once, broadcast it into a left join — never
-    per-row I/O inside the hot path."""
+    fetch the employer dim once and join it in — never per-row I/O inside
+    the hot path. No broadcast hint: customer SCALES WITH THE DATA (module
+    header discipline), so AQE promotes it to broadcast at small SF and
+    keeps sort-merge at 100 TB where a forced broadcast would OOM."""
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     return orders.join(customer, orders.o_custkey == customer.c_custkey, "left").select(
         "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
     )
@@ -81,10 +83,14 @@ def anti_join_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def broadcast_synonym_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 broadcast dimension join (notebook cells 26-27 map every term
-    through the synonym dict — a hand-rolled broadcast hash join). Inner
-    join, dim side broadcast: one pass over the fact, zero shuffle."""
+    through the synonym dict — a hand-rolled broadcast hash join). The
+    notebook's actual synonym dim (≤430 rows, operators/taxonomy.py)
+    deserves a forced broadcast(); TPC-H `part` scales with SF, so it
+    carries NO hint — AQE broadcasts it at small SF (one pass over the
+    fact, zero fact shuffle) and falls back to sort-merge at a scale where
+    a forced broadcast would OOM."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     return li.join(part, li.l_partkey == part.p_partkey, "inner").select(
         "l_orderkey", "l_linenumber", "p_name", "p_brand"
     )
