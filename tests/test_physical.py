@@ -302,3 +302,17 @@ def test_countjoin_df_cap_drops_head_pairs_only(spark):
     assert capped == {(1, 2, 1.0)}
     uncapped = {(r["a_id"], r["b_id"]) for r in D._jaccard_countjoin(g).collect()}
     assert (1, 2) in uncapped
+
+
+def test_ntile_dispatch_paths_agree(spark, sf_dir, monkeypatch):
+    """The ntile size dispatcher is a physical choice only: the plain
+    ntile() window (small-n path, taken at every test SF) and the 4-pass
+    boundary-band plan (forced here by zeroing the threshold) must return
+    identical tiles, counts, and fixed-point sums."""
+    from vacancy_analyser_spark.plans import analytic_windows as AW
+
+    small = sorted(map(tuple, AW.ntile_quartiles(spark, sf_dir).collect()))
+    monkeypatch.setattr(AW, "_NTILE_SMALL_N", 0)
+    large = sorted(map(tuple, AW.ntile_quartiles(spark, sf_dir).collect()))
+    assert small == large
+    assert len(small) == 4

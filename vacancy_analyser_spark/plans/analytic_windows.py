@@ -84,6 +84,17 @@ def moving_sum_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NTILE_ACC = 10_000
 _NTILE_MARGIN = 4.0
 
+#: Size dispatch (same pattern as the Jaccard regime chooser,
+#: plans/dedup.py): at or below this row count the plain ntile() window
+#: runs — ONE job whose single sort partition holds ≤ ~64 MB of
+#: (double, bigint) keys, trivially safe and 2-3× faster locally than the
+#: 4-pass boundary plan (measured at sf0.1: 0.36s vs 1.02s, PLANS.md).
+#: Above it the partition-parallel boundary-band plan takes over — the
+#: sort-everything shape stops being safe long before it stops being
+#: fast, and 4M rows is far below where a single 128 MB-budget task
+#: would struggle, so the dispatch errs toward the scale-safe plan.
+_NTILE_SMALL_N = 4_000_000
+
 
 @register(
     "ntile_quartiles",
@@ -102,11 +113,15 @@ _NTILE_MARGIN = 4.0
     tags=("window-ext",),
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) price quartiles with per-tile counts and fixed-point sums —
-    WITHOUT the global single-partition sort ntile() itself would force.
+    """ntile(4) price quartiles with per-tile counts and fixed-point sums,
+    size-dispatched like the Jaccard planner: at or below _NTILE_SMALL_N
+    rows the plain ntile() window runs (one job; the global sort fits one
+    task comfortably), above it the partition-parallel boundary-band plan
+    below — exact at any scale, never a table-sized single-partition sort.
+    Both paths replicate identical ntile arithmetic (pinned equal in
+    tests/test_physical.py), so the dispatch is a physical choice only.
 
-    Partition-parallel exact plan (the scale-safe replacement the old
-    docstring only promised):
+    Partition-parallel exact plan (the large-n path):
 
     1. one scan: n = count + approx_percentile band pivots around the three
        ntile boundary ranks (rank error ≤ n/ACC by the sketch guarantee);
@@ -123,7 +138,16 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee violated) this raises rather than returning a wrong split."""
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
 
-    # pass 1: size + band pivots in a single aggregate
+    def tile_agg(tiled: DataFrame) -> DataFrame:
+        scaled = F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+        return tiled.groupBy("tile").agg(
+            F.count("*").alias("n_orders"),
+            (scaled.cast("double") / 1_000_000).alias("sum_price"),
+        )
+
+    # pass 1: size + band pivots in a single aggregate (the pivots cost
+    # nothing extra — the scan dominates — and are dead only on the small
+    # path, so the dispatch probe is one job either way)
     probe = orders.agg(
         F.count("*").alias("n"),
         *[
@@ -139,6 +163,9 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty relation: no quartile boundaries exist; emit the empty
         # frame with the output schema (the oracle's CTE chain is empty too)
         return spark.createDataFrame([], "tile int, n_orders bigint, sum_price double")
+    if n <= _NTILE_SMALL_N:
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        return tile_agg(orders.select("o_totalprice", F.ntile(4).over(w).alias("tile")))
     base, extra = divmod(n, 4)
     # last global rank of tiles 1..3 under ntile(4) arithmetic
     cuts = []
@@ -205,15 +232,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         bp, bk = bkeys[i]
         tile = tile + gt(bp, bk).cast("int")
-    scaled = F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("bigint"))
-    return (
-        orders.select("o_totalprice", tile.cast("int").alias("tile"))
-        .groupBy("tile")
-        .agg(
-            F.count("*").alias("n_orders"),
-            (scaled.cast("double") / 1_000_000).alias("sum_price"),
-        )
-    )
+    return tile_agg(orders.select("o_totalprice", tile.cast("int").alias("tile")))
 
 
 @register(
