@@ -657,24 +657,28 @@ def test_streaming_zscore_prequential_replay(spark, tmp_path, sf_dir):
         for r in spark.sql("select * from zmon").collect()
     }
 
-    # prequential replay (batches in write order, fold by event_id)
+    # prequential replay (batches in write order, Welford fold by event_id
+    # — the monitor's exact state arithmetic, so floats match bit-for-bit)
     stats: dict[str, tuple[int, float, float]] = {}
     expected: dict[int, float] = {}
     for b in (b0, b1, b2):
         rows = sorted(b.collect(), key=lambda r: r["event_id"])
         for r in rows:
-            n, s, s2 = stats.get(r["event_type"], (0, 0.0, 0.0))
+            n, mean, m2 = stats.get(r["event_type"], (0, 0.0, 0.0))
             if n > 1:
-                mean = s / n
-                var = s2 / n - mean * mean
+                var = m2 / n
                 if var > 0.0:
                     z = (r["value"] - mean) / var**0.5
                     if abs(z) > 2.0:
                         expected[r["event_id"]] = round(z, 6)
         for r in rows:
-            n, s, s2 = stats.get(r["event_type"], (0, 0.0, 0.0))
+            n, mean, m2 = stats.get(r["event_type"], (0, 0.0, 0.0))
             v = float(r["value"])
-            stats[r["event_type"]] = (n + 1, s + v, s2 + v * v)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            stats[r["event_type"]] = (n, mean, m2)
     assert got == expected
     assert got  # the heavy-tailed fixture produces flags from batch 2 on
 
@@ -726,3 +730,19 @@ def test_corpus_ingest_stream_matches_sequential_replay(spark, tmp_path, sf_dir)
     # everything
     total = docs.count()
     assert 0 < len(got) < total
+
+
+def test_dedup_gate_intra_batch_redelivery(spark):
+    """A source that re-delivers the SAME (doc_id, text) row within one
+    micro-batch must contribute the document to the corpus ONCE — the
+    min-doc_id keeper semi-join alone keeps every row of the keeper id,
+    so the gate dedups on doc_id before anything else."""
+    from vacancy_analyser_spark.streaming.ingest import dedup_gate
+
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "wholly unrelated text here")],
+        "doc_id long, text string",
+    )
+    out = dedup_gate(batch, None).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]

@@ -934,11 +934,13 @@ PQ_SUB = EMB_DIM // PQ_M
 PQ_K = 16           # codebook entries per sub-space (4 bits here; 256 in prod)
 PQ_TOPK = 5
 #: ADC is a SHORTLIST generator, not a ranker: on concentrated synthetic
-#: distances the quantization error swamps top-5 margins (measured: direct
-#: ADC top-5 overlap with exact ≈ 0 at 2-bit books, ≤1/5 at 6-bit), but
-#: the exact top-5 sits inside the ADC top-50 at 4/5–5/5 across all sf
-#: dirs with this 16×16 shape — so the registered query re-ranks the
-#: shortlist exactly, which is precisely how production IVFPQ serves.
+#: distances the quantization error swamps top-5 margins. (The 2-bit and
+#: 6-bit numbers below are from earlier SIZING EXPERIMENTS, not the
+#: shipped 4-bit shape: direct ADC top-5 overlap with exact ≈ 0 at 2-bit
+#: books, ≤1/5 at 6-bit.) With the shipped 16×16 (4-bit) shape the exact
+#: top-5 sits inside the ADC top-50 at 4/5–5/5 across all sf dirs — so
+#: the registered query re-ranks the shortlist exactly, which is
+#: precisely how production IVFPQ serves.
 PQ_SHORTLIST = 50
 
 
@@ -1090,7 +1092,8 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one deterministic Lloyd step from the first-PQ_K seed) and emit every
     vector's code per block with its quantization distance — the
     compressed form an IVFPQ index stores (PQ_M small codes per vector
-    instead of EMB_DIM floats; 2 bits/block here, 8 in production).
+    instead of EMB_DIM floats; PQ_K=16 → 4 bits/block here, 8 in
+    production).
 
     Plan: the block split is a row-local explode (no shuffle); ALL
     sub-space codebooks train in the same two jobs because block is part

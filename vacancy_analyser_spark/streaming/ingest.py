@@ -68,7 +68,11 @@ def dedup_gate(
     pipeline schedules independently). A corpus frame without the stored
     artifact columns (an externally-built corpus) gets them derived on
     the fly — correct, just not the fast path."""
-    b = _with_artifacts(batch.select("doc_id", "text"))
+    # gate 0: intra-batch re-delivery — a source that re-delivers the SAME
+    # doc_id within one micro-batch would otherwise pass gate 1 twice (the
+    # min-doc_id semi-join keeps every row of the keeper id) and append
+    # the document to the corpus twice
+    b = _with_artifacts(batch.select("doc_id", "text").dropDuplicates(["doc_id"]))
     # gate 1: in-batch exact (deterministic keeper)
     keep = b.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     b = b.join(keep, ["fingerprint", "doc_id"], "left_semi")

@@ -30,13 +30,20 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming.state import GroupState
 
 OUTPUT_SCHEMA = "event_id bigint, event_type string, value double, zscore double"
-STATE_SCHEMA = "n bigint, s double, s2 double"
+STATE_SCHEMA = "n bigint, mean double, m2 double"
 
 
 def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
     """Append-mode stream of (event_id, event_type, value, zscore) rows
     whose value sits more than ``limit`` standard deviations from the
-    running mean of their event type at the time the batch arrives."""
+    running mean of their event type at the time the batch arrives.
+
+    State is the Welford running form (n, mean, M2), not raw
+    (n, Σv, Σv²): on long streams with large means the naive
+    var = s2/n − mean² cancels catastrophically — it can drift to ≤ 0 and
+    silently disable scoring for that event type forever. Welford's M2 is
+    nonnegative by construction, so var == 0 now means the values really
+    are constant (scoring is genuinely undefined), never lost precision."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -45,7 +52,7 @@ def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
-        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        n, mean_st, m2 = state.get if state.exists else (0, 0.0, 0.0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         # NULL/non-finite values are dropped BEFORE scoring and folding —
         # the batch twin's SQL SUM/COUNT skip nulls, and one NaN folded
@@ -57,8 +64,8 @@ def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
         batch = batch.sort_values("event_id", ignore_index=True)
         out = []
         if n > 1:
-            mean = s / n
-            var = s2 / n - mean * mean
+            mean = mean_st
+            var = m2 / n  # population variance; M2 ≥ 0 by construction
             if var > 0.0:
                 std = var**0.5
                 z = (batch["value"] - mean) / std
@@ -76,9 +83,10 @@ def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
         for v in batch["value"]:
             v = float(v)
             n += 1
-            s += v
-            s2 += v * v
-        state.update((n, s, s2))
+            d = v - mean_st
+            mean_st += d / n
+            m2 += d * (v - mean_st)
+        state.update((n, mean_st, m2))
         yield from out or [
             pd.DataFrame(
                 {
