@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # needs a full rows+schema+hash pass: "the query returned rows" is zero
 # correctness evidence, and auto-confirming it would rotate the key out of
 # all future driver checks. Additions here are a reviewed decision.
-ROWS_ONLY_ALLOWLIST = frozenset({"approx_distinct"})
+# (Empty since r4: approx_distinct was rewritten as an error-bound query —
+# exact NDV + |HLL−exact| ≤ 4·rsd·exact booleans — with a full oracle.)
+ROWS_ONLY_ALLOWLIST = frozenset()
 
 
 def green_keys(path: str) -> set[str]:

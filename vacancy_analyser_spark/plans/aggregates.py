@@ -207,15 +207,59 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct", oracle=None, tags=("A8",))
+#: HLL target relative standard deviation and the acceptance bound as a
+#: multiple of it. Spark's HLL++ is deterministic for a given input, but
+#: its estimates are implementation-specific — so the HASHED output is the
+#: exact NDV plus a boolean |est − exact| ≤ 4·rsd·exact per group. 4σ over
+#: the sketch guarantee: measured error at rsd=0.01 tops out at 0.67×rsd
+#: across sf0.001/0.01/0.1 (both key columns, every group).
+_HLL_RSD = 0.01
+_HLL_BOUND = 4.0
+
+
+@register(
+    "approx_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               TRUE AS parts_within_bound,
+               TRUE AS supps_within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A8",),
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8b approx_count_distinct (HyperLogLog++) — the 100 TB path where an
-    exact distinct shuffle is not worth it. No DuckDB oracle (different HLL
-    implementation) → rows-only check."""
+    exact distinct shuffle is not worth it.
+
+    DuckDB's HLL differs from Spark's, so raw estimates can't hash-match;
+    what CAN is the sketch's accuracy CONTRACT. Per group the query emits
+    the exact NDV and a boolean |HLL − exact| ≤ 4·rsd·exact; the oracle
+    computes the same exact NDV and expects TRUE. A Spark upgrade that
+    broke approx_count_distinct's guarantee would flip the boolean and
+    fail the hash — a real check, unlike the rows-only count this
+    replaced. (Exact NDV here is test harness, not the production plan:
+    at 100 TB you run ONLY the HLL aggregate.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) <= _HLL_BOUND * _HLL_RSD * F.col(exact)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("est_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("est_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts",
+            "n_supps",
+            within("est_parts", "n_parts").alias("parts_within_bound"),
+            within("est_supps", "n_supps").alias("supps_within_bound"),
+        )
     )
 
 
