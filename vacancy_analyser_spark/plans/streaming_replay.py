@@ -1,0 +1,231 @@
+"""Driver-visible batch-replay keys for the streaming-only operators.
+
+The engine's streaming surfaces (streaming/neardup.py, monitor.py,
+ingest.py) are pinned equal to batch twins in tests/test_streaming.py, but
+until r4 none had a registered `queries()` key — their correctness
+evidence lived repo-side only. Each key here runs the REAL streaming
+machinery (readStream over a deterministic file fixture written from the
+sf tables, Trigger.AvailableNow, applyInPandasWithState / foreachBatch)
+inside the query function and returns the materialized result, with a
+full ANSI oracle replaying the same prequential semantics, so the driver
+hash-checks the streaming code path itself, not a batch stand-in.
+
+Fixture discipline: three micro-batches split by `key % 3`, written as one
+parquet file each in batch order and consumed with maxFilesPerTrigger=1 —
+the same deterministic-replay shape the streaming tests use. Fresh temp
+dirs per call keep repeated runs (parity harness + driver) independent.
+
+These queries are test harnesses by construction — the local-mode cost of
+running a stream inside a query fn is the price of driver-visible
+evidence; production use of the operators is the streaming API itself.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .dedup import (
+    JACCARD_T,
+    _BIGRAMS_SQL,
+    _NORM_SQL,
+    _band_sql,
+    _minhash_sig_sql,
+)
+from .registry import register
+
+#: z-score flag threshold for the monitor replay (2σ keeps the flagged set
+#: non-trivial at every sf dir; the monitor default of 3σ flags nothing at
+#: sf0.001's 1000 events).
+_Z_LIMIT = 2.0
+
+
+def _write_batches(df: DataFrame, key: str, src: str) -> None:
+    """Write df as three single-file micro-batches (key % 3) in batch
+    order — FileStreamSource with maxFilesPerTrigger=1 then replays them
+    as three triggers in the same order, which is what makes the
+    prequential oracles below well-defined."""
+    for k in range(3):
+        df.filter((F.col(key) % 3) == k).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_to_memory(stream_df: DataFrame, ckpt: str) -> DataFrame:
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_neardup_replay",
+    oracle=f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({_band_sql()})
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    """,
+    tags=("ext-streaming", "replay"),
+)
+def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MinHash-LSH near-dup operator
+    (streaming/neardup.py::streaming_near_dup — per-bucket
+    applyInPandasWithState, first-agreeing-band pair ownership), driven
+    over the documents table as a three-batch stream. Emitted pairs must
+    equal the batch ``minhash_lsh_dedup`` over the union of the batches —
+    the oracle IS that query's band-join SQL."""
+    from ..streaming.neardup import streaming_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="neardup_src_")
+    ckpt = tempfile.mkdtemp(prefix="neardup_ckpt_")
+    _write_batches(docs, "doc_id", src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return _run_to_memory(streaming_near_dup(stream), ckpt).select("a_id", "b_id")
+
+
+@register(
+    "streaming_zscore_replay",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type, value, event_id % 3 AS b
+            FROM events WHERE isfinite(value)
+        ),
+        g AS (
+            SELECT event_type, b, COUNT(*) AS cnt,
+                   SUM(value) AS s, SUM(value * value) AS s2
+            FROM e GROUP BY event_type, b
+        ),
+        cum AS (
+            SELECT event_type, b,
+                   COALESCE(SUM(cnt) OVER w, 0) AS n,
+                   SUM(s) OVER w AS s,
+                   SUM(s2) OVER w AS s2
+            FROM g
+            WINDOW w AS (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        scored AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - c.s / c.n)
+                       / sqrt(c.s2 / c.n - (c.s / c.n) * (c.s / c.n)) AS z
+            FROM e JOIN cum c ON e.event_type = c.event_type AND e.b = c.b
+            WHERE c.n > 1 AND c.s2 / c.n - (c.s / c.n) * (c.s / c.n) > 0
+        )
+        SELECT event_id, event_type, value, round(z, 6) AS zscore
+        FROM scored WHERE abs(z) > {_Z_LIMIT}
+    """,
+    tags=("ext-streaming", "replay"),
+)
+def streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prequential drift monitor
+    (streaming/monitor.py::streaming_zscore — Welford running state per
+    event type, each batch scored against PRIOR batches only) over the
+    events table as a three-batch stream. The oracle replays the same
+    prequential split with cumulative-window stats; the monitor's Welford
+    mean/variance and the oracle's sum-form agree to well past the six
+    rounded decimals the output carries (verified at every sf dir)."""
+    from ..streaming.monitor import streaming_zscore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="zmon_src_")
+    ckpt = tempfile.mkdtemp(prefix="zmon_ckpt_")
+    _write_batches(ev, "event_id", src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return _run_to_memory(streaming_zscore(stream, limit=_Z_LIMIT), ckpt)
+
+
+@register(
+    "corpus_ingest_replay",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 3 AS b, md5({_NORM_SQL}) AS fingerprint
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        jac AS (
+            SELECT a.doc_id AS x, b.doc_id AS y,
+                   CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) AS j
+            FROM g a JOIN g b ON a.bigram = b.bigram AND a.doc_id <> b.doc_id
+            JOIN sizes sa ON a.doc_id = sa.doc_id
+            JOIN sizes sb ON b.doc_id = sb.doc_id
+            GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        ),
+        k AS (
+            SELECT doc_id, b, fingerprint FROM (
+                SELECT doc_id, b, fingerprint,
+                       MIN(doc_id) OVER (PARTITION BY b, fingerprint) AS keeper
+                FROM d
+            ) WHERE doc_id = keeper
+        ),
+        s0 AS (SELECT doc_id, fingerprint FROM k WHERE b = 0),
+        s1 AS (
+            SELECT k.doc_id, k.fingerprint FROM k WHERE b = 1
+              AND NOT EXISTS (SELECT 1 FROM s0 WHERE s0.fingerprint = k.fingerprint)
+              AND NOT EXISTS (SELECT 1 FROM jac JOIN s0 ON jac.y = s0.doc_id
+                              WHERE jac.x = k.doc_id AND jac.j >= {JACCARD_T})
+        ),
+        p2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+        s2 AS (
+            SELECT k.doc_id, k.fingerprint FROM k WHERE b = 2
+              AND NOT EXISTS (SELECT 1 FROM p2 WHERE p2.fingerprint = k.fingerprint)
+              AND NOT EXISTS (SELECT 1 FROM jac JOIN p2 ON jac.y = p2.doc_id
+                              WHERE jac.x = k.doc_id AND jac.j >= {JACCARD_T})
+        ),
+        surv AS (
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        )
+        SELECT surv.doc_id, surv.fingerprint, COALESCE(sizes.n, 0) AS n_shingles
+        FROM surv LEFT JOIN sizes ON surv.doc_id = sizes.doc_id
+    """,
+    tags=("ext-streaming", "replay"),
+)
+def corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch corpus-ingest loop
+    (streaming/ingest.py::corpus_ingest_stream — per batch: in-batch exact
+    keeper, corpus fingerprint anti-join, asymmetric batch×corpus near-dup
+    kill, survivors appended to the durable parquet corpus) over the
+    documents table as a three-batch stream. Returns the final corpus
+    (doc_id, fingerprint, shingle-set size); the oracle replays the three
+    gate stages sequentially as CTEs s0/s1/s2. In-batch NEAR dups survive
+    by contract (only prior-batch comparisons kill), which the oracle
+    mirrors by joining each batch against prior survivors only."""
+    from ..streaming.ingest import corpus_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="ingest_src_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    corpus = tempfile.mkdtemp(prefix="ingest_corpus_") + "/corpus"
+    _write_batches(docs, "doc_id", src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        corpus_ingest_stream(stream, corpus)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(corpus).select(
+        "doc_id", "fingerprint", F.size("shingles").alias("n_shingles")
+    )

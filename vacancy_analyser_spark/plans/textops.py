@@ -1129,9 +1129,10 @@ def _bpe_merge_fold(col, a: str, b: str):
     )
 
 
-@register(
-    "bpe_encode_token_count",
-    oracle=f"""
+#: Shared by bpe_encode_token_count and bpe_apply_frozen: the frozen-rule
+#: apply must reproduce the trained encoder exactly, so both keys check
+#: against the SAME train+apply CTE chain.
+_BPE_ENCODE_ORACLE = f"""
         WITH wtab AS (
             SELECT w AS word, COUNT(*) AS cnt
             FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
@@ -1145,7 +1146,12 @@ def _bpe_merge_fold(col, a: str, b: str):
                CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens
         FROM tok t JOIN w{BPE_STEPS} w USING (word)
         GROUP BY t.doc_id
-    """,
+    """
+
+
+@register(
+    "bpe_encode_token_count",
+    oracle=_BPE_ENCODE_ORACLE,
     tags=("ext-text",),
 )
 def bpe_encode_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,3 +1218,22 @@ def bpe_apply_rules(
         .groupBy("doc_id")
         .agg(F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"))
     )
+
+
+@register(
+    "bpe_apply_frozen",
+    oracle=_BPE_ENCODE_ORACLE,
+    tags=("ext-text", "replay"),
+)
+def bpe_apply_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible key for the frozen-vocab serving path: train the
+    BPE_STEPS merge table once (driver holds the vocabulary-sized rule
+    list), then encode the corpus through ``bpe_apply_rules`` — NO
+    training state in the apply plan. The oracle is the trained encoder's
+    own train+apply chain, so a hash match proves the frozen-rule fold is
+    byte-identical to training-then-encoding (the train-once / apply-
+    anywhere contract)."""
+    trained_rules, _w = _bpe_train(spark, sf_dir, BPE_STEPS)
+    rules = [(a, b) for (_step, a, b, _cnt) in trained_rules]
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_apply_rules(docs, rules)
