@@ -9,6 +9,17 @@ and JIT pauses (measured: back-to-back full-bench totals differ by up to
 cleared between runs so each timing rebuilds its own persisted
 intermediates (no cross-run reuse). Prints:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+When the bench SF is the top shipped scale (sf0.1), the output also
+carries a "scale_stress" block: the ×10-surrogate suite (tools/
+scale_stress.py near-dup linearity + dispatcher plan choice, tools/
+relational_stress.py relational linearity + AQE SMJ-flip probe, tools/
+ext_stress.py IVF/SemDeDup k-scaling) so the per-round BENCH artifact
+records the scale evidence, not just PLANS.md. Each sub-block is
+fail-soft (an "error" entry instead of a crash) and the whole suite is
+bounded by $SPARK_GRAFT_STRESS_BUDGET seconds (default 900; blocks that
+would start past the budget record "skipped_budget"). Set
+SPARK_GRAFT_STRESS=0 to skip entirely.
 """
 
 from __future__ import annotations
@@ -92,17 +103,47 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # ×10 stress evidence — only at the top shipped SF (the surrogate
+    # builders replicate $SPARK_GRAFT_SF_DIR; running them against the
+    # tiny SFs would record numbers dominated by fixed overhead)
+    if os.environ.get("SPARK_GRAFT_STRESS", "1") != "0" and sf == 0.1:
+        out["scale_stress"] = run_scale_stress(spark)
+
+    print(json.dumps(out))
+
+
+def run_scale_stress(spark) -> dict:
+    budget = float(os.environ.get("SPARK_GRAFT_STRESS_BUDGET", "900"))
+    t_start = time.monotonic()
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import ext_stress
+    import relational_stress
+    import scale_stress
+
+    blocks = {
+        "neardup_x10": scale_stress.collect,
+        "relational_x10": relational_stress.collect,
+        "ivf_k_scaling_x10": ext_stress.collect_k_scaling,
+    }
+    report: dict[str, object] = {}
+    for name, fn in blocks.items():
+        if time.monotonic() - t_start > budget:
+            report[name] = {"skipped_budget": True}
+            continue
+        try:
+            report[name] = fn(spark)
+        except Exception as exc:  # fail-soft: the headline contract survives
+            report[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    report["suite_wall_sec"] = round(time.monotonic() - t_start, 1)
+    return report
 
 
 if __name__ == "__main__":

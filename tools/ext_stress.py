@@ -129,6 +129,45 @@ def run(spark, qs, name: str, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def collect_k_scaling(spark) -> dict:
+    """The IVF/SemDeDup k-scaling probe alone, as a dict — importable by
+    bench.py. With k fixed at N_CENTROIDS the within-cluster pair stage
+    is quadratic in the corpus; scaling k ×REPLICAS holds expected
+    cluster size constant and must return it to ~linear."""
+    from vacancy_analyser_spark.plans.similarity import (
+        N_CENTROIDS,
+        SEMANTIC_TAU,
+        _vectors,
+        semantic_dedup_pairs,
+    )
+
+    emb_dir = build_embeddings(spark)
+
+    def run_pairs(sf_dir: str, k: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            semantic_dedup_pairs(_vectors(spark, sf_dir), k, SEMANTIC_TAU).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    b = run_pairs(BASE_SF, N_CENTROIDS)
+    s_fixed = run_pairs(emb_dir, N_CENTROIDS)
+    s_scaled = run_pairs(emb_dir, N_CENTROIDS * REPLICAS)
+    return {
+        "replicas": REPLICAS,
+        "k_fixed": N_CENTROIDS,
+        "k_scaled": N_CENTROIDS * REPLICAS,
+        "x1_sec": b,
+        "fixed_k_sec": s_fixed,
+        "fixed_k_vs_linear": round(s_fixed / (REPLICAS * b), 2) if b > 0 else None,
+        "scaled_k_sec": s_scaled,
+        "scaled_k_vs_linear": round(s_scaled / (REPLICAS * b), 2) if b > 0 else None,
+    }
+
+
 def main() -> None:
     import tools.scale_stress as dstress
     from vacancy_analyser_spark.plans.registry import queries

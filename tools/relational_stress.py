@@ -95,11 +95,11 @@ def run(spark, qs, name: str, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def main() -> None:
+def collect(spark) -> dict:
+    """The stress report as a dict — importable by bench.py (see
+    scale_stress.collect)."""
     from vacancy_analyser_spark.plans.registry import queries
-    from vacancy_analyser_spark.session import get_spark
 
-    spark = get_spark("relational-stress")
     qs = queries()
     stress_dir = build(spark)
 
@@ -143,7 +143,13 @@ def main() -> None:
         "smj_under_1mb_budget": "SortMergeJoin" in tight,
         "dims_still_broadcast_under_1mb": tight.count("BroadcastHashJoin"),
     }
-    print(json.dumps(report))
+    return report
+
+
+def main() -> None:
+    from vacancy_analyser_spark.session import get_spark
+
+    print(json.dumps(collect(get_spark("relational-stress"))))
 
 
 if __name__ == "__main__":

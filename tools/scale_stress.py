@@ -97,12 +97,12 @@ def run(spark, qs, name: str, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def main() -> None:
+def collect(spark) -> dict:
+    """The full stress report as a dict — importable by bench.py so the
+    driver's BENCH artifact carries the ×N evidence, not just PLANS.md."""
     from vacancy_analyser_spark.plans import dedup
     from vacancy_analyser_spark.plans.registry import queries
-    from vacancy_analyser_spark.session import get_spark
 
-    spark = get_spark("scale-stress")
     qs = queries()
     stress_dir = build_corpus(spark)
 
@@ -149,7 +149,13 @@ def main() -> None:
             "vs_linear": round(ratio, 2),
             "within_2x_linear": ratio <= 2.0,
         }
-    print(json.dumps(report))
+    return report
+
+
+def main() -> None:
+    from vacancy_analyser_spark.session import get_spark
+
+    print(json.dumps(collect(get_spark("scale-stress"))))
 
 
 if __name__ == "__main__":

@@ -373,12 +373,15 @@ def _jaccard_bitmap(
 def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
     """Sparse-regime plan: candidate pairs from an equi-join on shared
     bigrams (a bucket join, never a cross product), |∩| counted by one
-    partial-aggregated groupBy. Set sizes are carried ON the shingle rows
-    (one count-over-doc_id window) and recovered with first() inside the
-    same pair group-by — there is no per-doc sizes table to re-join, and
-    nothing document-scaled is ever broadcast (a sizes table is one row per
-    document = billions of rows at 100 TB; a forced broadcast there OOMs
-    every executor before the first pair is scored).
+    partial-aggregated groupBy, set sizes attached AFTER the aggregation
+    by joining the per-doc sizes table onto the (much smaller) pair table
+    with NO broadcast hint: sizes scales with the corpus (one row per
+    document — billions at 100 TB), so a forced broadcast is an OOM by
+    construction; AQE promotes it to broadcast from runtime sizes at
+    small SF and keeps sort-merge at scale. (A window-carried-n variant —
+    zero joins — was measured 5× slower at the ×10 stress: the doc_id
+    window fully sorts the shingle table on both join sides, where the
+    post-agg join touches only candidate pairs.)
     Bigrams are replaced by xxhash64 8-byte keys before the join (the
     output carries no bigram values), so the heavy shuffle moves longs,
     not strings. Scales with Σ df² — near-linear when shingles are rare.
@@ -402,22 +405,20 @@ def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
             .select("bh")
         )
         gh = gh.join(rare, "bh", "left_semi")
-    # n rides every shingle row (constant per doc_id) through the candidate
-    # join; first() recovers it in the pair group-by — zero extra joins.
-    gh = gh.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = gh.alias("a"), gh.alias("b")
-    pairs = (
+    inter = (
         a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("a.n").alias("na"),
-            F.first("b.n").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_common"))
     )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.select("a_id", "b_id", jac.alias("jaccard"))
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
@@ -890,30 +891,28 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup after the Jaccard tier.
 
     Plan: the same shared-shingle bucket equi-join as _jaccard_countjoin
-    (hashed 8-byte keys, a<b candidate generation, partial-agg |∩| with
-    window-carried set sizes), then BOTH directions are emitted from the
-    one undirected intersection table by two projections — the expensive
-    candidate work is not repeated per direction. Scale: Σ df² candidate rows, like the Jaccard
+    (hashed 8-byte keys, a<b candidate generation, partial-agg |∩|,
+    unhinted AQE-sized size joins), then BOTH directions are emitted from
+    the one undirected intersection table by two projections — the
+    expensive candidate work is not repeated per direction. Scale: Σ df² candidate rows, like the Jaccard
     count-join; on dense corpora the bitmap regime's popcount form
     (|∩| from bit_count(a&b), divide by a.n instead of the union) applies
     identically if this ever becomes a headline op."""
     g = _doc_bigrams(spark, sf_dir)
-    # Set sizes ride the shingle rows (window count) and come back out via
-    # first() in the pair group-by — no document-scaled sizes table to
-    # broadcast (see _jaccard_countjoin).
-    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh")).withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id"))
-    )
+    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = gh.alias("a"), gh.alias("b")
-    both = (
+    inter = (
         a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("a.n").alias("na"),
-            F.first("b.n").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_common"))
     )
+    # NO broadcast hint on the size joins: sizes is one row per corpus
+    # document (see _jaccard_countjoin) — AQE broadcasts it at small SF,
+    # sort-merge at scale; the joins touch only the aggregated pair table.
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    both = inter.join(sa, "a_id").join(sb, "b_id")
     fwd = both.select(
         F.col("a_id").alias("contained_id"),
         F.col("b_id").alias("container_id"),
@@ -977,28 +976,24 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toks.select(
         "doc_id", "source", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram")
     )
-    # Set sizes ride the shingle rows (window over doc_id, computed BEFORE
-    # the source split — each doc has one source, so the count is the full
-    # per-doc size either way) and are recovered with first() in the pair
-    # group-by. No per-doc sizes table: at 100 TB that table is one row per
-    # corpus document, and broadcasting it would OOM the executors.
-    gh = g.select("doc_id", "source", F.xxhash64("bigram").alias("bh")).withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id"))
-    )
+    gh = g.select("doc_id", "source", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
     new_side = gh.filter(F.col("source") == INCREMENT_SOURCE).alias("a")
     old_side = gh.filter(F.col("source") != INCREMENT_SOURCE).alias("b")
     inter = (
         new_side.join(old_side, F.col("a.bh") == F.col("b.bh"))
         .groupBy(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("a.n").alias("na"),
-            F.first("b.n").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_common"))
     )
+    # NO broadcast hint: sizes is one row per corpus document — an OOM at
+    # 100 TB if forced; AQE promotes it at small SF (see _jaccard_countjoin)
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.select("new_id", "corpus_id", jac.alias("jaccard"))
+        inter.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
