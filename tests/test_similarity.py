@@ -340,3 +340,57 @@ def test_embedding_drift_matches_numpy_replay(spark, sf_dir):
         expect = float(np.sqrt(((c1 - c0) ** 2).sum()))
         assert got[l] >= 0
         assert abs(got[l] - expect) < 1e-5
+
+
+def test_ivfpq_combines_probe_and_adc(spark, sf_dir):
+    """The combined IVFPQ query must (a) only return vectors from the
+    query's probed IVF buckets, (b) emit EXACT re-ranked distances, and
+    (c) keep the ADC shortlist recall floor (>= 3/5 of the exact top-5
+    WITHIN the probed buckets — the honest reference for a bucketed
+    index; cross-bucket misses are the IVF trade, priced separately by
+    the nprobe sweep)."""
+    from pyspark.sql import functions as F
+
+    from vacancy_analyser_spark.plans.similarity import (
+        IVFPQ_NPROBE,
+        PQ_TOPK,
+        _ivf_ranked,
+        _vectors,
+        ann_ivfpq_topk,
+        l2sq,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    ranked = _ivf_ranked(vecs).persist()
+    probes = [
+        r["centroid_id"]
+        for r in ranked.filter(
+            (F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE)
+        ).collect()
+    ]
+    bucket = (
+        ranked.filter((F.col("rn") == 1) & F.col("centroid_id").isin(probes))
+        .select("vec_id")
+    )
+    bucket_ids = {r["vec_id"] for r in bucket.collect()}
+    q = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in vecs.join(bucket, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", F.round(l2sq(F.col("embedding"), F.col("q_emb")), 6).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(PQ_TOPK)
+        .collect()
+    }
+    got = {r["vec_id"]: r["l2_dist"] for r in ann_ivfpq_topk(spark, sf_dir).collect()}
+    ranked.unpersist()
+    assert len(got) == PQ_TOPK
+    assert set(got) <= bucket_ids  # nothing outside the probed buckets
+    hits = set(exact) & set(got)
+    assert len(hits) >= 3
+    for v in hits:
+        assert got[v] == exact[v]  # re-rank distances are the exact ones

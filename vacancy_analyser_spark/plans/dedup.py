@@ -1112,3 +1112,97 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, n_docs, _ = _regime_probe(g, sf_dir)
     cap = max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR)
     return _jaccard_countjoin(g, max_df=cap)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({_band_sql()}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                         AND a.doc_id < b.doc_id
+        ),
+        src AS (SELECT doc_id, source FROM documents),
+        near AS (
+            SELECT LEAST(sa.source, sb.source) AS source_a,
+                   GREATEST(sa.source, sb.source) AS source_b,
+                   COUNT(*) AS n_near_pairs
+            FROM pairs
+            JOIN src sa ON a_id = sa.doc_id
+            JOIN src sb ON b_id = sb.doc_id
+            WHERE sa.source <> sb.source
+            GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT DISTINCT source, md5({_NORM_SQL}) AS fingerprint FROM documents
+        ),
+        ex AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_exact_shared
+            FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT COALESCE(n.source_a, e.source_a) AS source_a,
+               COALESCE(n.source_b, e.source_b) AS source_b,
+               COALESCE(n.n_near_pairs, 0) AS n_near_pairs,
+               COALESCE(e.n_exact_shared, 0) AS n_exact_shared
+        FROM near n FULL JOIN ex e
+          ON n.source_a = e.source_a AND n.source_b = e.source_b
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: per source pair, the number of
+    MinHash-LSH near-dup PAIRS spanning the two sources and the number of
+    exact content fingerprints shared by both. The corpus-governance
+    numbers that decide source priority before a dedup run (which feed
+    mirrors which, where keep-first will bite) and flag a crawl that
+    re-ingested another crawl — near-dup counts catch the mirrored-with-
+    boilerplate case exact fingerprints miss.
+
+    Plan: the pair table IS minhash_lsh_dedup (the shared recipe, not a
+    copy — band self-join, candidates only where content collides), with
+    the doc→source map joined on (id-keyed, no hint: it is one row per
+    document). Exact overlap is a distinct (source, fingerprint)
+    projection self-joined on the 16-byte hash. Both matrices aggregate
+    to |sources|² rows before the full outer join stitches them, so
+    everything after the pair generators is dimension-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    near = (
+        pairs.join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")), "b_id")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_near_pairs"))
+    )
+    f = (
+        docs.select("source", F.md5(normalize_ws("text")).alias("fingerprint"))
+        .dropDuplicates(["source", "fingerprint"])
+    )
+    a, b = f.alias("a"), f.alias("b")
+    ex = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_exact_shared"))
+    )
+    return (
+        near.join(ex, ["source_a", "source_b"], "full_outer")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_near_pairs", F.lit(0)).alias("n_near_pairs"),
+            F.coalesce("n_exact_shared", F.lit(0)).alias("n_exact_shared"),
+        )
+    )

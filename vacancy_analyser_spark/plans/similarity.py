@@ -1207,6 +1207,131 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
 
 
+#: IVFPQ probe width — 2 of N_CENTROIDS buckets, the same nprobe the
+#: plain-IVF nprobe2 key uses, so the two stages' knobs stay comparable.
+IVFPQ_NPROBE = 2
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+        WITH {_PQ_CTES},
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        iranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+        q_probes AS (
+            SELECT centroid_id FROM iranked WHERE vec_id = 0 AND rn <= {IVFPQ_NPROBE}
+        ),
+        bucket AS (
+            SELECT a.vec_id FROM assigned a JOIN q_probes p USING (centroid_id)
+        ),
+        q AS (SELECT block, s AS q_sub FROM sub WHERE vec_id = 0),
+        dtable AS (
+            SELECT cb.block, cb.cid,
+                   round({_l2sq_sql('q.q_sub', 'cb.c_sub')}, 9) AS d
+            FROM cb JOIN q ON cb.block = q.block
+        ),
+        adc AS (
+            SELECT c.vec_id,
+                   CAST(SUM(CAST(d.d AS DECIMAL(28,9))) AS DOUBLE) AS adc_dist
+            FROM codes c
+            JOIN bucket bk ON c.vec_id = bk.vec_id
+            JOIN dtable d ON c.block = d.block AND c.code = d.cid
+            WHERE c.vec_id <> 0
+            GROUP BY c.vec_id
+        ),
+        shortlist AS (
+            SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {PQ_SHORTLIST}
+        ),
+        qv AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0)
+        SELECT v.vec_id,
+               round({_l2sq_sql('v.emb', 'qv.q_emb')}, 6) AS l2_dist
+        FROM vecs v JOIN shortlist s ON v.vec_id = s.vec_id CROSS JOIN qv
+        ORDER BY l2_dist, v.vec_id
+        LIMIT {PQ_TOPK}
+    """,
+    tags=("ext-sim",),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED IVF+PQ serving shape — what a production vector index
+    actually executes per query: probe the query's IVFPQ_NPROBE nearest
+    IVF buckets, run the ADC shortlist over the PQ codes of the probed
+    buckets only, re-rank the shortlist with exact distances. Composes
+    the two registered halves (`ann_ivf_topk_nprobe2`'s probe,
+    `ann_pq_adc_topk`'s ADC) without re-implementing either: the IVF
+    assignment is `_ivf_ranked` (the shared recipe), the PQ stages are
+    `_pq_subvectors`/`_pq_codebook`/`_pq_assign` verbatim; the codebook
+    trains on the full corpus exactly as production IVFPQ trains
+    globally and serves per-bucket.
+
+    Scale shape: the assignment and codes are precomputable artifacts
+    (ivf_build_index writes the bucket layout partitioned by
+    centroid_id; codes are PQ_M·log₂PQ_K bits/vector next to them). A
+    query then reads nprobe partitions of CODES (bytes, partition-
+    pruned), broadcasts a PQ_M×PQ_K distance table, hash-aggregates ADC,
+    and touches floats for PQ_SHORTLIST rows — no full-corpus stage
+    anywhere."""
+    vecs = _vectors(spark, sf_dir)
+    ranked = _ivf_ranked(vecs)
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    q_probes = F.broadcast(
+        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE)).select(
+            F.col("centroid_id").alias("q_centroid")
+        )
+    )
+    bucket_ids = assigned.join(
+        q_probes, assigned.centroid_id == F.col("q_centroid")
+    ).select("vec_id")
+    sub = _pq_subvectors(vecs).persist()
+    sub.count()
+    cb = _pq_codebook(sub).persist()
+    cb.count()  # read twice: dtable + encode
+    codes = _pq_assign(sub, cb).select("vec_id", "block", "code")
+    codes_in = codes.join(bucket_ids, "vec_id", "left_semi")
+    q_sub = sub.filter(F.col("vec_id") == 0).select("block", F.col("sub").alias("q_sub"))
+    dtable = F.broadcast(
+        cb.join(q_sub, "block").select(
+            "block",
+            "cid",
+            F.round(l2sq(F.col("q_sub"), F.col("c_sub")), 9).alias("d"),
+        )
+    )
+    adc = (
+        codes_in.filter(F.col("vec_id") != 0)
+        .join(dtable, (codes_in.block == dtable.block) & (codes_in.code == dtable.cid))
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("d") * F.lit(10.0**9)).cast("bigint")).cast("double")
+                / F.lit(10.0**9)
+            ).alias("adc_dist")
+        )
+    )
+    shortlist = adc.orderBy("adc_dist", "vec_id").limit(PQ_SHORTLIST).select("vec_id")
+    q_emb = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    rerank = (
+        vecs.join(shortlist, "vec_id", "left_semi")
+        .crossJoin(q_emb)
+        .select(
+            "vec_id", F.round(l2sq(F.col("embedding"), F.col("q_emb")), 6).alias("l2_dist")
+        )
+    )
+    return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
+
+
 KNN_GRAPH_K = 3
 
 

@@ -175,6 +175,58 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_confusion_matrix",
+    oracle=f"""
+        WITH markers AS (SELECT * FROM {_LANG_MARKERS_SQL}),
+        hits AS (
+            SELECT doc_id, marker_lang, COUNT(*) AS score
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents) t
+            JOIN markers ON t.token = markers.word
+            GROUP BY doc_id, marker_lang
+        ),
+        guess AS (
+            SELECT doc_id, marker_lang AS lang_guess
+            FROM (
+                SELECT doc_id, marker_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, marker_lang) AS rn
+                FROM hits
+            ) WHERE rn = 1
+        )
+        SELECT d.lang AS label_lang,
+               COALESCE(g.lang_guess, 'unknown') AS guess_lang,
+               COUNT(*) AS n_docs
+        FROM documents d LEFT JOIN guess g USING (doc_id)
+        GROUP BY d.lang, COALESCE(g.lang_guess, 'unknown')
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-classifier confusion matrix: the corpus's declared `lang`
+    column against lang_id_ngram's guess ('unknown' where no marker
+    fires). The audit a pipeline runs before TRUSTING a metadata language
+    tag for filtering or mixing — off-diagonal mass means either
+    mislabeled feeds or a classifier blind spot, and the matrix says
+    which language pairs to look at.
+
+    Composes the registered classifier verbatim (same recipe, not a
+    copy), left-joins the guess back to the labels, aggregates to a
+    |langs|² matrix — dimension-sized output, one extra shuffle over the
+    classifier itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    guess = lang_id_ngram(spark, sf_dir).select("doc_id", "lang_guess")
+    return (
+        docs.select("doc_id", "lang")
+        .join(guess, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("label_lang"),
+            F.coalesce("lang_guess", F.lit("unknown")).alias("guess_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
@@ -295,6 +347,126 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "score")
+    )
+
+
+#: Sparse tf-idf cosine: per-doc vector = its TFIDF_VEC_K top terms (the
+#: truncation is what bounds the candidate join — full tf vectors would
+#: put every stopword in every vector and pay Σ df² over the Zipf head).
+TFIDF_VEC_K = 10
+#: 0.7 keeps the real lexical near-dups (515 pairs at sf0.01) and drops
+#: the long topical-similarity tail (0.3 admits ~half of ALL pairs on
+#: this shared-vocabulary corpus — measured before choosing).
+TFIDF_SIM_T = 0.7
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        vec AS (
+            SELECT doc_id, term, score FROM (
+                SELECT tf.doc_id, tf.term,
+                       (CAST(tf.tf AS DOUBLE)
+                        * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
+                       / (CAST(dfreq.df AS DOUBLE) + 0.5) AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY (CAST(tf.tf AS DOUBLE)
+                                     * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
+                                    / (CAST(dfreq.df AS DOUBLE) + 0.5) DESC,
+                                    tf.term
+                       ) AS rn
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ) WHERE rn <= {TFIDF_VEC_K}
+        ),
+        nrm AS (
+            SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(round(score * score * 1e9) AS BIGINT)) AS DOUBLE)
+                        / 1e9) AS nrm
+            FROM vec GROUP BY doc_id
+        ),
+        dot AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(SUM(CAST(round(a.score * b.score * 1e9) AS BIGINT)) AS DOUBLE)
+                       / 1e9 AS dp
+            FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dot
+        JOIN nrm na ON a_id = na.doc_id
+        JOIN nrm nb ON b_id = nb.doc_id
+        WHERE dp / (na.nrm * nb.nrm) >= {TFIDF_SIM_T}
+    """,
+    tags=("ext-text", "ext-dedup"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector cosine near-dup: document pairs whose truncated
+    tf-idf vectors (TFIDF_VEC_K top terms each, BM25-style rational idf —
+    see tfidf_top_terms for why no logarithm) have cosine ≥ TFIDF_SIM_T.
+    The lexical-overlap tier BETWEEN shingle Jaccard (surface n-grams)
+    and embedding cosine (dense semantics): robust to reordering and
+    length, cheap enough to run corpus-wide, no model required.
+
+    Scale: the candidate join is a bucket equi-join on shared TOP terms
+    only — truncation keeps the Zipf head out of the vectors, so
+    candidate volume is Σ df_top², not Σ df² (same pruning idea as the
+    PPJoin prefix). Dot products and norms go through the ADC
+    fixed-point form (sum of round(x·1e9) longs) so the cosine — and the
+    hash — is bit-identical across engines. One token pass feeds tf; df
+    aggregates from tf; everything downstream is aggregate-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf.count()  # df branch breaks exchange reuse (see tfidf_top_terms)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+    ) / (F.col("df").cast("double") + 0.5)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    vec = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_VEC_K)
+        .select("doc_id", "term", "score")
+        .persist()
+    )
+    vec.count()  # norms + both join sides read it
+
+    def fxsum(col):
+        return (
+            F.sum(F.round(col * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+        )
+
+    nrm = vec.groupBy("doc_id").agg(F.sqrt(fxsum(F.col("score") * F.col("score"))).alias("nrm"))
+    a, b = vec.alias("a"), vec.alias("b")
+    dot = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(fxsum(F.col("a.score") * F.col("b.score")).alias("dp"))
+    )
+    # unhinted size joins: nrm is one row per document (broadcast would be
+    # the r3 scale-killer class) — AQE promotes at small SF
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    sim = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        dot.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(sim >= TFIDF_SIM_T)
+        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
     )
 
 
