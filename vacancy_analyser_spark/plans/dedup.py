@@ -1206,3 +1206,95 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_exact_shared", F.lit(0)).alias("n_exact_shared"),
         )
     )
+
+
+@register(
+    "corpus_keep_list",
+    oracle=f"""
+        WITH RECURSIVE {_GROUPS_CTES},
+        scored AS (
+            SELECT c.doc_id, c.group_id, d.n_chars
+            FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT group_id, doc_id,
+                   row_number() OVER (PARTITION BY group_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM scored
+        ),
+        keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+        q AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN FALSE
+                        ELSE n_chars BETWEEN 120 AND 400
+                             AND CAST(len({_TOKS_SQL}) AS INT) >= 20
+                             AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                      AS DOUBLE) / length(text) > 0.7
+                   END AS q_ok
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL}))
+                       AS ex_keeper
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CASE WHEN NOT q.q_ok THEN 'quality_fail'
+                    WHEN NOT ex.ex_keeper THEN 'exact_dup'
+                    WHEN comp.doc_id IS NOT NULL AND k.doc_id IS NULL THEN 'near_dup'
+                    ELSE 'kept' END AS verdict
+        FROM documents d
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN ex ON d.doc_id = ex.doc_id
+        LEFT JOIN comp ON d.doc_id = comp.doc_id
+        LEFT JOIN keepers k ON d.doc_id = k.doc_id
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/kill audit a corpus pipeline materializes
+    before a training run: every document labeled by the FIRST gate that
+    would kill it — 'quality_fail' (the C4/Gopher heuristic gate),
+    'exact_dup' (not the min-id keeper of its fingerprint), 'near_dup'
+    (in a Jaccard component but not its quality-argmax keeper), else
+    'kept'. One artifact that EXPLAINS every kill, which is what a human
+    reviews when a source's survival rate looks wrong.
+
+    Gate signals are computed independently on the full corpus (an audit
+    view, not a sequential pipeline — the first-failing-gate label makes
+    the precedence explicit), composing the registered recipes verbatim:
+    doc_quality_filter's predicate, exact_dedup's keeper rule,
+    near_dup_groups' components with dedup_keep_best's keeper. Scale:
+    the only non-linear stage is the pair generation the dedup family
+    already owns; everything added here is scan-side predicates plus
+    id-keyed joins of id-sized frames (no hint — they scale with the
+    corpus; AQE sizes them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    q_ok = F.when(F.length("text") == 0, F.lit(False)).otherwise(
+        F.col("n_chars").between(120, 400) & (n_tokens >= 20) & (alpha_ratio > 0.7)
+    )
+    ex_keeper = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(normalize_ws("text")))
+    )
+    base = docs.select("doc_id", q_ok.alias("q_ok"), ex_keeper.alias("ex_keeper"))
+    groups = near_dup_groups(spark, sf_dir).select("doc_id", "group_id")
+    keepers = dedup_keep_best(spark, sf_dir).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(True).alias("nd_keeper")
+    )
+    verdict = (
+        F.when(~F.col("q_ok"), F.lit("quality_fail"))
+        .when(~F.col("ex_keeper"), F.lit("exact_dup"))
+        .when(F.col("group_id").isNotNull() & F.col("nd_keeper").isNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.join(groups, "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+    )
