@@ -229,3 +229,79 @@ def corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(corpus).select(
         "doc_id", "fingerprint", F.size("shingles").alias("n_shingles")
     )
+
+
+#: The snapshot-stream fixture reuses snapshot_merge's two event windows
+#: (plans/snapshot.py) as full snapshots DATED at each window's end.
+_SNAP_A = ("2024-01-01 00:00:00", "2024-01-16 00:00:00", "2024-01-16")
+_SNAP_B = ("2024-01-08 00:00:00", "2024-01-31 00:00:00", "2024-01-31")
+
+
+@register(
+    "snapshot_stream_replay",
+    oracle=f"""
+        WITH a AS (
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            WHERE ts >= TIMESTAMP '{_SNAP_A[0]}' AND ts < TIMESTAMP '{_SNAP_A[1]}'
+            GROUP BY user_id
+        ),
+        b AS (
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            WHERE ts >= TIMESTAMP '{_SNAP_B[0]}' AND ts < TIMESTAMP '{_SNAP_B[1]}'
+            GROUP BY user_id
+        )
+        SELECT COALESCE(a.user_id, b.user_id) AS id,
+               COALESCE(b.n_events, a.n_events) AS n_events,
+               CASE WHEN a.user_id IS NULL THEN '{_SNAP_B[2]}'
+                    ELSE '{_SNAP_A[2]}' END AS added_at,
+               CASE WHEN a.user_id IS NULL THEN '{_SNAP_B[2]}'
+                    WHEN b.user_id IS NULL THEN '{_SNAP_A[2]}'
+                    WHEN a.n_events <> b.n_events THEN '{_SNAP_B[2]}'
+                    ELSE '{_SNAP_A[2]}' END AS updated_at,
+               CASE WHEN b.user_id IS NULL THEN '{_SNAP_B[2]}' END AS removed_at
+        FROM a FULL JOIN b ON a.user_id = b.user_id
+    """,
+    tags=("ext-streaming", "replay", "D2"),
+)
+def snapshot_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D2 snapshot-directory merge stream
+    (streaming/snapshot_stream.py::start_snapshot_merge_stream — file
+    source over snapshot_date=* dirs, foreachBatch folding snapshots
+    oldest-first through operators/merge.py, atomic state swap) driven
+    over two event-derived snapshots dated at their window ends. Returns
+    the final lifecycle state; the oracle derives every lifecycle date
+    from the merge contract (min added_at, changed-only updated_at bump,
+    absent-from-snapshot → removed_at). This closes the last
+    streaming-only surface without a driver-checked key."""
+    from pyspark.sql import types as T
+
+    from ..streaming.snapshot_stream import ParquetStateStore, start_snapshot_merge_stream
+
+    root = tempfile.mkdtemp(prefix="snapstream_root_")
+    ckpt = tempfile.mkdtemp(prefix="snapstream_ckpt_")
+    store = ParquetStateStore(tempfile.mkdtemp(prefix="snapstream_state_"))
+    for lo, hi, date_str in (_SNAP_A, _SNAP_B):
+        snap = (
+            load_table(spark, sf_dir, "events", ts_filters=[("ts", ">=", lo), ("ts", "<", hi)])
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("user_id").alias("id"), "n_events")
+        )
+        snap.write.mode("overwrite").parquet(f"{root}/snapshot_date={date_str}")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("n_events", T.LongType())]
+    )
+    q = start_snapshot_merge_stream(spark, root, store, ckpt, schema)
+    q.awaitTermination(300)
+    state = store.read(spark)
+    assert state is not None  # two snapshots were written; the fold ran
+    # lifecycle dates as ISO strings: a DATE travels as datetime.date from
+    # Spark but datetime64 from DuckDB via pandas — the string form is the
+    # engine-neutral representation the compare hashes
+    return state.select(
+        "id",
+        "n_events",
+        F.col("added_at").cast("string").alias("added_at"),
+        F.col("updated_at").cast("string").alias("updated_at"),
+        F.col("removed_at").cast("string").alias("removed_at"),
+    )
