@@ -238,3 +238,66 @@ def test_sample_per_group_fixed_size_and_deterministic(spark, sf_dir):
         for r in sample_per_group(docs.repartition(13), n=10).select("doc_id").collect()
     )
     assert a == b
+
+
+def test_boilerplate_share_matches_bruteforce(spark, sf_dir):
+    """doc_boilerplate_share replayed in pure python at the test SF:
+    same 5-grams, same ≥3-doc floor, same position counting."""
+    import re
+    from collections import Counter
+
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.textops import (
+        BOILER_MIN_DOCS,
+        BOILER_NGRAM,
+        doc_boilerplate_share,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for r in docs:
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        grams[r["doc_id"]] = [
+            " ".join(toks[i : i + BOILER_NGRAM])
+            for i in range(len(toks) - BOILER_NGRAM + 1)
+        ]
+    df_count = Counter()
+    for gs in grams.values():
+        for g in set(gs):
+            df_count[g] += 1
+    boiler = {g for g, n in df_count.items() if n >= BOILER_MIN_DOCS}
+    want = {}
+    for doc_id, gs in grams.items():
+        if not gs:
+            continue
+        hits = sum(1 for g in gs if g in boiler)
+        want[doc_id] = (len(gs), hits, round(hits / len(gs), 6))
+    got = {
+        r["doc_id"]: (r["n_positions"], r["n_boiler"], r["boiler_share"])
+        for r in doc_boilerplate_share(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_corpus_keep_list_partitions_and_precedence(spark, sf_dir):
+    """Every doc gets exactly one verdict; verdict sets are consistent
+    with the component queries: near_dup docs are exactly the non-keeper
+    group members that passed the earlier gates."""
+    from vacancy_analyser_spark.plans.dedup import (
+        corpus_keep_list,
+        dedup_keep_best,
+        near_dup_groups,
+    )
+
+    verdicts = {
+        r["doc_id"]: r["verdict"] for r in corpus_keep_list(spark, sf_dir).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(verdicts) == n_docs
+    members = {r["doc_id"] for r in near_dup_groups(spark, sf_dir).collect()}
+    keepers = {r["keeper_id"] for r in dedup_keep_best(spark, sf_dir).collect()}
+    for d, v in verdicts.items():
+        if v == "near_dup":
+            assert d in members and d not in keepers
+        if v == "kept" and d in members:
+            assert d in keepers  # kept group members must be their keeper

