@@ -126,6 +126,10 @@ def read_jdbc(
     pass (partition_column, bounds, num_partitions) so executors read ranges
     in parallel — the same range-splitting idea as the reference's date
     bisection scan (get_vacancies.py:48-59), but handled by Spark.
+
+    Tested end-to-end against embedded Derby (tests/test_jdbc.py) — a real
+    JDBC endpoint inside the test JVM, covering both the plain and the
+    partitioned read path.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
