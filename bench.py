@@ -32,6 +32,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: r3/r4 extension operators NOT on the headline list (which stays frozen
+#: for baseline comparability since r1) — timed min-of-2 into a secondary
+#: `ext` block so every round's artifact records their cost trajectory.
+EXT = [
+    "semantic_dedup",
+    "knn_graph",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "tfidf_cosine_pairs",
+    "bpe_train_merges",
+    "bpe_encode_token_count",
+    "boilerplate_ngrams",
+    "doc_boilerplate_share",
+    "corpus_keep_list",
+    "funnel_conversion",
+    "retention_cohorts",
+    "heavy_hitters",
+    "table_profile",
+    "containment_dedup",
+    "incremental_dedup",
+]
+
 #: The queries that represent the engine's load-bearing paths: batch spine,
 #: fact⋈fact join, window aggs, merge, and each LLM-pipeline extension tier.
 HEADLINE = [
@@ -102,12 +124,25 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
 
+    ext_timings: dict[str, float] = {}
+    for name in EXT:
+        fn = qs[name]
+        runs = []
+        while len(runs) < 2:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        ext_timings[name] = round(min(runs), 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "ext_total_wall": round(sum(ext_timings.values()), 3),
+        "ext_queries": ext_timings,
         "sf": sf,
     }
 

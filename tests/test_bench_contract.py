@@ -13,6 +13,10 @@ def test_headline_keys_all_registered():
     missing = [k for k in bench.HEADLINE if k not in qs]
     assert not missing, f"bench.HEADLINE keys absent from registry: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))  # no dupes
+    missing_ext = [k for k in bench.EXT if k not in qs]
+    assert not missing_ext, f"bench.EXT keys absent from registry: {missing_ext}"
+    assert len(bench.EXT) == len(set(bench.EXT))
+    assert not set(bench.EXT) & set(bench.HEADLINE)  # headline stays frozen
 
 
 def test_queries_md_catalog_in_sync():
