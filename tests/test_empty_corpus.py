@@ -33,5 +33,5 @@ def test_every_registered_query_survives_empty_corpus(spark, empty_dir):
         try:
             fn(spark, empty_dir).count()
         except Exception as e:  # noqa: BLE001 — collecting the full list
-            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0]}")
+            failures.append(f"{name}: {type(e).__name__}: {(str(e).splitlines() or [''])[0]}")
     assert not failures, "\n".join(failures)
