@@ -301,3 +301,20 @@ def test_corpus_keep_list_partitions_and_precedence(spark, sf_dir):
             assert d in members and d not in keepers
         if v == "kept" and d in members:
             assert d in keepers  # kept group members must be their keeper
+
+
+def test_tfidf_capped_inactive_equals_exact(spark, sf_dir, monkeypatch):
+    """At the shipped divisor (2) the head cap is INACTIVE on every sf dir
+    (max df_top ≈ 46-47% of docs) — the capped query must be value-
+    identical to the exact one. Forcing a tight divisor must actually
+    bind (different, smaller candidate space ⇒ result changes), proving
+    the cap is wired and not dead code."""
+    from vacancy_analyser_spark.plans import textops as TX
+
+    exact = sorted(map(tuple, TX.tfidf_cosine_pairs(spark, sf_dir).collect()))
+    capped = sorted(map(tuple, TX.tfidf_cosine_capped(spark, sf_dir).collect()))
+    assert capped == exact
+    assert len(exact) > 0
+    monkeypatch.setattr(TX, "TFIDF_DF_CAP_DIVISOR", 10)
+    bound = sorted(map(tuple, TX.tfidf_cosine_capped(spark, sf_dir).collect()))
+    assert bound != exact

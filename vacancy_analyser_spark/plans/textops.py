@@ -1541,3 +1541,134 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             share.alias("boiler_share"),
         )
     )
+
+
+#: Head cap for the capped cosine variant: drop terms present in more than
+#: n_docs // TFIDF_DF_CAP_DIVISOR of the TOP-K vectors. Divisor 2 kills
+#: only the degenerate universal head (a term in EVERY short doc's top-K —
+#: measured: 20k docs × one universal token → 200M candidate pairs, 100 s
+#: local) while staying INACTIVE on every shipped SF (max df_top is 46-47%
+#: of docs at sf0.001/0.01/0.1 — this corpus's tiny shared vocabulary puts
+#: real signal in high-df_top terms, so a tighter cap like n//10 keeps 25
+#: of ~5000 vector entries and degenerates the metric; measured before
+#: choosing).
+TFIDF_DF_CAP_DIVISOR = 2
+
+
+@register(
+    "tfidf_cosine_capped",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        vec0 AS (
+            SELECT doc_id, term, score FROM (
+                SELECT tf.doc_id, tf.term,
+                       (CAST(tf.tf AS DOUBLE)
+                        * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
+                       / (CAST(dfreq.df AS DOUBLE) + 0.5) AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY (CAST(tf.tf AS DOUBLE)
+                                     * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
+                                    / (CAST(dfreq.df AS DOUBLE) + 0.5) DESC,
+                                    tf.term
+                       ) AS rn
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ) WHERE rn <= {TFIDF_VEC_K}
+        ),
+        dt AS (SELECT term, COUNT(*) AS dt FROM vec0 GROUP BY term),
+        vec AS (
+            SELECT vec0.doc_id, vec0.term, vec0.score
+            FROM vec0 JOIN dt USING (term) CROSS JOIN n
+            WHERE dt.dt <= greatest(2, n.n_docs // {TFIDF_DF_CAP_DIVISOR})
+        ),
+        nrm AS (
+            SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(round(score * score * 1e9) AS BIGINT)) AS DOUBLE)
+                        / 1e9) AS nrm
+            FROM vec GROUP BY doc_id
+        ),
+        dot AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(SUM(CAST(round(a.score * b.score * 1e9) AS BIGINT)) AS DOUBLE)
+                       / 1e9 AS dp
+            FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dot
+        JOIN nrm na ON a_id = na.doc_id
+        JOIN nrm nb ON b_id = nb.doc_id
+        WHERE dp / (na.nrm * nb.nrm) >= {TFIDF_SIM_T}
+    """,
+    tags=("ext-text", "ext-dedup"),
+)
+def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_cosine_pairs with the degenerate-head guard: terms present in
+    more than n_docs // TFIDF_DF_CAP_DIVISOR of the TOP-K vectors are
+    dropped from the vectors (norms included — cosine over CAPPED vectors,
+    a deterministic documented metric change, same philosophy as
+    ngram_jaccard_capped). A universal term carries near-zero idf weight
+    but generates ALL pairs as candidates — the measured blowup is 200M
+    candidate rows from 20k one-shared-token docs; under the cap that
+    term never reaches the join. The cap formula is recomputed inside the
+    oracle, so the driver hash-checks the planner's choice. Inactive on
+    every shipped SF (pinned identical to the exact query in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+    ) / (F.col("df").cast("double") + 0.5)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    vec0 = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_VEC_K)
+        .select("doc_id", "term", "score")
+    )
+    dt = vec0.groupBy("term").agg(F.count("*").alias("dt"))
+    kept = (
+        dt.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("dt")
+            <= F.greatest(F.lit(2), F.floor(F.col("n_docs") / TFIDF_DF_CAP_DIVISOR))
+        )
+        .select("term")
+    )
+    vec = vec0.join(kept, "term", "left_semi").persist()
+    vec.count()
+
+    def fxsum(col):
+        return (
+            F.sum(F.round(col * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+        )
+
+    nrm = vec.groupBy("doc_id").agg(F.sqrt(fxsum(F.col("score") * F.col("score"))).alias("nrm"))
+    a, b = vec.alias("a"), vec.alias("b")
+    dot = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(fxsum(F.col("a.score") * F.col("b.score")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    sim = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        dot.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(sim >= TFIDF_SIM_T)
+        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
+    )
