@@ -746,3 +746,47 @@ def test_dedup_gate_intra_batch_redelivery(spark):
     )
     out = dedup_gate(batch, None).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_streaming_zscore_survives_large_means(spark, tmp_path):
+    """The ADVICE-fix regression: with raw (n, Σv, Σv²) state, values
+    around 1e9 with unit-scale spread cancel catastrophically — computed
+    variance collapses to ≤ 0 and the monitor silently stops flagging.
+    Welford (n, mean, M2) state must keep flagging the planted outlier."""
+    from vacancy_analyser_spark.streaming.monitor import streaming_zscore
+
+    base = 1_000_000_000.0
+    rows = []
+    # batch 0 and 1: tight unit-scale noise around a huge mean
+    for i in range(40):
+        rows.append((i * 3, TS(2024, 1, 1, 5), 1, "evt", base + (i % 7) - 3.0))
+    for i in range(40):
+        rows.append((i * 3 + 1, TS(2024, 1, 1, 6), 1, "evt", base + (i % 5) - 2.0))
+    # batch 2: one far outlier that MUST be flagged
+    rows.append((998, TS(2024, 1, 1, 7), 1, "evt", base + 1000.0))
+    rows.append((999, TS(2024, 1, 1, 7), 1, "evt", base))
+    src = str(tmp_path / "bigmean")
+    batches = [
+        [r for r in rows if r[0] < 120 and r[0] % 3 == 0],
+        [r for r in rows if r[0] < 120 and r[0] % 3 == 1],
+        [r for r in rows if r[0] >= 998],
+    ]
+    for batch in batches:
+        _events(spark, batch).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(_events(spark, []).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_zscore(stream, limit=3.0)
+        .writeStream.format("memory")
+        .queryName("zmon_bigmean")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bigmean"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    flagged = {r["event_id"] for r in spark.sql("select * from zmon_bigmean").collect()}
+    assert 998 in flagged  # naive s2/n - mean^2 state suppresses this
