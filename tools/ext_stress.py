@@ -65,7 +65,15 @@ DOC_QUERIES = (
 
 
 def _done(path: str, table: str) -> bool:
-    return os.path.exists(os.path.join(path, f"{table}.parquet", "_SUCCESS"))
+    """Fresh iff complete AND not older than the base table it replicates
+    (see scale_stress.build_corpus — a stale /tmp surrogate would record
+    stress numbers against yesterday's corpus)."""
+    from vacancy_analyser_spark.io import materialization_is_fresh
+
+    return materialization_is_fresh(
+        os.path.join(path, f"{table}.parquet"),
+        os.path.join(BASE_SF, f"{table}.parquet"),
+    )
 
 
 def build_embeddings(spark) -> str:

@@ -55,8 +55,15 @@ QUERIES = ("ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_near_dup")
 
 def build_corpus(spark) -> str:
     out = os.path.join(STRESS_DIR, f"x{REPLICAS}_{PERTURB}")
-    marker = os.path.join(out, "documents.parquet", "_SUCCESS")
-    if os.path.exists(marker):
+    # staleness check, not just _SUCCESS: if the driver regenerates the
+    # base testdata between rounds, a stale /tmp surrogate would silently
+    # record stress numbers against yesterday's corpus
+    from vacancy_analyser_spark.io import materialization_is_fresh
+
+    if materialization_is_fresh(
+        os.path.join(out, "documents.parquet"),
+        os.path.join(BASE_SF, "documents.parquet"),
+    ):
         return out
     shutil.rmtree(out, ignore_errors=True)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
