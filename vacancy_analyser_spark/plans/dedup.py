@@ -379,9 +379,9 @@ def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
     document — billions at 100 TB), so a forced broadcast is an OOM by
     construction; AQE promotes it to broadcast from runtime sizes at
     small SF and keeps sort-merge at scale. (A window-carried-n variant —
-    zero joins — was measured 5× slower at the ×10 stress: the doc_id
-    window fully sorts the shingle table on both join sides, where the
-    post-agg join touches only candidate pairs.)
+    zero joins — was measured ~4× slower at the ×10 stress, 79 s vs 20 s:
+    the doc_id window fully sorts the shingle table on both join sides,
+    where the post-agg join touches only candidate pairs.)
     Bigrams are replaced by xxhash64 8-byte keys before the join (the
     output carries no bigram values), so the heavy shuffle moves longs,
     not strings. Scales with Σ df² — near-linear when shingles are rare.
