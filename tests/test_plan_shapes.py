@@ -477,9 +477,11 @@ def test_tfidf_cosine_pairs_candidates_are_term_bucketed(spark, sf_dir):
 def test_ivfpq_no_full_corpus_float_stage(spark, sf_dir):
     """IVFPQ serving: the only stage that touches embedding floats after
     encoding is the PQ_SHORTLIST re-rank — the ADC aggregate runs over
-    integer codes. Assert the plan carries no cartesian product and the
-    codes semi-join against the probed bucket exists."""
+    integer codes. No CartesianProduct anywhere (the scalar q_emb
+    crossJoins compile to BroadcastNestedLoopJoin over 1-row sides), and
+    the probed-bucket restriction is a semi-join in the plan."""
     df = QS["ann_ivfpq_topk"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert "CartesianProduct" not in plan or "q_emb" in plan  # only scalar crossJoins
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # codes ⋉ probed bucket ids / rerank ⋉ shortlist

@@ -53,6 +53,25 @@ def _write_batches(df: DataFrame, key: str, src: str) -> None:
         df.filter((F.col(key) % 3) == k).coalesce(1).write.mode("append").parquet(src)
 
 
+def _await(q, seconds: int = 300) -> None:
+    """awaitTermination returning False means the cap elapsed mid-stream —
+    fail LOUDLY instead of returning a partial (wrong-but-plausible)
+    result to the oracle compare."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(f"replay stream exceeded {seconds}s")
+
+
+def _cleanup(*dirs: str) -> None:
+    """Drop replay fixture/checkpoint dirs once their data is materialized
+    elsewhere — repeated parity/driver runs would otherwise accumulate a
+    corpus copy per invocation in /tmp."""
+    import shutil
+
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _run_to_memory(stream_df: DataFrame, ckpt: str) -> DataFrame:
     name = f"replay_{uuid.uuid4().hex[:12]}"
     q = (
@@ -63,7 +82,7 @@ def _run_to_memory(stream_df: DataFrame, ckpt: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return stream_df.sparkSession.table(name)
 
 
@@ -95,7 +114,9 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    return _run_to_memory(streaming_near_dup(stream), ckpt).select("a_id", "b_id")
+    out = _run_to_memory(streaming_near_dup(stream), ckpt).select("a_id", "b_id")
+    _cleanup(src, ckpt)  # the memory sink holds the rows; fixtures are dead
+    return out
 
 
 @register(
@@ -106,25 +127,36 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE isfinite(value)
         ),
         g AS (
-            SELECT event_type, b, COUNT(*) AS cnt,
-                   SUM(value) AS s, SUM(value * value) AS s2
+            SELECT event_type, b, COUNT(*) AS cnt, SUM(value) AS s
             FROM e GROUP BY event_type, b
         ),
         cum AS (
             SELECT event_type, b,
                    COALESCE(SUM(cnt) OVER w, 0) AS n,
-                   SUM(s) OVER w AS s,
-                   SUM(s2) OVER w AS s2
+                   SUM(s) OVER w AS s
             FROM g
             WINDOW w AS (PARTITION BY event_type ORDER BY b
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         ),
+        m AS (
+            SELECT event_type, b, n, s / n AS mean FROM cum WHERE n > 1
+        ),
+        -- variance in the stable TWO-PASS form (mean of squared residuals
+        -- over prior batches), matching the monitor's Welford state to far
+        -- past the 6 rounded decimals at ANY mean magnitude; the sum form
+        -- s2/n - mean^2 cancels catastrophically for large means — the
+        -- exact failure the monitor's r4 Welford rewrite removed
+        v AS (
+            SELECT m.event_type, m.b, m.n, m.mean,
+                   SUM((p.value - m.mean) * (p.value - m.mean)) / m.n AS var
+            FROM m JOIN e p ON p.event_type = m.event_type AND p.b < m.b
+            GROUP BY m.event_type, m.b, m.n, m.mean
+        ),
         scored AS (
             SELECT e.event_id, e.event_type, e.value,
-                   (e.value - c.s / c.n)
-                       / sqrt(c.s2 / c.n - (c.s / c.n) * (c.s / c.n)) AS z
-            FROM e JOIN cum c ON e.event_type = c.event_type AND e.b = c.b
-            WHERE c.n > 1 AND c.s2 / c.n - (c.s / c.n) * (c.s / c.n) > 0
+                   (e.value - v.mean) / sqrt(v.var) AS z
+            FROM e JOIN v ON e.event_type = v.event_type AND e.b = v.b
+            WHERE v.var > 0
         )
         SELECT event_id, event_type, value, round(z, 6) AS zscore
         FROM scored WHERE abs(z) > {_Z_LIMIT}
@@ -136,9 +168,10 @@ def streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/monitor.py::streaming_zscore — Welford running state per
     event type, each batch scored against PRIOR batches only) over the
     events table as a three-batch stream. The oracle replays the same
-    prequential split with cumulative-window stats; the monitor's Welford
-    mean/variance and the oracle's sum-form agree to well past the six
-    rounded decimals the output carries (verified at every sf dir)."""
+    prequential split with cumulative-window means and TWO-PASS variances
+    (mean of squared residuals) — the numerically stable pair to Welford,
+    agreeing to far past the six rounded decimals at any mean magnitude
+    (verified at every sf dir)."""
     from ..streaming.monitor import streaming_zscore
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
@@ -148,7 +181,9 @@ def streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    return _run_to_memory(streaming_zscore(stream, limit=_Z_LIMIT), ckpt)
+    out = _run_to_memory(streaming_zscore(stream, limit=_Z_LIMIT), ckpt)
+    _cleanup(src, ckpt)
+    return out
 
 
 @register(
@@ -225,7 +260,8 @@ def corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
+    _cleanup(src, ckpt)  # the corpus parquet itself must outlive the return
     return spark.read.parquet(corpus).select(
         "doc_id", "fingerprint", F.size("shingles").alias("n_shingles")
     )
@@ -258,7 +294,12 @@ _SNAP_B = ("2024-01-08 00:00:00", "2024-01-31 00:00:00", "2024-01-31")
                     WHEN b.user_id IS NULL THEN '{_SNAP_A[2]}'
                     WHEN a.n_events <> b.n_events THEN '{_SNAP_B[2]}'
                     ELSE '{_SNAP_A[2]}' END AS updated_at,
-               CASE WHEN b.user_id IS NULL THEN '{_SNAP_B[2]}' END AS removed_at
+               -- an all-empty snapshot B produces NO batch rows, so the
+               -- stream's fold never sees date B and nothing is removed;
+               -- mirror that: removal requires snapshot B to be non-empty
+               CASE WHEN b.user_id IS NULL
+                     AND (SELECT COUNT(*) FROM b) > 0 THEN '{_SNAP_B[2]}'
+               END AS removed_at
         FROM a FULL JOIN b ON a.user_id = b.user_id
     """,
     tags=("ext-streaming", "replay", "D2"),
@@ -292,7 +333,8 @@ def snapshot_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("id", T.LongType()), T.StructField("n_events", T.LongType())]
     )
     q = start_snapshot_merge_stream(spark, root, store, ckpt, schema)
-    q.awaitTermination(300)
+    _await(q)
+    _cleanup(root, ckpt)  # the state store must outlive the return
     state = store.read(spark)
     if state is None:
         # empty source table → both snapshots empty → the fold never wrote

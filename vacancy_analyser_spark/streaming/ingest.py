@@ -71,8 +71,22 @@ def dedup_gate(
     # gate 0: intra-batch re-delivery — a source that re-delivers the SAME
     # doc_id within one micro-batch would otherwise pass gate 1 twice (the
     # min-doc_id semi-join keeps every row of the keeper id) and append
-    # the document to the corpus twice
-    b = _with_artifacts(batch.select("doc_id", "text").dropDuplicates(["doc_id"]))
+    # the document to the corpus twice. Exact re-deliveries collapse via
+    # (doc_id, text); if the same doc_id arrives with DIFFERENT payloads
+    # the keeper is the min-fingerprint row — arbitrary but DETERMINISTIC,
+    # preserving the loop's replay contract (dropDuplicates on a subset
+    # keeps whichever row a partition scan sees first, which varies)
+    from pyspark.sql import Window
+
+    b = _with_artifacts(batch.select("doc_id", "text").dropDuplicates(["doc_id", "text"]))
+    b = (
+        b.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("fingerprint")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     # gate 1: in-batch exact (deterministic keeper)
     keep = b.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     b = b.join(keep, ["fingerprint", "doc_id"], "left_semi")

@@ -30,6 +30,11 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming.state import GroupState
 
 OUTPUT_SCHEMA = "event_id bigint, event_type string, value double, zscore double"
+#: CHECKPOINT COMPATIBILITY: this layout replaced (n, s, s2) in r4 and is
+#: positionally identical (bigint, double, double) — a stream RESUMED from
+#: a pre-change checkpoint would silently read Σv as the mean. Restart
+#: such a deployment from a fresh checkpoint (state rebuilds from the
+#: stream); there is no in-band version field in applyInPandasWithState.
 STATE_SCHEMA = "n bigint, mean double, m2 double"
 
 
