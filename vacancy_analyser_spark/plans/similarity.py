@@ -1172,6 +1172,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _pq_codebook(sub).persist()
     cb.count()  # read twice: dtable + encode
     codes = _pq_assign(sub, cb).select("vec_id", "block", "code")
+    return _adc_shortlist_rerank(vecs, sub, cb, codes)
+
+
+def _adc_shortlist_rerank(
+    vecs: DataFrame, sub: DataFrame, cb: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """The ADC serving tail — distance table, fixed-point ADC aggregate,
+    shortlist, exact re-rank — over whatever ``codes`` table the caller
+    restricts to (the full corpus for ann_pq_adc_topk, the probed IVF
+    buckets for ann_ivfpq_topk). ONE implementation: the fixed-point
+    scaling and round placements here were each tuned once for
+    cross-engine tie bugs (see _pq_assign's qd note), so the two serving
+    paths must not carry separate copies."""
     q_sub = sub.filter(F.col("vec_id") == 0).select(
         "block", F.col("sub").alias("q_sub")
     )
@@ -1181,14 +1194,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             F.round(l2sq(F.col("q_sub"), F.col("c_sub")), 9).alias("d"),
         )
-    )
+    ).alias("d")
+    c = codes.alias("c")
     adc = (
-        codes.filter(F.col("vec_id") != 0)
-        .join(dtable, (codes.block == dtable.block) & (codes.code == dtable.cid))
-        .groupBy("vec_id")
+        c.filter(F.col("c.vec_id") != 0)
+        .join(dtable, (F.col("c.block") == F.col("d.block")) & (F.col("c.code") == F.col("d.cid")))
+        .groupBy(F.col("c.vec_id").alias("vec_id"))
         .agg(
             (
-                F.sum(F.round(F.col("d") * F.lit(10.0**9)).cast("bigint")).cast("double")
+                F.sum(F.round(F.col("d.d") * F.lit(10.0**9)).cast("bigint")).cast("double")
                 / F.lit(10.0**9)
             ).alias("adc_dist")
         )
@@ -1299,37 +1313,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb.count()  # read twice: dtable + encode
     codes = _pq_assign(sub, cb).select("vec_id", "block", "code")
     codes_in = codes.join(bucket_ids, "vec_id", "left_semi")
-    q_sub = sub.filter(F.col("vec_id") == 0).select("block", F.col("sub").alias("q_sub"))
-    dtable = F.broadcast(
-        cb.join(q_sub, "block").select(
-            "block",
-            "cid",
-            F.round(l2sq(F.col("q_sub"), F.col("c_sub")), 9).alias("d"),
-        )
-    )
-    adc = (
-        codes_in.filter(F.col("vec_id") != 0)
-        .join(dtable, (codes_in.block == dtable.block) & (codes_in.code == dtable.cid))
-        .groupBy("vec_id")
-        .agg(
-            (
-                F.sum(F.round(F.col("d") * F.lit(10.0**9)).cast("bigint")).cast("double")
-                / F.lit(10.0**9)
-            ).alias("adc_dist")
-        )
-    )
-    shortlist = adc.orderBy("adc_dist", "vec_id").limit(PQ_SHORTLIST).select("vec_id")
-    q_emb = F.broadcast(
-        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    )
-    rerank = (
-        vecs.join(shortlist, "vec_id", "left_semi")
-        .crossJoin(q_emb)
-        .select(
-            "vec_id", F.round(l2sq(F.col("embedding"), F.col("q_emb")), 6).alias("l2_dist")
-        )
-    )
-    return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
+    return _adc_shortlist_rerank(vecs, sub, cb, codes_in)
 
 
 KNN_GRAPH_K = 3

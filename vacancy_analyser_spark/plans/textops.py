@@ -360,10 +360,7 @@ TFIDF_VEC_K = 10
 TFIDF_SIM_T = 0.7
 
 
-@register(
-    "tfidf_cosine_pairs",
-    oracle=f"""
-        WITH toks AS (
+_TFIDF_VEC0_CTES = f"""toks AS (
             SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
         ),
         tf AS (
@@ -371,7 +368,7 @@ TFIDF_SIM_T = 0.7
         ),
         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        vec AS (
+        vec0 AS (
             SELECT doc_id, term, score FROM (
                 SELECT tf.doc_id, tf.term,
                        (CAST(tf.tf AS DOUBLE)
@@ -386,8 +383,12 @@ TFIDF_SIM_T = 0.7
                        ) AS rn
                 FROM tf JOIN dfreq USING (term) CROSS JOIN n
             ) WHERE rn <= {TFIDF_VEC_K}
-        ),
-        nrm AS (
+        )"""
+
+#: nrm/dot/select suffix over a CTE named `vec` — ONE definition of the
+#: fixed-point cosine shared by the exact and capped oracles, so the
+#: scoring arithmetic cannot drift between the variants.
+_TFIDF_PAIRS_SQL = f"""nrm AS (
             SELECT doc_id,
                    sqrt(CAST(SUM(CAST(round(score * score * 1e9) AS BIGINT)) AS DOUBLE)
                         / 1e9) AS nrm
@@ -404,7 +405,71 @@ TFIDF_SIM_T = 0.7
         FROM dot
         JOIN nrm na ON a_id = na.doc_id
         JOIN nrm nb ON b_id = nb.doc_id
-        WHERE dp / (na.nrm * nb.nrm) >= {TFIDF_SIM_T}
+        WHERE dp / (na.nrm * nb.nrm) >= {TFIDF_SIM_T}"""
+
+
+def _tfidf_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, score): each document's TFIDF_VEC_K top tf-idf terms
+    — the shared vector builder of both cosine variants (tf persisted:
+    the df branch breaks exchange reuse, see tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+    ) / (F.col("df").cast("double") + 0.5)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_VEC_K)
+        .select("doc_id", "term", "score")
+    )
+
+
+def _cosine_pairs_from(vec: DataFrame) -> DataFrame:
+    """Pairs with cosine ≥ TFIDF_SIM_T over a (doc_id, term, score) vector
+    table — the ONE implementation of the fixed-point dot/norm arithmetic
+    (term-bucketed candidates; unhinted doc-scaled norm joins, AQE-sized;
+    mirrors _TFIDF_PAIRS_SQL)."""
+    vec = vec.persist()
+    vec.count()  # norms + both candidate-join sides read it
+
+    def fxsum(col):
+        return (
+            F.sum(F.round(col * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+        )
+
+    nrm = vec.groupBy("doc_id").agg(F.sqrt(fxsum(F.col("score") * F.col("score"))).alias("nrm"))
+    a, b = vec.alias("a"), vec.alias("b")
+    dot = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(fxsum(F.col("a.score") * F.col("b.score")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    sim = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        dot.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(sim >= TFIDF_SIM_T)
+        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+        WITH {_TFIDF_VEC0_CTES},
+        vec AS (SELECT * FROM vec0),
+        {_TFIDF_PAIRS_SQL}
     """,
     tags=("ext-text", "ext-dedup"),
 )
@@ -422,52 +487,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin prefix). Dot products and norms go through the ADC
     fixed-point form (sum of round(x·1e9) longs) so the cosine — and the
     hash — is bit-identical across engines. One token pass feeds tf; df
-    aggregates from tf; everything downstream is aggregate-sized."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    tf.count()  # df branch breaks exchange reuse (see tfidf_top_terms)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    score = (
-        F.col("tf").cast("double")
-        * (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-    ) / (F.col("df").cast("double") + 0.5)
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
-    vec = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("score", score)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TFIDF_VEC_K)
-        .select("doc_id", "term", "score")
-        .persist()
-    )
-    vec.count()  # norms + both join sides read it
-
-    def fxsum(col):
-        return (
-            F.sum(F.round(col * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
-        )
-
-    nrm = vec.groupBy("doc_id").agg(F.sqrt(fxsum(F.col("score") * F.col("score"))).alias("nrm"))
-    a, b = vec.alias("a"), vec.alias("b")
-    dot = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(fxsum(F.col("a.score") * F.col("b.score")).alias("dp"))
-    )
-    # unhinted size joins: nrm is one row per document (broadcast would be
-    # the r3 scale-killer class) — AQE promotes at small SF
-    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
-    sim = F.col("dp") / (F.col("na") * F.col("nb"))
-    return (
-        dot.join(na, "a_id")
-        .join(nb, "b_id")
-        .filter(sim >= TFIDF_SIM_T)
-        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
-    )
+    aggregates from tf; everything downstream is aggregate-sized. The
+    vector builder and the pair arithmetic are shared with
+    tfidf_cosine_capped (one definition each, Spark and SQL)."""
+    return _cosine_pairs_from(_tfidf_vec0(spark, sf_dir))
 
 
 @register(
@@ -1558,54 +1581,14 @@ TFIDF_DF_CAP_DIVISOR = 2
 @register(
     "tfidf_cosine_capped",
     oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-        ),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        vec0 AS (
-            SELECT doc_id, term, score FROM (
-                SELECT tf.doc_id, tf.term,
-                       (CAST(tf.tf AS DOUBLE)
-                        * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
-                       / (CAST(dfreq.df AS DOUBLE) + 0.5) AS score,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY tf.doc_id
-                           ORDER BY (CAST(tf.tf AS DOUBLE)
-                                     * (CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5))
-                                    / (CAST(dfreq.df AS DOUBLE) + 0.5) DESC,
-                                    tf.term
-                       ) AS rn
-                FROM tf JOIN dfreq USING (term) CROSS JOIN n
-            ) WHERE rn <= {TFIDF_VEC_K}
-        ),
+        WITH {_TFIDF_VEC0_CTES},
         dt AS (SELECT term, COUNT(*) AS dt FROM vec0 GROUP BY term),
         vec AS (
             SELECT vec0.doc_id, vec0.term, vec0.score
             FROM vec0 JOIN dt USING (term) CROSS JOIN n
             WHERE dt.dt <= greatest(2, n.n_docs // {TFIDF_DF_CAP_DIVISOR})
         ),
-        nrm AS (
-            SELECT doc_id,
-                   sqrt(CAST(SUM(CAST(round(score * score * 1e9) AS BIGINT)) AS DOUBLE)
-                        / 1e9) AS nrm
-            FROM vec GROUP BY doc_id
-        ),
-        dot AS (
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST(SUM(CAST(round(a.score * b.score * 1e9) AS BIGINT)) AS DOUBLE)
-                       / 1e9 AS dp
-            FROM vec a JOIN vec b ON a.term = b.term AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT a_id, b_id, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
-        FROM dot
-        JOIN nrm na ON a_id = na.doc_id
-        JOIN nrm nb ON b_id = nb.doc_id
-        WHERE dp / (na.nrm * nb.nrm) >= {TFIDF_SIM_T}
+        {_TFIDF_PAIRS_SQL}
     """,
     tags=("ext-text", "ext-dedup"),
 )
@@ -1619,26 +1602,12 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rows from 20k one-shared-token docs; under the cap that
     term never reaches the join. The cap formula is recomputed inside the
     oracle, so the driver hash-checks the planner's choice. Inactive on
-    every shipped SF (pinned identical to the exact query in tests)."""
+    every shipped SF (pinned identical to the exact query in tests). The
+    vector builder and pair arithmetic are the SAME code/SQL as the exact
+    variant — only the dt/kept filter differs."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    tf.count()
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
-    score = (
-        F.col("tf").cast("double")
-        * (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-    ) / (F.col("df").cast("double") + 0.5)
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
-    vec0 = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("score", score)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TFIDF_VEC_K)
-        .select("doc_id", "term", "score")
-    )
+    vec0 = _tfidf_vec0(spark, sf_dir)
     dt = vec0.groupBy("term").agg(F.count("*").alias("dt"))
     kept = (
         dt.crossJoin(F.broadcast(n))
@@ -1648,27 +1617,4 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term")
     )
-    vec = vec0.join(kept, "term", "left_semi").persist()
-    vec.count()
-
-    def fxsum(col):
-        return (
-            F.sum(F.round(col * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
-        )
-
-    nrm = vec.groupBy("doc_id").agg(F.sqrt(fxsum(F.col("score") * F.col("score"))).alias("nrm"))
-    a, b = vec.alias("a"), vec.alias("b")
-    dot = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(fxsum(F.col("a.score") * F.col("b.score")).alias("dp"))
-    )
-    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
-    sim = F.col("dp") / (F.col("na") * F.col("nb"))
-    return (
-        dot.join(na, "a_id")
-        .join(nb, "b_id")
-        .filter(sim >= TFIDF_SIM_T)
-        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
-    )
+    return _cosine_pairs_from(vec0.join(kept, "term", "left_semi"))
