@@ -22,6 +22,7 @@ evidence; production use of the operators is the streaming API itself.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -72,17 +73,23 @@ def _cleanup(*dirs: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _run_to_memory(stream_df: DataFrame, ckpt: str) -> DataFrame:
+def _run_to_memory(stream_df: DataFrame, ckpt: str, src: str) -> DataFrame:
+    """Drive the stream into a memory sink and return its table; fixture
+    and checkpoint dirs are cleaned in a finally (the sink holds the rows
+    in driver memory), so even a timeout leaks nothing."""
     name = f"replay_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    finally:
+        _cleanup(src, ckpt)
     return stream_df.sparkSession.table(name)
 
 
@@ -114,9 +121,7 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    out = _run_to_memory(streaming_near_dup(stream), ckpt).select("a_id", "b_id")
-    _cleanup(src, ckpt)  # the memory sink holds the rows; fixtures are dead
-    return out
+    return _run_to_memory(streaming_near_dup(stream), ckpt, src).select("a_id", "b_id")
 
 
 @register(
@@ -181,9 +186,7 @@ def streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    out = _run_to_memory(streaming_zscore(stream, limit=_Z_LIMIT), ckpt)
-    _cleanup(src, ckpt)
-    return out
+    return _run_to_memory(streaming_zscore(stream, limit=_Z_LIMIT), ckpt, src)
 
 
 @register(
@@ -260,11 +263,20 @@ def corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await(q)
-    _cleanup(src, ckpt)  # the corpus parquet itself must outlive the return
-    return spark.read.parquet(corpus).select(
-        "doc_id", "fingerprint", F.size("shingles").alias("n_shingles")
-    )
+    try:
+        _await(q)
+        # localize the driver-sized result (id + hash + int per doc; the
+        # TEXT column never leaves the corpus) so the corpus dir itself
+        # can be cleaned too — returning a lazy reader over it would pin
+        # one corpus parquet copy per invocation in /tmp
+        rows = (
+            spark.read.parquet(corpus)
+            .select("doc_id", "fingerprint", F.size("shingles").alias("n_shingles"))
+            .collect()
+        )
+    finally:
+        _cleanup(src, ckpt, os.path.dirname(corpus))
+    return spark.createDataFrame(rows, "doc_id long, fingerprint string, n_shingles int")
 
 
 #: The snapshot-stream fixture reuses snapshot_merge's two event windows
@@ -332,24 +344,30 @@ def snapshot_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("n_events", T.LongType())]
     )
-    q = start_snapshot_merge_stream(spark, root, store, ckpt, schema)
-    _await(q)
-    _cleanup(root, ckpt)  # the state store must outlive the return
-    state = store.read(spark)
-    if state is None:
-        # empty source table → both snapshots empty → the fold never wrote
-        # state (fold_batch returns on an empty batch); the merged state of
-        # nothing is the empty frame, matching the oracle's empty full join
-        return spark.createDataFrame(
-            [], "id long, n_events bigint, added_at string, updated_at string, removed_at string"
-        )
-    # lifecycle dates as ISO strings: a DATE travels as datetime.date from
-    # Spark but datetime64 from DuckDB via pandas — the string form is the
-    # engine-neutral representation the compare hashes
-    return state.select(
-        "id",
-        "n_events",
-        F.col("added_at").cast("string").alias("added_at"),
-        F.col("updated_at").cast("string").alias("updated_at"),
-        F.col("removed_at").cast("string").alias("removed_at"),
-    )
+    out_schema = "id long, n_events bigint, added_at string, updated_at string, removed_at string"
+    try:
+        q = start_snapshot_merge_stream(spark, root, store, ckpt, schema)
+        _await(q)
+        state = store.read(spark)
+        if state is None:
+            # empty source table → both snapshots empty → the fold never
+            # wrote state (fold_batch returns on an empty batch); the
+            # merged state of nothing is the empty frame, matching the
+            # oracle's empty full join
+            rows = []
+        else:
+            # lifecycle dates as ISO strings: a DATE travels as
+            # datetime.date from Spark but datetime64 from DuckDB via
+            # pandas — the string form is the engine-neutral
+            # representation the compare hashes. Localized (driver-sized:
+            # one row per user) so the state-store dir can be cleaned.
+            rows = state.select(
+                "id",
+                "n_events",
+                F.col("added_at").cast("string").alias("added_at"),
+                F.col("updated_at").cast("string").alias("updated_at"),
+                F.col("removed_at").cast("string").alias("removed_at"),
+            ).collect()
+    finally:
+        _cleanup(root, ckpt, store.root)
+    return spark.createDataFrame(rows, out_schema)

@@ -408,11 +408,15 @@ _TFIDF_PAIRS_SQL = f"""nrm AS (
         WHERE dp / (na.nrm * nb.nrm) >= {TFIDF_SIM_T}"""
 
 
-def _tfidf_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tfidf_vec0(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, term, score): each document's TFIDF_VEC_K top tf-idf terms
     — the shared vector builder of both cosine variants (tf persisted:
-    the df branch breaks exchange reuse, see tfidf_top_terms)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the df branch breaks exchange reuse, see tfidf_top_terms). Pass
+    ``docs`` to share one table load with a caller that also reads it."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     tf.count()
@@ -1607,7 +1611,7 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant — only the dt/kept filter differs."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").alias("n_docs"))
-    vec0 = _tfidf_vec0(spark, sf_dir)
+    vec0 = _tfidf_vec0(spark, sf_dir, docs=docs)
     dt = vec0.groupBy("term").agg(F.count("*").alias("dt"))
     kept = (
         dt.crossJoin(F.broadcast(n))

@@ -71,18 +71,20 @@ def dedup_gate(
     # gate 0: intra-batch re-delivery — a source that re-delivers the SAME
     # doc_id within one micro-batch would otherwise pass gate 1 twice (the
     # min-doc_id semi-join keeps every row of the keeper id) and append
-    # the document to the corpus twice. Exact re-deliveries collapse via
-    # (doc_id, text); if the same doc_id arrives with DIFFERENT payloads
-    # the keeper is the min-fingerprint row — arbitrary but DETERMINISTIC,
-    # preserving the loop's replay contract (dropDuplicates on a subset
-    # keeps whichever row a partition scan sees first, which varies)
+    # the document to the corpus twice. ONE window keeps exactly one row
+    # per doc_id, keyed (fingerprint, text) — fully DETERMINISTIC even for
+    # payloads that normalize equal (same fingerprint, different raw text),
+    # where a fingerprint-only tiebreak or a dropDuplicates subset would
+    # let partition scan order pick the surviving text
     from pyspark.sql import Window
 
-    b = _with_artifacts(batch.select("doc_id", "text").dropDuplicates(["doc_id", "text"]))
+    b = _with_artifacts(batch.select("doc_id", "text"))
     b = (
         b.withColumn(
             "_rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("fingerprint")),
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("fingerprint", "text")
+            ),
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
