@@ -318,3 +318,48 @@ def test_tfidf_capped_inactive_equals_exact(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(TX, "TFIDF_DF_CAP_DIVISOR", 10)
     bound = sorted(map(tuple, TX.tfidf_cosine_capped(spark, sf_dir).collect()))
     assert bound != exact
+
+
+def test_boilerplate_filter_consistent_with_share_query(spark, sf_dir):
+    """The API stage must drop exactly the docs the registered share query
+    scores above the threshold (same spans, same floor)."""
+    from vacancy_analyser_spark.corpus import boilerplate_filter
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.textops import doc_boilerplate_share
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_share = 0.2  # low enough to actually drop docs on the fixture
+    kept = {r["doc_id"] for r in boilerplate_filter(docs, max_share=max_share).collect()}
+    shares = {
+        r["doc_id"]: r["boiler_share"]
+        for r in doc_boilerplate_share(spark, sf_dir).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expect = {
+        d for d in all_ids
+        if d not in shares or shares[d] <= max_share
+    }
+    # rounding: the registered query rounds to 6; exclude boundary docs
+    boundary = {d for d, s in shares.items() if abs(s - max_share) < 1e-6}
+    assert kept - boundary == expect - boundary
+    assert len(expect) < len(all_ids)  # the threshold actually bites
+
+
+def test_dedup_keep_best_api_matches_registered_keepers(spark, sf_dir):
+    """The API keeper stage must retain exactly the registered
+    dedup_keep_best keepers plus every doc outside any component."""
+    from vacancy_analyser_spark.corpus import dedup_keep_best as api_keep_best
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.dedup import (
+        dedup_keep_best as q_keep_best,
+        near_dup_groups,
+        ngram_jaccard_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(spark, sf_dir).select("a_id", "b_id")
+    kept = {r["doc_id"] for r in api_keep_best(docs, pairs).select("doc_id").collect()}
+    members = {r["doc_id"] for r in near_dup_groups(spark, sf_dir).collect()}
+    keepers = {r["keeper_id"] for r in q_keep_best(spark, sf_dir).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == (all_ids - members) | keepers

@@ -28,8 +28,10 @@ from .functions.text import normalize_ws, tokens
 
 __all__ = [
     "quality_gate",
+    "boilerplate_filter",
     "dedup_exact",
     "dedup_near",
+    "dedup_keep_best",
     "decontaminate",
     "assign_split",
     "pack_sequences",
@@ -71,6 +73,50 @@ def quality_gate(
     )
 
 
+def boilerplate_filter(
+    docs: DataFrame,
+    max_share: float = 0.5,
+    min_docs: int = 3,
+    ngram: int = 5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Drop documents whose token-``ngram`` positions are more than
+    ``max_share`` covered by corpus-level boilerplate spans (spans in ≥
+    ``min_docs`` distinct docs) — the API form of the registered
+    boilerplate_ngrams / doc_boilerplate_share pair. Documents shorter
+    than the span width carry no positions and pass (nothing to score).
+
+    Lazy like the other stages: the boilerplate set and the share are
+    joins over the same input frame, one composite plan. The caller
+    persists ``docs`` first when the input is itself expensive (the
+    frame is read three ways here)."""
+    toks = docs.select(key, tokens("text").alias("_t"))
+    grams_arr = F.when(
+        F.size("_t") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (ngram - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_t", i + k) for k in range(ngram)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select(key, F.explode(grams_arr).alias("_gram"))
+    boiler = (
+        g.groupBy("_gram")
+        .agg(F.countDistinct(key).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gram")
+    )
+    pos = g.groupBy(key).agg(F.count("*").alias("_n_pos"))
+    hit = g.join(boiler, "_gram").groupBy(key).agg(F.count("*").alias("_n_boiler"))
+    over = (
+        pos.join(hit, key)
+        .filter(F.col("_n_boiler").cast("double") / F.col("_n_pos") > max_share)
+        .select(key)
+    )
+    return docs.join(over, key, "left_anti")
+
+
 def dedup_exact(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Keep min(key) per normalized-content fingerprint — one shuffle on
     the 128-bit hash, window form (no aggregate-and-join-back)."""
@@ -102,6 +148,31 @@ def dedup_near(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFr
     losers = (
         comp.filter(F.col("component") != F.col("id"))
         .select(F.col("id").alias(key))
+    )
+    return docs.join(losers, key, "left_anti")
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "n_chars",
+    key: str = "doc_id",
+) -> DataFrame:
+    """dedup_near with a QUALITY-argmax keeper instead of the canonical
+    min-key member: per near-dup component, retain the row maximizing
+    ``score_col`` (key tie-break) — the registered dedup_keep_best query
+    is the driver-checked instance of the same selection. Eager like
+    dedup_near (the component fixpoint is iterative)."""
+    from .operators.components import connected_components
+
+    comp = connected_components(pairs.select(F.col("a_id"), F.col("b_id")))
+    members = comp.select(F.col("id").alias(key), F.col("component").alias("_grp"))
+    scored = members.join(docs.select(key, score_col), key)
+    w = Window.partitionBy("_grp").orderBy(F.col(score_col).desc(), key)
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(key)
     )
     return docs.join(losers, key, "left_anti")
 
