@@ -41,6 +41,7 @@ EXT = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "tfidf_cosine_pairs",
+    "tfidf_cosine_capped",
     "bpe_train_merges",
     "bpe_encode_token_count",
     "boilerplate_ngrams",
