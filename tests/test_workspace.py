@@ -32,3 +32,24 @@ def test_catalog_covers_every_registered_query():
     assert len(c) >= 96
     assert all(isinstance(v, str) for v in c.values())
     assert c["pricing_summary"]  # non-empty description
+
+
+def test_cli_list_and_run(spark):
+    """The __main__ CLI must list the registry and run a query through the
+    same code path (driven in-process: main() returns 0 and show() output
+    lands on stdout)."""
+    import contextlib
+    import io
+
+    from vacancy_analyser_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["list", "--tag", "ext-dedup"]) == 0
+    out = buf.getvalue()
+    assert "exact_dedup" in out and "minhash_lsh_dedup" in out
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["run", "max_dates", "/root/testdata/sf0.001"]) == 0
+    assert "max" in buf.getvalue().lower()
