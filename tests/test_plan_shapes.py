@@ -485,3 +485,14 @@ def test_ivfpq_no_full_corpus_float_stage(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan  # codes ⋉ probed bucket ids / rerank ⋉ shortlist
+
+
+def test_corpus_lake_scan_prunes_partitions_and_text(spark, sf_dir):
+    """The lang IN-filter must become STATIC partition pruning on the
+    lang-partitioned documents lake (PartitionFilters carries lang), and
+    the census must never read the text column."""
+    plan = _static_plan(spark, sf_dir, "corpus_lake_pruned_scan")
+    pf = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "lang" in pf and ("IN" in pf.upper() or "in(" in pf)
+    scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in scan

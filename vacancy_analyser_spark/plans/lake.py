@@ -98,3 +98,53 @@ def lake_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+def _documents_lake_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_WAREHOUSE, f"lake_{tag}", "documents_by_lang")
+
+
+def documents_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-partitioned `documents` lake, materialized once per sf_dir
+    — the production corpus layout (real pipelines partition by
+    source/crawl-date/lang precisely so per-slice jobs scan one
+    directory). Same freshness/idempotence contract as the orders lake."""
+    path = _documents_lake_path(sf_dir)
+    if not materialization_is_fresh(path, os.path.join(sf_dir, "documents.parquet")):
+        docs = load_table(spark, sf_dir, "documents")
+        write_parquet(docs, path, partition_by=["lang"])
+    expected = load_table(spark, sf_dir, "documents").schema
+    return spark.read.schema(expected).parquet(path)
+
+
+@register(
+    "corpus_lake_pruned_scan",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang IN ('en', 'de')
+        GROUP BY lang, source
+    """,
+    tags=("lake", "ext-text", "opt-partition-pruning"),
+)
+def corpus_lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus census restricted to two languages, over
+    the lang-partitioned lake: the literal IN-filter becomes STATIC
+    partition pruning — the scan lists two `lang=` directories and the
+    text column never leaves the files (plan-guarded: PartitionFilters
+    carries lang, ReadSchema excludes text). At 100 TB this is the
+    difference between a per-language stats job reading its slice and
+    rereading the corpus. The oracle answers from the flat view —
+    layout-independence, like the orders lake."""
+    lake = documents_partitioned(spark, sf_dir)
+    return (
+        lake.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
