@@ -445,7 +445,19 @@ def test_jaccard_sparse_paths_never_hint_doc_scaled_sides(spark, sf_dir):
 
 
 def test_containment_and_incremental_never_hint_doc_scaled_sides(spark, sf_dir):
-    assert _forced_broadcasts(QS["containment_dedup"](spark, sf_dir)) == 0
+    """Like the Jaccard family above: the SPARSE containment plans must
+    carry no hint (the registered query may dispatch to the bitmap plan,
+    whose broadcast of the packed table is gated by MAX_BITMAP_DOCS —
+    a planner-bounded side, the same exemption _jaccard_bitmap has)."""
+    from vacancy_analyser_spark.plans.dedup import (
+        _containment_countjoin,
+        _containment_ppjoin,
+        _doc_bigrams,
+    )
+
+    g = _doc_bigrams(spark, sf_dir)
+    assert _forced_broadcasts(_containment_countjoin(g)) == 0
+    assert _forced_broadcasts(_containment_ppjoin(g)) == 0
     assert _forced_broadcasts(QS["incremental_dedup"](spark, sf_dir)) == 0
 
 

@@ -63,6 +63,125 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         assert (a, b) in cont and (b, a) in cont
 
 
+def test_containment_regime_paths_agree(spark, sf_dir):
+    """The containment dispatcher is a planner rule, not a semantic
+    switch: all three physical plans (bitmap popcount, count-join,
+    asymmetric prefix-filtered join) must return identical directed pairs
+    and values. The dense fixture corpus is the WORST case for the prefix
+    filter (no shingle is rare), so agreement here exercises its
+    pigeonhole bound hardest — mirrors test_jaccard_regime_paths_agree."""
+    from vacancy_analyser_spark.plans.dedup import (
+        _containment_bitmap,
+        _containment_countjoin,
+        _containment_ppjoin,
+        _doc_bigrams,
+    )
+
+    g = _doc_bigrams(spark, sf_dir).persist()
+    n_vocab = g.select("bigram").distinct().count()
+    bitmap = sorted(map(tuple, _containment_bitmap(g, n_vocab).collect()))
+    countjoin = sorted(map(tuple, _containment_countjoin(g).collect()))
+    ppjoin = sorted(map(tuple, _containment_ppjoin(g).collect()))
+    g.unpersist()
+    assert bitmap == countjoin
+    assert ppjoin == countjoin
+    assert len(bitmap) > 0  # fixture corpus does contain containment pairs
+
+
+def test_containment_ppjoin_prunes_head_but_keeps_all_pairs(spark):
+    """Head-heavy synthetic corpus (the Σ df² killer): the prefix-filtered
+    containment join must return exactly the count-join's pairs while the
+    contained-side prefixes exclude the universal head shingles (they
+    sort last by df, outside every prefix)."""
+    from pyspark.sql import Window as W
+
+    from vacancy_analyser_spark.plans.dedup import (
+        _ceil_contain_t,
+        _containment_countjoin,
+        _containment_ppjoin,
+    )
+
+    # 20 "pages" each contained in one of 4 "books": page p of book k has
+    # shingles book-k-0..9 (the book has all 20), plus 5 universal heads
+    rows = []
+    for k in range(4):
+        rows += [(1000 + k, f"book-{k}-{j}") for j in range(20)]
+        for p in range(5):
+            rows += [(k * 5 + p, f"book-{k}-{4 * p + j}") for j in range(4)]
+    for d in {r[0] for r in rows}:
+        rows += [(d, f"head-{h}") for h in range(5)]
+    g = spark.createDataFrame(rows, "doc_id long, bigram string")
+    pp = sorted(map(tuple, _containment_ppjoin(g).collect()))
+    cj = sorted(map(tuple, _containment_countjoin(g).collect()))
+    assert pp == cj
+    # every page (4+5=9 shingles, 4 book + 5 head) is contained in its
+    # book (20+5 shingles): C = 9/9 = 1.0 ≥ 0.8 → 20 directed pairs at
+    # least; no page contains its book (C = 9/25 < 0.8)
+    contained = {(a, b) for a, b, _ in pp}
+    for k in range(4):
+        for p in range(5):
+            assert (k * 5 + p, 1000 + k) in contained
+            assert (1000 + k, k * 5 + p) not in contained
+    # and the pruning is real: the 24-doc head clique (df=24) must be
+    # outside every contained-side prefix
+    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tbl = gh.groupBy("bh").agg(F.count("*").alias("df"))
+    ranked = (
+        gh.join(df_tbl, "bh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "bh")))
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - _ceil_contain_t(F.col("n")) + 1)
+    assert prefix.filter(F.col("df") == 24).count() == 0
+
+
+def test_ceil_contain_t_is_integer_exact(spark):
+    """Float ceil(0.8·n) rounds 4.000000000000000222 up to 5 at n=5 —
+    the exact failure the rational form exists to avoid. Pin ⌈T·n⌉
+    against Python integer math over a range crossing many multiples."""
+    import math
+
+    from vacancy_analyser_spark.plans.dedup import (
+        CONTAIN_T_DEN,
+        CONTAIN_T_NUM,
+        _ceil_contain_t,
+    )
+
+    rows = spark.range(1, 200).select(F.col("id").alias("n"))
+    got = {r["n"]: r["c"] for r in rows.select("n", _ceil_contain_t(F.col("n")).alias("c")).collect()}
+    for n in range(1, 200):
+        assert got[n] == math.ceil(CONTAIN_T_NUM * n / CONTAIN_T_DEN) == -((-CONTAIN_T_NUM * n) // CONTAIN_T_DEN)
+
+
+def test_capped_keys_dispatch_is_result_identical(spark, sf_dir):
+    """The r5 capped-key dispatch (regime re-probed on the capped table)
+    must be a pure planner change: the dispatched registered queries
+    equal the plain capped count-joins over the same planner cap."""
+    from vacancy_analyser_spark.plans.dedup import (
+        DF_CAP_DIVISOR,
+        MIN_DF_CAP,
+        _containment_countjoin,
+        _doc_bigrams,
+        _jaccard_countjoin,
+        _regime_probe,
+        containment_capped,
+        ngram_jaccard_capped,
+    )
+
+    g = _doc_bigrams(spark, sf_dir).persist()
+    g.count()
+    _, n_docs, _ = _regime_probe(g, sf_dir)
+    cap = max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR)
+    assert sorted(map(tuple, ngram_jaccard_capped(spark, sf_dir).collect())) == sorted(
+        map(tuple, _jaccard_countjoin(g, max_df=cap).collect())
+    )
+    assert sorted(map(tuple, containment_capped(spark, sf_dir).collect())) == sorted(
+        map(tuple, _containment_countjoin(g, max_df=cap).collect())
+    )
+    g.unpersist()
+
+
 def test_quantize_bounds_and_roundtrip(spark, sf_dir):
     q = embedding_quantize(spark, sf_dir)
     # int8 range: floor can reach -128 on the negative extreme, +127 max

@@ -235,7 +235,11 @@ MIN_DF_CAP = 2
 DF_CAP_DIVISOR = 10
 
 
-def _sparse_plan_for(g: DataFrame, n_docs: int | None = None):
+def _sparse_plan_for(
+    g: DataFrame,
+    n_docs: int | None = None,
+    plans: tuple = None,
+):
     """Choose the sparse-regime physical plan from a df-skew probe.
 
     The shared-shingle count-join generates (df choose 2) candidate rows
@@ -245,7 +249,15 @@ def _sparse_plan_for(g: DataFrame, n_docs: int | None = None):
     and flips the planner to the prefix-filtered join, which never
     generates head candidates. Like the bitmap/count-join dispatch, this
     is a planner rule, not a semantic switch — all plans are pinned
-    result-identical in tests."""
+    result-identical in tests.
+
+    ``plans`` is the (count-join, prefix-filtered) pair to dispatch
+    between — the Jaccard pair by default; containment passes its own.
+    The probe is metric-independent: both metrics ride the same
+    shared-shingle candidate topology, so the SAME Σ df(df-1) estimate
+    governs when the prefix filter pays off."""
+    if plans is None:
+        plans = (_jaccard_countjoin, _jaccard_ppjoin)
     stats = (
         g.groupBy("bigram")
         .agg(F.count("*").alias("df"))
@@ -259,8 +271,8 @@ def _sparse_plan_for(g: DataFrame, n_docs: int | None = None):
         n_docs = g.select("doc_id").distinct().count()
     cand_rows = (stats["pairs2"] or 0) / 2
     if n_docs and cand_rows / n_docs > PPJOIN_CAND_PER_DOC:
-        return _jaccard_ppjoin
-    return _jaccard_countjoin
+        return plans[1]
+    return plans[0]
 
 
 #: Densest vocabulary the bitmap plan packs: 2^16 bits = 1024 int64 words
@@ -285,18 +297,17 @@ JACCARD_T = 0.5
 _VOCAB_IDX_BUCKETS = 64
 
 
-def _jaccard_bitmap(
+def _bitmap_packed(
     g: DataFrame, n_vocab: int, bucket_counts: dict[int, int] | None = None
-) -> DataFrame:
-    """Dense-regime plan: index the vocabulary (a small dimension), pack
-    each doc's bigram set into ⌈|V|/64⌉ int64 words with bit_or, broadcast
-    the packed table, and evaluate every a<b pair with bit_count(a&b) sums
-    — a single whole-stage-codegen pipeline over primitive longs: no pair
-    shuffle, no aggregation. |∩| and set sizes are exact integers, so the
-    Jaccard DOUBLE is the same single division the oracle computes.
+) -> tuple[DataFrame, int]:
+    """(packed table persisted, n_words): index the vocabulary (a small
+    dimension) and pack each doc's bigram set into ⌈|V|/64⌉ int64 words
+    with bit_or — the shared first stage of every dense-regime set-overlap
+    plan (Jaccard and containment read the SAME packed table; only the
+    scalar emitted from the popcounts differs).
 
     The vocab index only needs to be a bijection into [0, n_vocab) —
-    Jaccard is a popcount over AND/OR, so the bit ORDER is irrelevant.
+    set overlap is a popcount over AND/OR, so the bit ORDER is irrelevant.
     That frees the indexing from a global row_number() sort (the engine's
     last `WindowExec: No Partition Defined` source): hash the vocabulary
     into _VOCAB_IDX_BUCKETS, rank within each bucket in parallel, and add
@@ -345,6 +356,16 @@ def _jaccard_bitmap(
         .persist()
     )
     packed.count()
+    return packed, n_words
+
+
+def _bitmap_pairs(packed: DataFrame, n_words: int) -> DataFrame:
+    """Every a<b pair with its exact overlap — (a_id, b_id, n_common, na,
+    nb) — from the popcount loop over the packed table: broadcast nested
+    loop, bit_count(a&b) sums, one whole-stage-codegen pipeline over
+    primitive longs. No pair shuffle, no aggregation; downstream metric
+    projections (Jaccard, containment) and their thresholds stay inside
+    the same codegen stage."""
     # Spread the probe side across cores explicitly: the packed table is a
     # few hundred KB, so AQE coalesces it to ~1 partition, serializing the
     # O(|docs|²) pair loop onto one task. An explicit repartition is exempt
@@ -358,14 +379,28 @@ def _jaccard_bitmap(
         (F.bit_count(F.col(f"a.w{w}").bitwiseAND(F.col(f"b.w{w}"))) for w in range(n_words)),
         start=F.lit(0),
     ).cast("bigint")
-    jac = n_common.cast("double") / (F.col("a.n") + F.col("b.n") - n_common)
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        n_common.alias("n_common"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+
+
+def _jaccard_bitmap(
+    g: DataFrame, n_vocab: int, bucket_counts: dict[int, int] | None = None
+) -> DataFrame:
+    """Dense-regime Jaccard plan: pack (see _bitmap_packed), popcount every
+    a<b pair (see _bitmap_pairs), and project the Jaccard — |∩| and set
+    sizes are exact integers, so the DOUBLE is the same single division
+    the oracle computes; the threshold filter folds into the pair loop's
+    codegen stage (Catalyst collapses the projections)."""
+    packed, n_words = _bitmap_packed(g, n_vocab, bucket_counts)
+    pairs = _bitmap_pairs(packed, n_words)
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            jac.alias("jaccard"),
-        )
+        pairs.select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
@@ -396,6 +431,21 @@ def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
     PERTURB=third, where density growth is exactly such a head. With
     ``max_df=None`` (every registered path) the plan is byte-identical to
     before (pinned in tests)."""
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        _countjoin_pairs(g, max_df)
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _countjoin_pairs(g: DataFrame, max_df: int | None = None) -> DataFrame:
+    """The count-join candidate recipe shared by the Jaccard and
+    containment sparse plans: (a_id, b_id, n_common, na, nb) for every
+    a<b pair sharing ≥1 (optionally df-capped) shingle — hashed 8-byte
+    keys, bucket equi-join, partial-agg |∩|, unhinted AQE-sized size
+    joins (_jaccard_countjoin's docstring carries each choice's
+    rationale)."""
     gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
     if max_df is not None:
         rare = (
@@ -414,12 +464,10 @@ def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
-        .select("a_id", "b_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("a_id", "b_id", "n_common", "na", "nb")
     )
 
 
@@ -853,8 +901,133 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Containment threshold: fraction of the contained doc's shingles that
-#: must appear in the container.
-CONTAIN_T = 0.8
+#: must appear in the container. Kept as an exact rational (NUM/DEN) so
+#: the candidate-pruning bounds (⌈T·n⌉ in the prefix length and size
+#: filter) can be computed in INTEGER arithmetic: float ceil(0.8·5)
+#: evaluates 4.000000000000000222 → 5 and would shorten the prefix past
+#: the pigeonhole guarantee, silently losing true pairs.
+CONTAIN_T_NUM, CONTAIN_T_DEN = 4, 5
+CONTAIN_T = CONTAIN_T_NUM / CONTAIN_T_DEN
+
+
+def _ceil_contain_t(n: Column) -> Column:
+    """Exact ⌈CONTAIN_T · n⌉ over an integer column: (num·n + den−1) div
+    den — no float round-off in either direction."""
+    return F.floor(
+        (F.lit(CONTAIN_T_NUM) * n + F.lit(CONTAIN_T_DEN - 1)) / F.lit(CONTAIN_T_DEN)
+    )
+
+
+def _containment_directions(pairs: DataFrame) -> DataFrame:
+    """Both containment directions from one undirected overlap table
+    (a_id, b_id, n_common, na, nb) → (contained_id, container_id,
+    containment ≥ CONTAIN_T).
+
+    Emitted by EXPLODE of a 2-element struct array, not a self-union: a
+    union duplicates the pair subtree in the plan (the bitmap pair loop
+    has no exchange for ReusedExchange to latch onto, so it would run
+    twice; the count-join's aggregate re-runs past the reused shuffle),
+    where the explode evaluates the pair source ONCE and the threshold
+    filter pushes into the generator's own stage. The DOUBLE division is
+    the oracle's exact arithmetic; only candidate PRUNING upstream uses
+    the integer bounds."""
+    e = F.explode(
+        F.array(
+            F.struct(
+                F.col("a_id").alias("contained_id"),
+                F.col("b_id").alias("container_id"),
+                (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
+            ),
+            F.struct(
+                F.col("b_id").alias("contained_id"),
+                F.col("a_id").alias("container_id"),
+                (F.col("n_common").cast("double") / F.col("nb")).alias("containment"),
+            ),
+        )
+    )
+    return (
+        pairs.select(e.alias("d"))
+        .select("d.*")
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+def _containment_bitmap(
+    g: DataFrame, n_vocab: int, bucket_counts: dict[int, int] | None = None
+) -> DataFrame:
+    """Dense-regime containment: the SAME packed table + popcount pair
+    loop as the Jaccard bitmap plan (_bitmap_packed/_bitmap_pairs — the
+    dense corpus where every shingle is frequent blows up any
+    shingle-join just as badly for containment), with |∩|/|A| projected
+    per direction instead of |∩|/|∪|."""
+    packed, n_words = _bitmap_packed(g, n_vocab, bucket_counts)
+    return _containment_directions(_bitmap_pairs(packed, n_words))
+
+
+def _containment_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Sparse-regime containment over the shared count-join candidates
+    (_countjoin_pairs): same hashed-shingle bucket equi-join, same
+    unhinted size joins, both directions from one overlap table.
+    ``max_df`` is the frequent-head cap (exact containment over the
+    capped shingle sets — see _jaccard_countjoin)."""
+    return _containment_directions(_countjoin_pairs(g, max_df))
+
+
+def _containment_ppjoin(g: DataFrame) -> DataFrame:
+    """Prefix-filtered containment join (the PPJoin bound adapted to the
+    asymmetric metric). For C(A→B) = |A∩B|/|A| ≥ T, at least ⌈T·|A|⌉ of
+    A's shingles must appear in B, so if A's |A| − ⌈T·|A|⌉ + 1 globally
+    RAREST shingles (ascending document frequency, ties by hash) all
+    miss B the pair cannot qualify — the same pigeonhole as the Jaccard
+    prefix, but only the CONTAINED side gets a prefix; the container is
+    matched on its full shingle set (containment makes no demand on how
+    much of B is covered). A size bound prunes further: |A∩B| ≤ |B|
+    forces |B| ≥ ⌈T·|A|⌉.
+
+    Candidate volume is Σ_s df_prefix(s)·df(s) — the Zipf head has
+    df_prefix ≈ 0 (frequent shingles sort LAST in every doc, outside all
+    prefixes), which is exactly the term that makes the raw count-join's
+    Σ df² quadratic. Directions are generated directly (each doc plays
+    the contained role against full sets), so no union/explode tail;
+    candidates are verified with the exact full-set intersection count —
+    output identical to _containment_countjoin (pinned in tests). Both
+    pruning bounds use the integer-exact ⌈T·n⌉ (see CONTAIN_T_NUM)."""
+    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tbl = gh.groupBy("bh").agg(F.count("*").alias("df"))
+    ranked = (
+        gh.join(df_tbl, "bh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "bh")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - _ceil_contain_t(F.col("n")) + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("contained_id"), "bh", F.col("n").alias("na"))
+    b_full = ranked.select(F.col("doc_id").alias("container_id"), "bh", F.col("n").alias("nb"))
+    cand = (
+        a.join(b_full, "bh")
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("nb") >= _ceil_contain_t(F.col("na")))
+        )
+        # na/nb are functionally dependent on the ids (see _jaccard_ppjoin)
+        .select("contained_id", "container_id", "na", "nb")
+        .distinct()
+    )
+    ga = gh.select(F.col("doc_id").alias("contained_id"), "bh")
+    gb = gh.select(F.col("doc_id").alias("container_id"), "bh")
+    inter = (
+        cand.join(ga, "contained_id")
+        .join(gb, ["container_id", "bh"])
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("n_common"), F.first("na").alias("na"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("na")
+    return (
+        inter.select("contained_id", "container_id", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
 
 
 @register(
@@ -890,40 +1063,94 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment doesn't). The standard second pass of a training-corpus
     dedup after the Jaccard tier.
 
-    Plan: the same shared-shingle bucket equi-join as _jaccard_countjoin
-    (hashed 8-byte keys, a<b candidate generation, partial-agg |∩|,
-    unhinted AQE-sized size joins), then BOTH directions are emitted from
-    the one undirected intersection table by two projections — the
-    expensive candidate work is not repeated per direction. Scale: Σ df² candidate rows, like the Jaccard
-    count-join; on dense corpora the bitmap regime's popcount form
-    (|∩| from bit_count(a&b), divide by a.n instead of the union) applies
-    identically if this ever becomes a headline op."""
-    g = _doc_bigrams(spark, sf_dir)
-    gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
-    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = gh.alias("a"), gh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    # NO broadcast hint on the size joins: sizes is one row per corpus
-    # document (see _jaccard_countjoin) — AQE broadcasts it at small SF,
-    # sort-merge at scale; the joins touch only the aggregated pair table.
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    both = inter.join(sa, "a_id").join(sb, "b_id")
-    fwd = both.select(
-        F.col("a_id").alias("contained_id"),
-        F.col("b_id").alias("container_id"),
-        (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
-    )
-    rev = both.select(
-        F.col("b_id").alias("contained_id"),
-        F.col("a_id").alias("container_id"),
-        (F.col("n_common").cast("double") / F.col("nb")).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAIN_T)
+    Physical plan: DISPATCHED by the same corpus-density probe as
+    ngram_jaccard_dedup — the metric divides the popcount by |A| instead
+    of the union, but the candidate topology is identical, so the same
+    regimes apply (measured before the dispatch existed here: the raw
+    count-join ran 19.2s at sf0.1 where the dispatched Jaccard sibling
+    took 2.0s — all of it the dense corpus punishing the shingle
+    self-join):
+
+    - dense (bitmap gates pass): packed-bitmap popcount pair loop —
+      _bitmap_packed/_bitmap_pairs shared with the Jaccard plan, both
+      directions projected from one loop (_containment_directions).
+    - sparse, light head: the shared count-join candidates
+      (_countjoin_pairs) with the direction explode.
+    - sparse, heavy head: the asymmetric prefix-filtered join
+      (_containment_ppjoin) — contained-side prefixes against full
+      container sets, the PPJoin bound adapted to containment.
+
+    All three paths are pinned result-identical in tests; the oracle is
+    the one definition of the metric."""
+    g = _doc_bigrams(spark, sf_dir).persist()
+    g.count()  # shared shingle cache — see ngram_jaccard_dedup
+    n_vocab, n_docs, bucket_counts = _regime_probe(g, sf_dir)
+    if _dense_regime(n_vocab, n_docs):
+        return _containment_bitmap(g, n_vocab, bucket_counts)
+    return _sparse_plan_for(
+        g, n_docs, plans=(_containment_countjoin, _containment_ppjoin)
+    )(g)
+
+
+@register(
+    "containment_capped",
+    oracle=f"""
+        WITH g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+        ),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM g),
+        dfreq AS (SELECT bigram, COUNT(*) AS df FROM g GROUP BY bigram),
+        capped AS (
+            SELECT g.doc_id, g.bigram
+            FROM g JOIN dfreq USING (bigram), nd
+            WHERE dfreq.df <= greatest({MIN_DF_CAP}, nd.n // {DF_CAP_DIVISOR})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM capped a JOIN capped b
+              ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        directed AS (
+            SELECT i.a_id AS contained_id, i.b_id AS container_id,
+                   CAST(i.n_common AS DOUBLE) / sa.n AS containment
+            FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+            UNION ALL
+            SELECT i.b_id, i.a_id, CAST(i.n_common AS DOUBLE) / sb.n
+            FROM inter i JOIN sizes sb ON i.b_id = sb.doc_id
+        )
+        SELECT contained_id, container_id, containment
+        FROM directed WHERE containment >= {CONTAIN_T}
+    """,
+    tags=("ext-dedup",),
+)
+def containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containment_dedup with the planner-derived frequent-head df cap —
+    the same metric change ngram_jaccard_capped makes for Jaccard:
+    shingles with document frequency above max(MIN_DF_CAP, n_docs //
+    DF_CAP_DIVISOR) are dropped from both the candidate join and the
+    contained-side sizes, so the result is the EXACT containment over the
+    capped shingle sets. The cap formula is recomputed inside the oracle
+    from the same distinct counts, so the driver hash-checks the
+    planner's choice rather than trusting it.
+
+    At 100 TB this is the containment tier's Σ df² bound: a Zipf-headed
+    real corpus makes the uncapped candidate join quadratic in the head,
+    and the head (a shingle in a tenth of the corpus) is boilerplate by
+    definition — for the CONTAINMENT metric especially, head shingles
+    manufacture false containers for short docs, so the cap improves
+    precision while bounding cost.
+
+    Like ngram_jaccard_capped, the capped table gets the full physical
+    dispatch: regime re-probed on the survivors, bitmap popcount when
+    they stay dense, count-join/prefix-join when sparse."""
+    gc, (n_vocab, n_docs_c, buckets) = _capped_shingles(spark, sf_dir)
+    if _dense_regime(n_vocab, n_docs_c):
+        return _containment_bitmap(gc, n_vocab, buckets)
+    return _sparse_plan_for(
+        gc, n_docs_c, plans=(_containment_countjoin, _containment_ppjoin)
+    )(gc)
 
 
 #: The "incoming batch" source label for the incremental-dedup query —
@@ -1055,6 +1282,32 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_shingles(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple[int, int, dict[int, int]]]:
+    """(capped shingle table persisted, regime probe OF THE CAPPED table)
+    — the shared front half of the two capped dedup keys. The cap is
+    planner-derived from the UNCAPPED doc count (the formula the oracles
+    recompute); the cap filter runs on the raw bigram (exactly the
+    oracle's dfreq join, no hash collision exposure), and the survivors
+    get their own regime probe so the dispatcher judges the table the
+    pair plans will actually see — capping can move a corpus across the
+    dense/sparse boundary in either direction."""
+    g = _doc_bigrams(spark, sf_dir).persist()
+    g.count()
+    _, n_docs, _ = _regime_probe(g, sf_dir)
+    cap = max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR)
+    rare = (
+        g.groupBy("bigram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("bigram")
+    )
+    gc = g.join(rare, "bigram", "left_semi").persist()
+    gc.count()
+    return gc, _regime_probe(gc, f"{sf_dir}#dfcap{cap}")
+
+
 @register(
     "ngram_jaccard_capped",
     oracle=f"""
@@ -1106,12 +1359,19 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the cap is what keeps Σ df² bounded as the corpus grows:
     n_docs scales with the corpus while real shared-content df does not,
     so the capped join's candidate volume stays near-linear where the
-    uncapped one degrades quadratically in the head."""
-    g = _doc_bigrams(spark, sf_dir).persist()
-    g.count()
-    _, n_docs, _ = _regime_probe(g, sf_dir)
-    cap = max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR)
-    return _jaccard_countjoin(g, max_df=cap)
+    uncapped one degrades quadratically in the head.
+
+    The capped table then gets the FULL physical dispatch (r5): capping
+    changes the table the pair plans run over, so the regime is re-probed
+    on the survivors — a dense corpus stays dense under the cap and the
+    bitmap plan applies to the capped sets exactly as to the raw ones
+    (measured at sf0.1: always-count-join was 17.3s, the dispatched
+    bitmap 2.5s); a sparse Zipf corpus keeps the count-join, whose
+    remaining head the cap already removed."""
+    gc, (n_vocab, n_docs_c, buckets) = _capped_shingles(spark, sf_dir)
+    if _dense_regime(n_vocab, n_docs_c):
+        return _jaccard_bitmap(gc, n_vocab, buckets)
+    return _sparse_plan_for(gc, n_docs_c)(gc)
 
 
 @register(

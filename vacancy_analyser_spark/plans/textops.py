@@ -1611,7 +1611,14 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant — only the dt/kept filter differs."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").alias("n_docs"))
-    vec0 = _tfidf_vec0(spark, sf_dir, docs=docs)
+    # Persist the built vectors BEFORE branching: only `tf` is cached
+    # inside _tfidf_vec0, so without this the top-K window subplan would
+    # run twice — once for the dt document-frequency aggregate and again
+    # through the left_semi into _cosine_pairs_from (measured: the capped
+    # variant cost 2.5x its exact sibling on an inactive cap; with the
+    # persist both read one cached TFIDF_VEC_K-per-doc table).
+    vec0 = _tfidf_vec0(spark, sf_dir, docs=docs).persist()
+    vec0.count()
     dt = vec0.groupBy("term").agg(F.count("*").alias("dt"))
     kept = (
         dt.crossJoin(F.broadcast(n))
