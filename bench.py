@@ -16,10 +16,13 @@ scale_stress.py near-dup linearity + dispatcher plan choice, tools/
 relational_stress.py relational linearity + AQE SMJ-flip probe, tools/
 ext_stress.py IVF/SemDeDup k-scaling) so the per-round BENCH artifact
 records the scale evidence, not just PLANS.md. Each sub-block is
-fail-soft (an "error" entry instead of a crash) and the whole suite is
-bounded by $SPARK_GRAFT_STRESS_BUDGET seconds (default 900; blocks that
-would start past the budget record "skipped_budget"). Set
-SPARK_GRAFT_STRESS=0 to skip entirely.
+fail-soft (an "error" entry instead of a crash). The
+$SPARK_GRAFT_STRESS_BUDGET cap (default 900 s) gates whether a block
+STARTS, not how long it runs: a block already running may finish
+arbitrarily past it (a Spark stage cannot be preempted mid-collect
+without killing the session), so the budget is a soft brake on suite
+growth, not a hard wall-clock bound. Set SPARK_GRAFT_STRESS=0 to skip
+entirely.
 """
 
 from __future__ import annotations

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .functions.text import normalize_ws, tokens
+from .functions.text import (
+    BOILER_MIN_DOCS,
+    BOILER_NGRAM,
+    normalize_ws,
+    token_ngrams,
+    tokens,
+)
 
 __all__ = [
     "quality_gate",
@@ -41,14 +47,7 @@ __all__ = [
 
 
 def _bigrams_of(text_col: str = "text") -> Column:
-    toks = tokens(text_col)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return token_ngrams(tokens(text_col), 2)
 
 
 def quality_gate(
@@ -76,8 +75,8 @@ def quality_gate(
 def boilerplate_filter(
     docs: DataFrame,
     max_share: float = 0.5,
-    min_docs: int = 3,
-    ngram: int = 5,
+    min_docs: int = BOILER_MIN_DOCS,
+    ngram: int = BOILER_NGRAM,
     key: str = "doc_id",
 ) -> DataFrame:
     """Drop documents whose token-``ngram`` positions are more than
@@ -91,16 +90,7 @@ def boilerplate_filter(
     persists ``docs`` first when the input is itself expensive (the
     frame is read three ways here)."""
     toks = docs.select(key, tokens("text").alias("_t"))
-    grams_arr = F.when(
-        F.size("_t") >= ngram,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - (ngram - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("_t", i + k) for k in range(ngram)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = toks.select(key, F.explode(grams_arr).alias("_gram"))
+    g = toks.select(key, F.explode(token_ngrams("_t", ngram)).alias("_gram"))
     boiler = (
         g.groupBy("_gram")
         .agg(F.countDistinct(key).alias("_nd"))

@@ -35,6 +35,43 @@ def tokens(col: str | Column) -> Column:
     return F.split(normalize_ws(col), " ")
 
 
+#: Boilerplate-span defaults shared by the registered boilerplate queries
+#: (plans/textops.py — their oracle SQL bakes these in) and the corpus
+#: API stage (corpus.boilerplate_filter) — ONE definition so the two
+#: surfaces cannot drift.
+BOILER_NGRAM = 5
+BOILER_MIN_DOCS = 3
+
+
+def token_ngrams(toks_col: str | Column, n: int) -> Column:
+    """Overlapping token ``n``-gram array over a *materialized* token-array
+    column — THE one gram definition (dedup bigrams, boilerplate 5-grams,
+    the corpus API all build windows through here, so the span shape
+    cannot drift between the registered queries and the pipeline stages).
+
+    Takes a column reference to the token ARRAY, not the tokenization
+    expression: expressions inlined into a higher-order-function lambda
+    are re-evaluated per array element (no CSE across lambda boundaries),
+    which turns an O(len) regexp into O(len²) per row — materialize the
+    array in a prior projection (measured in plans/dedup.py: 12.8s →
+    0.9s for the bigram stage at sf0.1). The ≥n guard is load-bearing:
+    Spark's sequence(1, 0) auto-steps *descending* to [1, 0], so a
+    shorter-than-n document would evaluate element_at past the array end
+    and throw; the guard returns an empty array instead (DuckDB's
+    generate_series(1, 0) is empty — oracle replays never hit this)."""
+    toks = _c(toks_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + k) if k else F.element_at(toks, i) for k in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 #: PII patterns a training-data scrub redacts, applied longest-match-first
 #: so an email is one [EMAIL], not a [USER]@[HOST] mangle. All three are
 #: plain POSIX-class regexes that mean the same thing to Spark's and

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_ws, tokens
+from ..functions.text import normalize_ws, token_ngrams, tokens
 from ..io import load_table
 from .registry import register
 
@@ -43,25 +43,10 @@ BAND_ROWS = 2  # rows per LSH band → 4 bands (band encoding in _band_sql assum
 
 def _bigrams(toks_col: str | Column) -> Column:
     """Spark word-bigram array over a *materialized* token-array column
-    (mirrors _BIGRAMS_SQL; element_at is 1-based).
-
-    Takes a column reference, NOT the tokenization expression: expressions
-    inlined into a higher-order-function lambda are re-evaluated per array
-    element (no CSE across lambda boundaries), which turns an O(len) regexp
-    into O(len²) per row. Materializing the array in a prior projection made
-    the sf0.1 bigram stage 12.8s → 0.9s."""
-    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    # The ≥2 guard is load-bearing: Spark's sequence(1, 0) auto-steps
-    # *descending* to [1, 0], so a single-token document would evaluate
-    # element_at(toks, 2) and throw ArrayIndexOutOfBounds. (DuckDB's
-    # generate_series(1, 0) is empty — the oracle side never hits this.)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    (mirrors _BIGRAMS_SQL; element_at is 1-based). One gram definition
+    repo-wide — functions.text.token_ngrams carries the materialization
+    and short-doc-guard rationale."""
+    return token_ngrams(toks_col, 2)
 
 
 def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:

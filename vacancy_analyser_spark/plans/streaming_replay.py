@@ -49,9 +49,27 @@ def _write_batches(df: DataFrame, key: str, src: str) -> None:
     """Write df as three single-file micro-batches (key % 3) in batch
     order — FileStreamSource with maxFilesPerTrigger=1 then replays them
     as three triggers in the same order, which is what makes the
-    prequential oracles below well-defined."""
+    prequential oracles below well-defined.
+
+    The source orders files by MODIFICATION TIME, and the local FS mtime
+    is millisecond-granular — two batches written within the same
+    millisecond would tie and replay in random (UUID-filename) order. The
+    os.utime pass pins the contract explicitly: strictly increasing
+    1-second-spaced mtimes in batch order, so replay order never depends
+    on how fast the writes happened to run."""
+    import glob
+    import os
+    import time
+
     for k in range(3):
         df.filter((F.col(key) % 3) == k).coalesce(1).write.mode("append").parquet(src)
+        # stamp THIS batch's data files (the ones not yet pinned) with the
+        # batch's own slot; _SUCCESS/metadata files don't matter to the
+        # source but are stamped alongside for tidiness
+        stamp = time.time() - (3 - k) * 1.0
+        for f in glob.glob(os.path.join(src, "*")):
+            if os.path.getmtime(f) > stamp:
+                os.utime(f, (stamp, stamp))
 
 
 def _await(q, seconds: int = 300) -> None:

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_ws, tokens
+from ..functions.text import (
+    BOILER_MIN_DOCS,
+    BOILER_NGRAM,
+    normalize_ws,
+    token_ngrams,
+    tokens,
+)
 from ..io import load_table
 from .registry import register
 
@@ -1444,9 +1450,9 @@ def bpe_apply_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: "boilerplate". 5 tokens is the classic shingle width for template
 #: detection; 3 distinct docs is the floor that separates shared
 #: template text from coincidental collocations on this corpus
-#: (measured at sf0.01: 74 spans at ≥3 docs vs 1096 at ≥2).
-BOILER_NGRAM = 5
-BOILER_MIN_DOCS = 3
+#: (measured at sf0.01: 74 spans at ≥3 docs vs 1096 at ≥2). The values
+#: live in functions/text.py (re-exported here) so the corpus API stage
+#: shares them without importing the plans package.
 
 _5GRAMS_SQL = (
     f"list_transform(generate_series(1, len({_TOKS_SQL}) - {BOILER_NGRAM - 1}), "
@@ -1456,18 +1462,9 @@ _5GRAMS_SQL = (
 
 def _five_grams(toks_col):
     """Token 5-gram array (positions overlap; NOT distinct — the share
-    query counts positions). Mirrors _5GRAMS_SQL; ≥BOILER_NGRAM guard for
-    Spark's descending sequence() on short docs (see dedup._bigrams)."""
-    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    return F.when(
-        F.size(toks) >= BOILER_NGRAM,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (BOILER_NGRAM - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(BOILER_NGRAM)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    query counts positions). Mirrors _5GRAMS_SQL; one gram definition
+    repo-wide (functions.text.token_ngrams)."""
+    return token_ngrams(toks_col, BOILER_NGRAM)
 
 
 @register(

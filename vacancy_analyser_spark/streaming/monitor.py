@@ -10,8 +10,9 @@ depend on the nondeterministic row order within the current batch, and an
 alert fires against a stable baseline rather than one the offending batch
 itself has already contaminated.
 
-State is (count, Σv, Σv²) per event type — O(|types|) rows total, the
-smallest useful sketch. The batch fold sorts by event_id first, so the
+State is (version, count, mean, M2) per event type — O(|types|) rows
+total, the smallest useful sketch (Welford's running form; see
+streaming_zscore's docstring for why not raw sums). The batch fold sorts by event_id first, so the
 float accumulation order is a deterministic function of the data and the
 batch boundaries (pinned by replay in tests/test_streaming.py). At scale
 this runs exactly like the other stateful operators: RocksDB-backed state,
@@ -30,12 +31,18 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming.state import GroupState
 
 OUTPUT_SCHEMA = "event_id bigint, event_type string, value double, zscore double"
-#: CHECKPOINT COMPATIBILITY: this layout replaced (n, s, s2) in r4 and is
-#: positionally identical (bigint, double, double) — a stream RESUMED from
-#: a pre-change checkpoint would silently read Σv as the mean. Restart
-#: such a deployment from a fresh checkpoint (state rebuilds from the
-#: stream); there is no in-band version field in applyInPandasWithState.
-STATE_SCHEMA = "n bigint, mean double, m2 double"
+#: CHECKPOINT COMPATIBILITY: the (n, mean, m2) Welford layout replaced
+#: (n, s, s2) in r4 — positionally identical (bigint, double, double), so
+#: a stream RESUMED from a pre-change checkpoint would silently have read
+#:  Σv as the mean. The leading version field (r5) makes that failure
+#: LOUD twice over: the 4-field layout is arity-incompatible with any
+#: 3-field checkpoint (Spark's state-schema compatibility check rejects
+#: the resume at query start), and ``update`` validates the stored
+#: version besides, covering deployments that disable the schema check.
+#: Bump _STATE_VER on ANY future change to the fields' meaning, even a
+#: layout-preserving one.
+STATE_SCHEMA = "ver bigint, n bigint, mean double, m2 double"
+_STATE_VER = 2
 
 
 def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
@@ -57,7 +64,14 @@ def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
-        n, mean_st, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        ver, n, mean_st, m2 = state.get if state.exists else (_STATE_VER, 0, 0.0, 0.0)
+        if ver != _STATE_VER:
+            raise ValueError(
+                f"monitor state version {ver} != expected {_STATE_VER}: "
+                "this checkpoint was written by an incompatible state "
+                "layout — restart from a fresh checkpoint (state rebuilds "
+                "from the stream)"
+            )
         batch = pd.concat(list(pdfs), ignore_index=True)
         # NULL/non-finite values are dropped BEFORE scoring and folding —
         # the batch twin's SQL SUM/COUNT skip nulls, and one NaN folded
@@ -91,7 +105,7 @@ def streaming_zscore(events: DataFrame, limit: float = 3.0) -> DataFrame:
             d = v - mean_st
             mean_st += d / n
             m2 += d * (v - mean_st)
-        state.update((n, mean_st, m2))
+        state.update((_STATE_VER, n, mean_st, m2))
         yield from out or [
             pd.DataFrame(
                 {
