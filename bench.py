@@ -43,6 +43,8 @@ EXT = [
     "knn_graph",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_index_serve",
+    "ann_ivfpq_batch_topk",
     "tfidf_cosine_pairs",
     "tfidf_cosine_capped",
     "bpe_train_merges",
@@ -55,6 +57,7 @@ EXT = [
     "heavy_hitters",
     "table_profile",
     "containment_dedup",
+    "containment_capped",
     "incremental_dedup",
 ]
 

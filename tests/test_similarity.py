@@ -394,3 +394,57 @@ def test_ivfpq_combines_probe_and_adc(spark, sf_dir):
     assert len(hits) >= 3
     for v in hits:
         assert got[v] == exact[v]  # re-rank distances are the exact ones
+
+
+def test_ivfpq_index_serve_matches_in_query_composition(spark, sf_dir):
+    """Build-once/probe-cheap: the materialized-index serving key must (a)
+    return exactly the in-query composition's rows (the index is a pure
+    materialization of the same deterministic recipe), (b) read only the
+    probed centroid DIRECTORIES — the isin predicate lands in
+    PartitionFilters at planning time, not as a post-scan data filter —
+    and (c) reuse a fresh index on the second call (no rebuild jobs)."""
+    import re
+
+    from vacancy_analyser_spark.plans.similarity import (
+        _ivfpq_index_is_fresh,
+        _ivfpq_index_path,
+        ann_ivfpq_index_serve,
+        ann_ivfpq_topk,
+    )
+
+    serve = ann_ivfpq_index_serve(spark, sf_dir)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid_id" in p for p in pfs)
+    got = [(r["vec_id"], r["l2_dist"]) for r in serve.collect()]
+    want = [(r["vec_id"], r["l2_dist"]) for r in ann_ivfpq_topk(spark, sf_dir).collect()]
+    assert got == want
+    assert _ivfpq_index_is_fresh(_ivfpq_index_path(sf_dir), sf_dir)
+
+
+def test_ivfpq_batch_covers_queries_and_agrees_with_single(spark, sf_dir):
+    """The batched serving key answers every query in the batch from ONE
+    plan: no cartesian product anywhere (candidates come from the
+    probes equi-join), per-query top-k through WindowGroupLimit (map-side
+    pruning), and the q_id=0 slice must equal the single-query key's
+    answer exactly."""
+    from vacancy_analyser_spark.plans.similarity import (
+        IVFPQ_BATCH_NQ,
+        PQ_TOPK,
+        ann_ivfpq_batch_topk,
+        ann_ivfpq_topk,
+    )
+
+    batch = ann_ivfpq_batch_topk(spark, sf_dir)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    per_q = {}
+    for r in batch.collect():
+        per_q.setdefault(r["q_id"], []).append((r["vec_id"], r["l2_dist"]))
+    assert set(per_q) == set(range(IVFPQ_BATCH_NQ))
+    assert all(len(v) == PQ_TOPK for v in per_q.values())
+    want = sorted(
+        (r["vec_id"], r["l2_dist"]) for r in ann_ivfpq_topk(spark, sf_dir).collect()
+    )
+    assert sorted(per_q[0]) == want

@@ -1226,9 +1226,12 @@ def _adc_shortlist_rerank(
 IVFPQ_NPROBE = 2
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle=f"""
+#: The IVFPQ probe→ADC→re-rank replay, shared by the in-query composition
+#: key (ann_ivfpq_topk) and the materialized-index serving key
+#: (ann_ivfpq_index_serve): the index is a PURE materialization of the
+#: same deterministic recipe, so the two keys must hash-match the same
+#: oracle — one SQL definition keeps that contract honest.
+_IVFPQ_ORACLE = f"""
         WITH {_PQ_CTES},
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
@@ -1274,9 +1277,10 @@ IVFPQ_NPROBE = 2
         FROM vecs v JOIN shortlist s ON v.vec_id = s.vec_id CROSS JOIN qv
         ORDER BY l2_dist, v.vec_id
         LIMIT {PQ_TOPK}
-    """,
-    tags=("ext-sim",),
-)
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE, tags=("ext-sim",))
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMBINED IVF+PQ serving shape — what a production vector index
     actually executes per query: probe the query's IVFPQ_NPROBE nearest
@@ -1314,6 +1318,341 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_assign(sub, cb).select("vec_id", "block", "code")
     codes_in = codes.join(bucket_ids, "vec_id", "left_semi")
     return _adc_shortlist_rerank(vecs, sub, cb, codes_in)
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Recipe-tagged IVFPQ index directory (see _ivf_index_path: any
+    change to the assignment or codebook constants must mint a NEW
+    directory, never silently serve a stale recipe)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+    )
+    return os.path.join(
+        warehouse, f"ivfpq_{tag}", f"index_c{N_CENTROIDS}_m{PQ_M}_k{PQ_K}"
+    )
+
+
+def ivfpq_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the full IVFPQ index — what ann_ivfpq_topk's docstring
+    promises is precomputable, written once so serving never trains:
+
+    - ``codebook/``: (block, cid, c_sub) — the trained PQ codebook,
+      PQ_M·PQ_K rows (dimension-sized; read whole at serve time).
+    - ``vectors/``: (vec_id, embedding, codes array<int> in block order),
+      written partitionBy(centroid_id) — a probe reads nprobe
+      DIRECTORIES via partition pruning. Codes ride NEXT TO the floats in
+      the same row so the ADC scan and the shortlist re-rank both come
+      from the probed partitions (at 100 TB the codes column is
+      PQ_M·log₂PQ_K bits/vector and parquet column pruning means the ADC
+      pass never decodes the float column).
+
+    The codebook is written FIRST so an interrupted build can never leave
+    a vectors/_SUCCESS without its codebook; freshness is checked on both
+    (see _ivfpq_index_is_fresh)."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    sub = _pq_subvectors(vecs).persist()
+    sub.count()
+    cb = _pq_codebook(sub)
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    cb_r = spark.read.parquet(os.path.join(path, "codebook"))
+    codes_arr = (
+        _pq_assign(sub, cb_r)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
+        .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
+    )
+    assigned = _ivf_ranked(vecs).filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    assigned.join(codes_arr, "vec_id").write.partitionBy("centroid_id").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "vectors"))
+    sub.unpersist()
+
+
+def _ivfpq_index_is_fresh(path: str, sf_dir: str) -> bool:
+    import os
+
+    from ..io import materialization_is_fresh
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    return materialization_is_fresh(
+        os.path.join(path, "vectors"), src
+    ) and materialization_is_fresh(os.path.join(path, "codebook"), src)
+
+
+@register(
+    "ann_ivfpq_index_serve",
+    oracle=_IVFPQ_ORACLE,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/probe-cheap IVFPQ path, driver-checked end to end:
+    ivfpq_build_index writes the bucket-partitioned codes+floats and the
+    trained codebook once per sf_dir (idempotent: _SUCCESS + source-mtime
+    freshness + recipe-tagged path); serving then touches NO full-corpus
+    stage and trains NOTHING —
+
+    - the probe set is two driver-side control scalars (the query vector
+      and its IVFPQ_NPROBE nearest centroids, exactly ivf_index_probe's
+      pattern);
+    - the isin() filter on the partition column prunes at planning time:
+      only the probed centroid DIRECTORIES are read (plan-asserted in
+      tests — PartitionFilters on centroid_id feeding the ADC aggregate);
+    - the distance table is the stored codebook joined to the query's
+      sub-vectors (PQ_M·PQ_K rows, broadcast);
+    - ADC explodes the stored block-ordered codes array and
+      hash-aggregates; the exact re-rank reads floats for the
+      PQ_SHORTLIST survivors from the SAME pruned scan.
+
+    Same deterministic recipe as ann_ivfpq_topk, so the oracle is the
+    SAME replay (_IVFPQ_ORACLE) — the driver hash-check proves the
+    materialized index serves identical results to the in-query
+    composition."""
+    path = _ivfpq_index_path(sf_dir)
+    if not _ivfpq_index_is_fresh(path, sf_dir):
+        ivfpq_build_index(spark, sf_dir, path)
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    if q_row is None:
+        return spark.createDataFrame([], "vec_id bigint, l2_dist double")
+    probes = [
+        r["centroid_id"]
+        for r in _ivf_ranked(vecs)
+        .filter((F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE))
+        .select("centroid_id")
+        .collect()
+    ]
+    idx = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    cb_r = spark.read.parquet(os.path.join(path, "codebook"))
+    q_sub = _pq_subvectors(vecs.filter(F.col("vec_id") == 0)).select(
+        "block", F.col("sub").alias("q_sub")
+    )
+    dtable = F.broadcast(
+        cb_r.join(q_sub, "block").select(
+            "block", "cid", F.round(l2sq(F.col("q_sub"), F.col("c_sub")), 9).alias("d")
+        )
+    ).alias("d")
+    c = (
+        idx.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.posexplode("codes").alias("block", "code"))
+        .alias("c")
+    )
+    adc = (
+        c.join(
+            dtable,
+            (F.col("c.block") == F.col("d.block")) & (F.col("c.code") == F.col("d.cid")),
+        )
+        .groupBy(F.col("c.vec_id").alias("vec_id"))
+        .agg(
+            (
+                F.sum(F.round(F.col("d.d") * F.lit(10.0**9)).cast("bigint")).cast("double")
+                / F.lit(10.0**9)
+            ).alias("adc_dist")
+        )
+    )
+    shortlist = adc.orderBy("adc_dist", "vec_id").limit(PQ_SHORTLIST).select("vec_id")
+    q_emb = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    rerank = (
+        idx.join(shortlist, "vec_id", "left_semi")
+        .crossJoin(q_emb)
+        .select(
+            "vec_id",
+            F.round(l2sq(F.col("embedding").cast("array<double>"), F.col("q_emb")), 6).alias(
+                "l2_dist"
+            ),
+        )
+    )
+    return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
+
+
+#: Query-batch width for the batched IVFPQ serving key: the first
+#: IVFPQ_BATCH_NQ vec_ids act as the query set (production: a queries
+#: table arriving per serving job).
+IVFPQ_BATCH_NQ = 16
+
+
+@register(
+    "ann_ivfpq_batch_topk",
+    oracle=f"""
+        WITH {_PQ_CTES},
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        iranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
+        q_probes AS (
+            SELECT vec_id AS q_id, centroid_id FROM iranked
+            WHERE vec_id < {IVFPQ_BATCH_NQ} AND rn <= {IVFPQ_NPROBE}
+        ),
+        cand AS (
+            SELECT p.q_id, a.vec_id
+            FROM assigned a JOIN q_probes p USING (centroid_id)
+            WHERE a.vec_id <> p.q_id
+        ),
+        q AS (
+            SELECT vec_id AS q_id, block, s AS q_sub FROM sub
+            WHERE vec_id < {IVFPQ_BATCH_NQ}
+        ),
+        dtable AS (
+            SELECT q.q_id, cb.block, cb.cid,
+                   round({_l2sq_sql('q.q_sub', 'cb.c_sub')}, 9) AS d
+            FROM cb JOIN q ON cb.block = q.block
+        ),
+        adc AS (
+            SELECT n.q_id, c.vec_id,
+                   CAST(SUM(CAST(d.d AS DECIMAL(28,9))) AS DOUBLE) AS adc_dist
+            FROM codes c
+            JOIN cand n ON c.vec_id = n.vec_id
+            JOIN dtable d ON d.q_id = n.q_id AND d.block = c.block AND d.cid = c.code
+            GROUP BY n.q_id, c.vec_id
+        ),
+        shortlist AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY adc_dist, vec_id
+                       ) AS srn
+                FROM adc
+            ) WHERE srn <= {PQ_SHORTLIST}
+        ),
+        qv AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM vecs
+            WHERE vec_id < {IVFPQ_BATCH_NQ}
+        ),
+        rr AS (
+            SELECT s.q_id, s.vec_id,
+                   round({_l2sq_sql('v.emb', 'qv.q_emb')}, 6) AS l2_dist
+            FROM shortlist s
+            JOIN vecs v ON v.vec_id = s.vec_id
+            JOIN qv ON qv.q_id = s.q_id
+        )
+        SELECT q_id, vec_id, l2_dist FROM (
+            SELECT q_id, vec_id, l2_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY l2_dist, vec_id
+                   ) AS rn
+            FROM rr
+        ) WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("ext-sim",),
+)
+def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVFPQ serving — the shape a production vector index runs
+    per job, not per query: top-k for a SET of query vectors (the first
+    IVFPQ_BATCH_NQ vec_ids stand in for the arriving queries table) in
+    ONE plan. Every per-query stage of ann_ivfpq_topk becomes a keyed
+    stage here — no driver-side loop over queries, no per-query Spark
+    job:
+
+    - probes: (q_id, centroid_id) — a queries×nprobe table (bounded by
+      the batch width, broadcastable by construction);
+    - candidates: assigned ⋈ probes on centroid_id — each query sees
+      only its probed buckets' members; the query itself is excluded
+      per-query (vec_id ≠ q_id), not globally;
+    - ADC: ONE hash aggregate for the whole batch, keyed (q_id, vec_id),
+      against a broadcast per-query distance table (PQ_M·PQ_K·NQ rows —
+      still dimension-sized);
+    - shortlist + re-rank: per-query top-k via row_number windows
+      PARTITIONED by q_id — WindowGroupLimit prunes map-side, so no
+      query's candidates wait on another's.
+
+    At 100 TB with a real queries table the same plan holds: probes come
+    from a queries⋈centroids broadcast join, the candidate join is
+    partition-pruned per bucket, and batch width only scales the
+    broadcast distance table. Plan-guarded in tests: no cartesian
+    product, one ADC aggregate, windowed top-k."""
+    vecs = _vectors(spark, sf_dir)
+    ranked = _ivf_ranked(vecs)
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    q_probes = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") < IVFPQ_BATCH_NQ) & (F.col("rn") <= IVFPQ_NPROBE)
+        ).select(F.col("vec_id").alias("q_id"), "centroid_id")
+    )
+    cand = (
+        assigned.join(q_probes, "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    sub = _pq_subvectors(vecs).persist()
+    sub.count()
+    cb = _pq_codebook(sub).persist()
+    cb.count()  # read twice: per-query dtable + encode
+    codes = _pq_assign(sub, cb).select("vec_id", "block", "code")
+    q_sub = sub.filter(F.col("vec_id") < IVFPQ_BATCH_NQ).select(
+        F.col("vec_id").alias("q_id"), "block", F.col("sub").alias("q_sub")
+    )
+    dtable = F.broadcast(
+        cb.join(q_sub, "block").select(
+            "q_id",
+            "block",
+            "cid",
+            F.round(l2sq(F.col("q_sub"), F.col("c_sub")), 9).alias("d"),
+        )
+    ).alias("d")
+    c = codes.join(cand, "vec_id").alias("c")
+    adc = (
+        c.join(
+            dtable,
+            (F.col("c.q_id") == F.col("d.q_id"))
+            & (F.col("c.block") == F.col("d.block"))
+            & (F.col("c.code") == F.col("d.cid")),
+        )
+        .groupBy(F.col("c.q_id").alias("q_id"), F.col("c.vec_id").alias("vec_id"))
+        .agg(
+            (
+                F.sum(F.round(F.col("d.d") * F.lit(10.0**9)).cast("bigint")).cast("double")
+                / F.lit(10.0**9)
+            ).alias("adc_dist")
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    q_emb = F.broadcast(
+        vecs.filter(F.col("vec_id") < IVFPQ_BATCH_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    rerank = (
+        shortlist.join(vecs, "vec_id")
+        .join(q_emb, "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(l2sq(F.col("embedding"), F.col("q_emb")), 6).alias("l2_dist"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy("l2_dist", "vec_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("q_id", "vec_id", "l2_dist")
+    )
 
 
 KNN_GRAPH_K = 3
