@@ -19,6 +19,15 @@ def test_headline_keys_all_registered():
     assert not set(bench.EXT) & set(bench.HEADLINE)  # headline stays frozen
 
 
+def test_ext_regression_gate_pins_resolve():
+    """Every pinned r4 ext baseline must still be a timed ext query —
+    a renamed/dropped key would silently un-gate itself otherwise."""
+    import bench
+
+    stale = [k for k in bench.EXT_BASELINE_R4 if k not in bench.EXT]
+    assert not stale, f"EXT_BASELINE_R4 pins not in bench.EXT: {stale}"
+
+
 def test_queries_md_catalog_in_sync():
     """QUERIES.md is generated from the registry; a stale catalog means a
     registry change shipped without regenerating it."""

@@ -131,10 +131,52 @@ def build_events(spark) -> str:
 def run(spark, qs, name: str, sf_dir: str) -> float:
     best = float("inf")
     for _ in range(2):
+        # clear BETWEEN timed runs (bench.py's discipline): plan-equality
+        # cache matching otherwise lets a query reuse the PREVIOUS query's
+        # persisted subplans (the tf-idf pair shares its whole vector
+        # subplan with the capped variant — measured: the capped key timed
+        # FASTER than its exact sibling at x1 purely from run order)
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
     return round(best, 3)
+
+
+#: The r4/r5 document-tier ops that had no ×N measurement (r4 verdict
+#: "What's missing" #1): the containment pair (now planner-dispatched),
+#: the governance matrix, and the sparse-cosine pair (capped beside its
+#: exact sibling so the cap's cost is a recorded ratio, not a claim).
+DOC_EXT_QUERIES = (
+    "containment_dedup",
+    "containment_capped",
+    "source_overlap_matrix",
+    "tfidf_cosine_pairs",
+    "tfidf_cosine_capped",
+)
+
+
+def collect_doc_ext(spark) -> dict:
+    """×N linearity for DOC_EXT_QUERIES over the tagged-word document
+    surrogate (scale_stress.build_corpus) — importable by bench.py so the
+    per-round BENCH artifact carries the numbers. Same vs_linear metric
+    as every other block: wall(×N) / (N · wall(×1))."""
+    import tools.scale_stress as dstress
+
+    from vacancy_analyser_spark.plans.registry import queries
+
+    qs = queries()
+    doc_dir = dstress.build_corpus(spark)
+    rep: dict[str, object] = {"replicas": REPLICAS}
+    for q in DOC_EXT_QUERIES:
+        b = run(spark, qs, q, BASE_SF)
+        s = run(spark, qs, q, doc_dir)
+        rep[q] = {
+            "x1_sec": b,
+            f"x{REPLICAS}_sec": s,
+            "vs_linear": round(s / (REPLICAS * b), 2) if b > 0 else None,
+        }
+    return rep
 
 
 def collect_k_scaling(spark) -> dict:
