@@ -1605,24 +1605,28 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, so the driver hash-checks the planner's choice. Inactive on
     every shipped SF (pinned identical to the exact query in tests). The
     vector builder and pair arithmetic are the SAME code/SQL as the exact
-    variant — only the dt/kept filter differs."""
+    variant — only the dt filter differs.
+
+    The dt (document-frequency-in-the-top-K-vectors) census rides a
+    COUNT window partitioned by term, not an aggregate-and-join-back:
+    the r4 shape evaluated the top-K window subplan twice (once for the
+    dt aggregate, once through the semi-join — 2.5× the exact sibling's
+    cost on an inactive cap), and the r5 persist fix still paid a full
+    extra materialization of the vectors (1.55× of linear at ×10, ~2.8×
+    the exact key). The window form touches the vector table ONCE — one
+    shuffle by term, which the dt aggregate needed anyway, and none of
+    the semi-join's second pass — so the capped plan is the exact plan
+    plus one window over a TFIDF_VEC_K-per-doc table."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").alias("n_docs"))
-    # Persist the built vectors BEFORE branching: only `tf` is cached
-    # inside _tfidf_vec0, so without this the top-K window subplan would
-    # run twice — once for the dt document-frequency aggregate and again
-    # through the left_semi into _cosine_pairs_from (measured: the capped
-    # variant cost 2.5x its exact sibling on an inactive cap; with the
-    # persist both read one cached TFIDF_VEC_K-per-doc table).
-    vec0 = _tfidf_vec0(spark, sf_dir, docs=docs).persist()
-    vec0.count()
-    dt = vec0.groupBy("term").agg(F.count("*").alias("dt"))
-    kept = (
-        dt.crossJoin(F.broadcast(n))
+    vec0 = _tfidf_vec0(spark, sf_dir, docs=docs)
+    capped = (
+        vec0.withColumn("dt", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
         .filter(
             F.col("dt")
             <= F.greatest(F.lit(2), F.floor(F.col("n_docs") / TFIDF_DF_CAP_DIVISOR))
         )
-        .select("term")
+        .select("doc_id", "term", "score")
     )
-    return _cosine_pairs_from(vec0.join(kept, "term", "left_semi"))
+    return _cosine_pairs_from(capped)
