@@ -59,6 +59,8 @@ EXT = [
     "containment_dedup",
     "containment_capped",
     "incremental_dedup",
+    "minhash_index_serve",
+    "contamination_spans",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -363,3 +363,103 @@ def test_dedup_keep_best_api_matches_registered_keepers(spark, sf_dir):
     keepers = {r["keeper_id"] for r in q_keep_best(spark, sf_dir).collect()}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept == (all_ids - members) | keepers
+
+
+def test_contamination_spans_matches_bruteforce(spark, sf_dir):
+    """Pure-Python replay of the gaps-and-islands span report at the test
+    SF (longest run / total matched / run count per contaminated doc),
+    plus the plan shapes the 100 TB story depends on: the benchmark gate
+    is a semi join (never a cartesian) and the islands come from ONE
+    doc-partitioned window."""
+    import re
+
+    from vacancy_analyser_spark.plans.dedup import CONTAM_SPAN_MIN, contamination_spans
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def grams(t):
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+
+    bench = set()
+    for d, t in texts.items():
+        if d % 50 == 0:
+            bench.update(grams(t))
+    want = {}
+    for d, t in texts.items():
+        if d % 50 == 0:
+            continue
+        hits = [i for i, g in enumerate(grams(t)) if g in bench]
+        runs = []
+        for i in hits:
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        if not runs:
+            continue
+        max_span = max(b - a + 1 for a, b in runs)
+        if max_span >= CONTAM_SPAN_MIN:
+            want[d] = (max_span, len(hits), len(runs))
+
+    df = contamination_spans(spark, sf_dir)
+    got = {r["doc_id"]: (r["max_span"], r["n_matched"], r["n_spans"]) for r in df.collect()}
+    assert got == want
+    assert want  # the threshold actually selects something at this SF
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.split("== Initial Plan ==")[0].count("Window") == 1
+
+
+def test_minhash_index_serve_probes_index_not_corpus_text(spark, sf_dir):
+    """Build-once/probe-cheap on the dedup side: serving must (a) scan
+    documents only for the INCREMENT (the source equality is pushed; the
+    corpus-side complement filter Not(EqualTo) — the build's scan — must
+    NOT appear in the serve plan), (b) read the corpus from the
+    materialized index (lsh_ path in the plan), (c) find EXACTLY the LSH
+    self-join's collisions that straddle the increment boundary, with
+    signature-fraction estimates in [BAND_ROWS/N_MINHASH, 1], and (d)
+    reuse a fresh index on the second call."""
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.dedup import (
+        BAND_ROWS,
+        INCREMENT_SOURCE,
+        N_MINHASH,
+        _lsh_index_is_fresh,
+        _lsh_index_path,
+        minhash_index_serve,
+        minhash_lsh_dedup,
+    )
+
+    serve = minhash_index_serve(spark, sf_dir)
+    rows = serve.collect()
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert f"EqualTo(source,{INCREMENT_SOURCE})" in plan
+    assert f"Not(EqualTo(source,{INCREMENT_SOURCE}))" not in plan
+    assert "lsh_" in plan
+    assert _lsh_index_is_fresh(_lsh_index_path(sf_dir), sf_dir)
+
+    inc = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == INCREMENT_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    got_pairs = {(min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"])) for r in rows}
+    lsh = minhash_lsh_dedup(spark, sf_dir).collect()
+    straddling = {
+        (r["a_id"], r["b_id"]) for r in lsh if (r["a_id"] in inc) != (r["b_id"] in inc)
+    }
+    assert got_pairs == straddling
+    assert rows  # the increment actually collides with the corpus at this SF
+    lo = BAND_ROWS / N_MINHASH
+    for r in rows:
+        est = r["est_jaccard"]
+        assert lo - 1e-9 <= est <= 1 + 1e-9
+        # k/N_MINHASH grid: exactly representable, hash-safe
+        assert abs(est * N_MINHASH - round(est * N_MINHASH)) < 1e-9

@@ -469,11 +469,16 @@ MINHASH_B = (104729, 1299721, 7919, 17389, 27449, 37813, 49031, 60493)
 assert len(MINHASH_A) == len(MINHASH_B) == N_MINHASH
 
 
-def _minhash_sig_sql() -> str:
-    sigs = ", ".join(
+def _minhash_sig_exprs() -> str:
+    """The N_MINHASH Carter-Wegman signature aggregates over a column ``h``
+    (28-bit base hash) — shared by every oracle that replays signatures."""
+    return ", ".join(
         f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS s{s}"
         for s in range(N_MINHASH)
     )
+
+
+def _minhash_sig_sql() -> str:
     return f"""
         grams AS (
             SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
@@ -481,21 +486,61 @@ def _minhash_sig_sql() -> str:
         hashed AS (
             SELECT doc_id, ('0x' || substr(md5(bigram), 1, 7))::BIGINT AS h FROM grams
         ),
-        sigs AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id)
+        sigs AS (SELECT doc_id, {_minhash_sig_exprs()} FROM hashed GROUP BY doc_id)
     """
 
 
-def _band_sql() -> str:
+def _band_sql(table: str = "sigs", keys: str = "doc_id") -> str:
     # band value = s_{2b}·P + s_{2b+1}: injective on the (s, s') pair since
     # both are < P, so band equality IS signature-pair equality — no re-hash.
     rows = []
     for band in range(N_MINHASH // BAND_ROWS):
         lo, hi = band * BAND_ROWS, band * BAND_ROWS + 1
         rows.append(
-            f"SELECT doc_id, {band} AS band_id, "
-            f"s{lo} * {MINHASH_P} + s{hi} AS band_val FROM sigs"
+            f"SELECT {keys}, {band} AS band_id, "
+            f"s{lo} * {MINHASH_P} + s{hi} AS band_val FROM {table}"
         )
     return " UNION ALL ".join(rows)
+
+
+def _minhash_sigs(g: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(keys..., s0..s{N_MINHASH-1}) from a per-doc-distinct (keys, bigram)
+    table — the Spark half of _minhash_sig_sql, factored out so the LSH
+    self-join key and the materialized-index key share ONE signature
+    recipe (the driver hash-check then proves index == composition)."""
+    gh = g.select(
+        *keys,
+        F.conv(F.substring(F.md5("bigram"), 1, 7), 16, 10).cast("bigint").alias("h"),
+    )
+    return gh.groupBy(*keys).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)
+            ).alias(f"s{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+
+
+def _minhash_bands_df(sigs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(keys..., band_id, band_val) via one explode over an inline band
+    array — NOT a 4-way union, which would recompute the signature input
+    once per band. Band encoding mirrors _band_sql (injective s·P + s')."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                (
+                    F.col(f"s{band * BAND_ROWS}") * F.lit(MINHASH_P)
+                    + F.col(f"s{band * BAND_ROWS + 1}")
+                ).alias("band_val"),
+            )
+            for band in range(N_MINHASH // BAND_ROWS)
+        ]
+    )
+    return sigs.select(*keys, F.explode(band_structs).alias("bs")).select(
+        *keys, F.col("bs.band_id").alias("band_id"), F.col("bs.band_val").alias("band_val")
+    )
 
 
 @register(
@@ -529,39 +574,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join shuffles 8-byte keys. Band values concatenate the two row
     signatures injectively (s·P + s'), no re-hash. md5 keeps the base hash
     engine-portable; a pure-Spark deployment would swap xxhash64."""
-    g = _doc_bigrams(spark, sf_dir)
-    gh = g.select(
-        "doc_id", F.conv(F.substring(F.md5("bigram"), 1, 7), 16, 10).cast("bigint").alias("h")
-    )
-    sigs = gh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)).alias(
-                f"s{s}"
-            )
-            for s in range(N_MINHASH)
-        ]
-    )
-    # One explode over an inline band array — NOT a 4-way union, which would
-    # recompute the whole shingle→signature pipeline once per band.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                (
-                    F.col(f"s{band * BAND_ROWS}") * F.lit(MINHASH_P)
-                    + F.col(f"s{band * BAND_ROWS + 1}")
-                ).alias("band_val"),
-            )
-            for band in range(N_MINHASH // BAND_ROWS)
-        ]
-    )
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bs"))
-        .select(
-            "doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_val").alias("band_val")
-        )
-        .persist()
-    )
+    sigs = _minhash_sigs(_doc_bigrams(spark, sf_dir))
+    bands = _minhash_bands_df(sigs).persist()
     # Materialize before the self-join: exchange reuse does not cover the two
     # sides here (verified on the executed plan), so without the cache the
     # whole shingle→signature pipeline runs twice.
@@ -761,6 +775,98 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
+    )
+
+
+#: Minimum contiguous matched-bigram run for a doc to be reported by
+#: contamination_spans: 5 consecutive word-bigrams = a 6-token verbatim
+#: overlap with the held-out set — long enough to be memorized text rather
+#: than a shared stock phrase.
+CONTAM_SPAN_MIN = 5
+
+
+@register(
+    "contamination_spans",
+    oracle=f"""
+        WITH pg AS (
+            SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bigram,
+                   generate_subscripts({_BIGRAMS_SQL}, 1) AS pos
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT bigram FROM pg WHERE doc_id % 50 = 0),
+        m AS (
+            SELECT doc_id, pos FROM pg JOIN bench USING (bigram)
+            WHERE doc_id % 50 <> 0
+        ),
+        isl AS (
+            SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m
+        ),
+        spans AS (
+            SELECT doc_id, grp, COUNT(*) AS span_len FROM isl GROUP BY doc_id, grp
+        )
+        SELECT doc_id, MAX(span_len) AS max_span,
+               CAST(SUM(span_len) AS BIGINT) AS n_matched,
+               COUNT(*) AS n_spans
+        FROM spans GROUP BY doc_id
+        HAVING MAX(span_len) >= {CONTAM_SPAN_MIN}
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SPAN report: where ``benchmark_decontaminate`` answers
+    "is this training doc contaminated?" with a boolean shared-gram count,
+    this reports HOW — the longest contiguous run of word-bigram positions
+    in each training doc whose bigram also appears in the held-out set
+    (docs ≡ 0 mod 50, as in benchmark_decontaminate), plus the total
+    matched positions and the number of distinct runs. A run of
+    ``CONTAM_SPAN_MIN`` bigrams is a 6-token verbatim overlap — the
+    quote-level evidence an audit attaches to each kill-list entry, and
+    the quantity eval-contamination papers report (longest overlapping
+    span, not just any-overlap).
+
+    Plan, in three shuffle-bounded stages:
+
+    1. positional grams: ``posexplode`` over the per-doc bigram array —
+       one row per token position, LINEAR in corpus tokens (the array is
+       materialized once; no per-gram regex).
+    2. match gate: ``left_semi`` join against the benchmark's distinct
+       gram set. The build side is the benchmark vocabulary — fixed-size
+       in production, so it broadcasts and the train side never
+       shuffles; here it scales with the corpus (2% of docs) and AQE
+       sizes it, same policy as benchmark_decontaminate.
+    3. gaps-and-islands: ``pos − row_number()`` over (doc, pos) groups
+       consecutive matched positions into runs; two hash aggregates
+       (per-run length, then per-doc max/sum/count) finish it. The
+       window partitions by doc_id — matched positions per doc are
+       bounded by doc length, so no partition outgrows an executor
+       regardless of corpus size.
+
+    The oracle is the same algorithm in ANSI SQL (DuckDB's
+    generate_subscripts is 1-based vs posexplode's 0-based; the island
+    key ``pos − rn`` shifts by a per-doc constant, which grouping
+    absorbs). Extends the decontamination surface of the reference's
+    hygiene pass (SURVEY §2.11); no reference counterpart — this is the
+    audit-trail variant a 100 TB training-data pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    pg = toks.select("doc_id", F.posexplode(_bigrams("toks")).alias("pos", "bigram"))
+    bench = pg.filter(F.col("doc_id") % 50 == 0).select("bigram").distinct()
+    matched = pg.filter(F.col("doc_id") % 50 != 0).join(bench, "bigram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = matched.select(
+        "doc_id", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(F.count("*").alias("span_len"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("span_len").alias("max_span"),
+            F.sum("span_len").alias("n_matched"),
+            F.count("*").alias("n_spans"),
+        )
+        .filter(F.col("max_span") >= CONTAM_SPAN_MIN)
     )
 
 
@@ -1207,6 +1313,170 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "corpus_id")
         .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    """Recipe-tagged LSH index directory (same contract as
+    _ivfpq_index_path: any change to the signature family or banding
+    constants mints a NEW directory, never silently serves a stale
+    recipe)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+    )
+    return os.path.join(
+        warehouse, f"lsh_{tag}", f"index_m{N_MINHASH}_b{N_MINHASH // BAND_ROWS}"
+    )
+
+
+def lsh_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the corpus-side MinHash index — what incremental_dedup's
+    docstring promises is storable, written once so per-ingest probes never
+    rescan corpus text:
+
+    - ``sigs/``: (doc_id, s0..s{N_MINHASH-1}) for every doc already in the
+      corpus (source ≠ INCREMENT_SOURCE) — the similarity-estimation side.
+    - ``bands/``: (doc_id, band_id, band_val) — the candidate-generation
+      side. At 100 TB this table is written BUCKETED by (band_id,
+      band_val) so a repeat increment shuffles only the new batch; local
+      parquet keeps the layout flat and lets AQE size the probe join.
+
+    sigs/ is written first so an interrupted build can never leave a
+    bands/_SUCCESS without its signature table; freshness gates on both."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") != INCREMENT_SOURCE
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    g = toks.select("doc_id", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram"))
+    sigs = _minhash_sigs(g)
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    sigs_r = spark.read.parquet(os.path.join(path, "sigs"))
+    _minhash_bands_df(sigs_r).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+
+
+def _lsh_index_is_fresh(path: str, sf_dir: str) -> bool:
+    import os
+
+    from ..io import materialization_is_fresh
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    return materialization_is_fresh(
+        os.path.join(path, "bands"), src
+    ) and materialization_is_fresh(os.path.join(path, "sigs"), src)
+
+
+@register(
+    "minhash_index_serve",
+    oracle=f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, source, unnest({_BIGRAMS_SQL}) AS bigram
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(bigram), 1, 7))::BIGINT AS h
+            FROM grams
+        ),
+        sigs AS (
+            SELECT doc_id, source, {{sig_exprs}}
+            FROM hashed GROUP BY doc_id, source
+        ),
+        bands AS ({{band_rows}}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+            WHERE a.source = '{INCREMENT_SOURCE}' AND b.source <> '{INCREMENT_SOURCE}'
+        )
+        SELECT new_id, corpus_id,
+               ({{agree}}) / {N_MINHASH}.0 AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = new_id
+        JOIN sigs sb ON sb.doc_id = corpus_id
+    """.format(
+        sig_exprs=_minhash_sig_exprs(),
+        band_rows=_band_sql("sigs", "doc_id, source"),
+        agree=" + ".join(
+            f"(CASE WHEN sa.s{s} = sb.s{s} THEN 1 ELSE 0 END)" for s in range(N_MINHASH)
+        ),
+    ),
+    tags=("ext-dedup", "opt-index-serve"),
+)
+def minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-cheap MinHash dedup — the dedup-side twin of
+    ann_ivfpq_index_serve. lsh_build_index materializes the corpus's
+    signature and band tables once per sf_dir (idempotent: _SUCCESS +
+    source-mtime freshness + recipe-tagged path); serving an ingest batch
+    (source = INCREMENT_SOURCE, as in incremental_dedup) then touches NO
+    corpus text:
+
+    - the increment's signatures/bands are computed in-query — LINEAR in
+      the batch;
+    - candidates come from the band equi-join against the STORED band
+      table (plan-guarded: documents.parquet is scanned exactly once,
+      with the source filter pushed; the corpus side is the index
+      parquet);
+    - similarity is ESTIMATED from stored signatures — the fraction of
+      agreeing MinHash components (k/{N_MINHASH}: exactly representable,
+      hash-safe), the standard serving trade: no corpus shingle rescan,
+      accuracy bounded by the signature width.
+
+    The oracle replays the same deterministic recipe over all documents in
+    ANSI SQL, so the driver hash-check proves the materialized index
+    serves exactly what the in-query composition computes. Extends the
+    reference's ingest-hygiene surface (SURVEY §2.11); the est-vs-exact
+    trade is documented against incremental_dedup, which verifies with
+    exact Jaccard."""
+    import os
+
+    path = _lsh_index_path(sf_dir)
+    if not _lsh_index_is_fresh(path, sf_dir):
+        lsh_build_index(spark, sf_dir, path)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == INCREMENT_SOURCE
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    g = toks.select("doc_id", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram"))
+    new_sigs = _minhash_sigs(g).persist()
+    # Materialize before the two uses (band probe + estimation join):
+    # exchange reuse does not cover them, same rationale as the LSH
+    # self-join's bands cache.
+    new_sigs.count()
+    new_bands = _minhash_bands_df(new_sigs).alias("a")
+    idx_bands = spark.read.parquet(os.path.join(path, "bands")).alias("b")
+    cand = (
+        new_bands.join(
+            idx_bands,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    sa = new_sigs.select(
+        F.col("doc_id").alias("new_id"), *[F.col(f"s{s}").alias(f"sa{s}") for s in range(N_MINHASH)]
+    )
+    sb = idx_sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"s{s}").alias(f"sb{s}") for s in range(N_MINHASH)],
+    )
+    agree = sum(
+        (F.col(f"sa{s}") == F.col(f"sb{s}")).cast("int") for s in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (agree.cast("double") / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+        )
     )
 
 
