@@ -61,6 +61,7 @@ EXT = [
     "incremental_dedup",
     "minhash_index_serve",
     "contamination_spans",
+    "ann_recall_report",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -448,3 +448,43 @@ def test_ivfpq_batch_covers_queries_and_agrees_with_single(spark, sf_dir):
         (r["vec_id"], r["l2_dist"]) for r in ann_ivfpq_topk(spark, sf_dir).collect()
     )
     assert sorted(per_q[0]) == want
+
+
+def test_ann_recall_report_monotone_and_consistent_with_served_keys(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe (candidates are supersets;
+    any displacement of a hit in a larger candidate pool is by another
+    hit), every value sits on the k/IVF_K grid, and the nprobe=1 recall
+    must equal the overlap actually achieved by the REGISTERED serving key
+    (ann_ivf_topk) against exact brute force for q_id=0 — the report
+    measures what the serving keys serve, not a parallel recipe. Plan:
+    per-group top-k rides WindowGroupLimit, and the only nested-loop join
+    is the bounded query-batch broadcast."""
+    from vacancy_analyser_spark.plans.similarity import (
+        ANN_RECALL_NPROBES,
+        ANN_RECALL_NQ,
+        IVF_K,
+        ann_ivf_topk,
+        ann_recall_report,
+        cosine_topk,
+    )
+
+    df = ann_recall_report(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == ANN_RECALL_NQ * len(ANN_RECALL_NPROBES)
+    by_q = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= IVF_K
+        assert r["recall"] == r["n_hits"] / IVF_K
+        by_q.setdefault(r["q_id"], {})[r["nprobe"]] = r["n_hits"]
+    for q, tiers in by_q.items():
+        ordered = [tiers[p] for p in sorted(tiers)]
+        assert ordered == sorted(ordered), f"recall not monotone in nprobe for q={q}"
+
+    # cross-key consistency at q_id=0: replay the overlap from the
+    # registered single-query keys (both exclude the query itself)
+    served = {r["vec_id"] for r in ann_ivf_topk(spark, sf_dir).collect()}
+    exact5 = [r["vec_id"] for r in cosine_topk(spark, sf_dir).collect()[:IVF_K]]
+    assert by_q[0][1] == len(served & set(exact5))
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -1859,3 +1859,167 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.round(F.sqrt(F.sum(d2).cast("double")), 6).alias("centroid_shift"))
     )
+
+
+# --- ANN recall report --------------------------------------------------------
+
+#: Query-batch width and probe tiers for the recall report. NQ bounds the
+#: brute-force side (NQ × corpus scored rows — this is an offline
+#: evaluation job whose cost is the baseline being measured, run per
+#: index build, not per serve).
+ANN_RECALL_NQ = 8
+ANN_RECALL_NPROBES = (1, 2)
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM vecs WHERE vec_id < {ANN_RECALL_NQ}
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {N_CENTROIDS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT r.vec_id AS q_id, np.nprobe, r.centroid_id
+            FROM ranked r
+            CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in ANN_RECALL_NPROBES)}]) AS nprobe) np
+            WHERE r.vec_id < {ANN_RECALL_NQ} AND r.rn <= np.nprobe
+        ),
+        cand AS (
+            SELECT p.q_id, p.nprobe, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, c.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.nprobe
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, nprobe FROM probes),
+        counts AS (
+            SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.nprobe
+        )
+        SELECT g.q_id, g.nprobe, COALESCE(c.n_hits, 0) AS n_hits,
+               CAST(COALESCE(c.n_hits, 0) AS DOUBLE) / {IVF_K} AS recall
+        FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.nprobe = c.nprobe
+    """,
+    tags=("ext-sim", "contract"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked ANN accuracy: recall@k of the registered IVF recipe
+    against exact brute-force cosine, per query (first ANN_RECALL_NQ
+    vec_ids) and per probe width (nprobe ∈ ANN_RECALL_NPROBES) — the
+    approx_distinct discipline ("the sketch's contract is itself a
+    checked query") applied to vector search. Until now recall was pinned
+    repo-side (tests/test_similarity.py); this key puts the measured
+    number in the driver artifact, so an index-recipe change that tanks
+    recall fails the hash, not just a local test.
+
+    One plan, no per-query loop:
+
+    - exact side: the query batch is a broadcast (ANN_RECALL_NQ rows,
+      bounded constant); scoring is corpus × NQ — LINEAR in the corpus,
+      the deliberate cost of an evaluation job (it IS the baseline being
+      measured; production runs it per index build on a sampled query
+      set, never per serve). Per-query top-k via one WindowGroupLimit —
+      map-side pruned, never a global sort.
+    - IVF side: probe tiers come from exploding the shared _ivf_ranked
+      assignment (same recipe as ann_ivf_topk/_nprobe2, so this key
+      measures exactly what those keys serve); candidates are the
+      bucket equi-join, per-(query, nprobe) top-k through the same
+      window shape.
+    - recall: IVF picks left-semi exact picks, counted per (q_id,
+      nprobe) over the probe grid (left join keeps recall=0 rows
+      honest). n_hits/IVF_K divides identical doubles on both engines —
+      deterministic, hash-safe.
+
+    Candidate-superset monotonicity (recall non-decreasing in nprobe) is
+    asserted in tests; the driver hash pins the measured values."""
+    vecs = _vectors(spark, sf_dir)
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    scored = (
+        vecs.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_K)
+        .select("q_id", "vec_id")
+    )
+    ranked = _ivf_ranked(vecs)
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
+    probes = F.broadcast(
+        ranked.filter(F.col("vec_id") < ANN_RECALL_NQ)
+        .select(F.col("vec_id").alias("q_id"), "centroid_id", "rn")
+        .withColumn(
+            "nprobe", F.explode(F.array(*[F.lit(p) for p in ANN_RECALL_NPROBES]))
+        )
+        .filter(F.col("rn") <= F.col("nprobe"))
+        .select("q_id", "nprobe", "centroid_id")
+    )
+    cand = (
+        assigned.join(probes, "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(queries, "q_id")
+    )
+    wqn = Window.partitionBy("q_id", "nprobe").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    ivf_top = (
+        cand.select("q_id", "nprobe", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wqn))
+        .filter(F.col("rn") <= IVF_K)
+        .select("q_id", "nprobe", "vec_id")
+    )
+    counts = (
+        ivf_top.join(exact, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id", "nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = probes.select("q_id", "nprobe").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return grid.join(counts, ["q_id", "nprobe"], "left").select(
+        "q_id",
+        "nprobe",
+        n_hits.alias("n_hits"),
+        (n_hits.cast("double") / F.lit(float(IVF_K))).alias("recall"),
+    )
