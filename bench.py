@@ -62,6 +62,7 @@ EXT = [
     "minhash_index_serve",
     "contamination_spans",
     "ann_recall_report",
+    "lsh_recall_report",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -242,3 +242,54 @@ def test_incremental_dedup_is_asymmetric_and_consistent(spark, sf_dir):
     }
     for r in out:
         assert frozenset((r["new_id"], r["corpus_id"])) in full
+
+
+def test_lsh_recall_report_dispatches_and_accounts_every_pair(spark, sf_dir):
+    """The recall report's pair universe must ride the density dispatcher
+    (on the dense test corpus: the bitmap popcount loop — bit_count in the
+    executed plan, no shingle-keyed pair shuffle), its decile counts must
+    reconcile exactly against brute force, and the top band must be fully
+    detected at this SF (deterministic data, deterministic recipe)."""
+    import re
+    from collections import Counter
+
+    from vacancy_analyser_spark.plans.dedup import (
+        lsh_recall_report,
+        minhash_lsh_dedup,
+    )
+
+    df = lsh_recall_report(spark, sf_dir)
+    rows = {r["j_decile"]: r for r in df.collect()}
+
+    # brute-force universe replay
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    grams = {
+        d: set(
+            " ".join(p)
+            for p in zip(
+                re.sub(r"\s+", " ", t.lower()).strip().split(" "),
+                re.sub(r"\s+", " ", t.lower()).strip().split(" ")[1:],
+            )
+        )
+        for d, t in texts.items()
+    }
+    ids = sorted(grams)
+    want = Counter()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            if inter:
+                j = inter / (len(grams[a]) + len(grams[b]) - inter)
+                want[min(int(j * 10), 9)] += 1
+    assert {d: r["n_pairs"] for d, r in rows.items()} == dict(want)
+
+    lsh_n = minhash_lsh_dedup(spark, sf_dir).count()
+    assert sum(r["n_detected"] for r in rows.values()) <= lsh_n
+    top = max(rows)
+    assert rows[top]["detect_rate"] == 1.0
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan  # dense regime → bitmap universe
