@@ -63,6 +63,7 @@ EXT = [
     "contamination_spans",
     "ann_recall_report",
     "lsh_recall_report",
+    "approx_quantile_contract",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

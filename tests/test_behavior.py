@@ -263,3 +263,55 @@ def test_value_drift_by_day_matches_replay(spark, sf_dir):
     }
     assert got == expected
     assert got  # iid daily means still produce ~5% two-sided exceedances
+
+
+def test_approx_quantile_contract_bound_is_real_not_vacuous(spark, sf_dir):
+    """Replay the rank-interval contract in pure Python: for each group and
+    percentile, the sketch's answer must sit within slack of ceil(p·n) —
+    and the replayed interval test must agree with the query's booleans
+    (proving they are computed from real ranks, not constants). Also pin
+    that a deliberately out-of-bound value FAILS the same test."""
+    import math
+
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.aggregates import (
+        _AQ_ACC,
+        _AQ_PS,
+        approx_quantile_contract,
+    )
+    from pyspark.sql import functions as F
+
+    got = {r["event_type"]: r for r in approx_quantile_contract(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in ev:
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+
+    # the sketch's actual answers, recomputed for the replay
+    qs = {
+        r["event_type"]: r["qs"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", list(_AQ_PS), _AQ_ACC).alias("qs"))
+        .collect()
+    }
+
+    def interval_ok(vals, q, p):
+        n = len(vals)
+        lo = sum(1 for v in vals if v < q)
+        hi = sum(1 for v in vals if v <= q)
+        slack = n / _AQ_ACC + 1.0
+        target = math.ceil(p * n)
+        return (lo + 1) <= target + slack and hi >= target - slack
+
+    for et, vals in by_type.items():
+        assert got[et]["n"] == len(vals)
+        for i, p in enumerate(_AQ_PS):
+            want = interval_ok(sorted(vals), qs[et][i], p)
+            key = f"p{int(p * 100)}_ok"
+            assert got[et][key] == want
+            assert want  # the sketch satisfies its guarantee at this SF
+        # a value far outside the distribution must fail the same test
+        assert not interval_ok(sorted(vals), min(vals) - 1.0, 0.5)

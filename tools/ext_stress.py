@@ -48,7 +48,15 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("REPLICAS", "10"))
 STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/ext_stress")
 
-EMB_QUERIES = ("pq_encode", "ann_pq_adc_topk", "semantic_dedup", "knn_graph")
+EMB_QUERIES = (
+    "pq_encode",
+    "ann_pq_adc_topk",
+    "semantic_dedup",
+    "knn_graph",
+    # recall evaluation: exact side is queries × corpus (linear at fixed
+    # batch), IVF side is the linear assignment — both should hold ~linear
+    "ann_recall_report",
+)
 EVT_QUERIES = (
     "retention_cohorts",
     "event_transition_matrix",
@@ -146,13 +154,19 @@ def run(spark, qs, name: str, sf_dir: str) -> float:
 #: The r4/r5 document-tier ops that had no ×N measurement (r4 verdict
 #: "What's missing" #1): the containment pair (now planner-dispatched),
 #: the governance matrix, and the sparse-cosine pair (capped beside its
-#: exact sibling so the cap's cost is a recorded ratio, not a claim).
+#: exact sibling so the cap's cost is a recorded ratio, not a claim) —
+#: plus the r5-late keys (span report, index-served MinHash, the LSH
+#: S-curve) so nothing registered this round ships with an asserted
+#: scale shape.
 DOC_EXT_QUERIES = (
     "containment_dedup",
     "containment_capped",
     "source_overlap_matrix",
     "tfidf_cosine_pairs",
     "tfidf_cosine_capped",
+    "contamination_spans",
+    "minhash_index_serve",
+    "lsh_recall_report",
 )
 
 

@@ -263,6 +263,77 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: percentile_approx accuracy knob: the sketch guarantees the returned
+#: value's RANK is within n/_AQ_ACC of the target rank p·n (1/accuracy is
+#: the relative rank error). The contract below checks exactly that, with
+#: a tie-safe rank interval [count(<q)+1, count(<=q)].
+_AQ_ACC = 1000
+_AQ_PS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "approx_quantile_contract",
+    oracle="""
+        SELECT event_type, COUNT(value) AS n,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        FROM events GROUP BY event_type
+    """,
+    tags=("A8", "contract"),
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's accuracy contract as a checked query — the
+    approx_distinct pattern (and the recall reports' on the ANN/LSH side)
+    applied to percentile_approx: per event type, the approximate p50/p90/
+    p99 of `value` must each land within the documented rank guarantee
+    (|rank − p·n| ≤ n/accuracy). DuckDB's quantile sketch differs from
+    Spark's GK summaries, so raw estimates can't hash-match; the CONTRACT
+    can: the query emits the non-null count and one boolean per
+    percentile, the oracle emits the same count and literal TRUE. A Spark
+    upgrade (or a merge-order sensitivity) that broke the guarantee flips
+    a boolean and fails the hash.
+
+    Rank check is tie-safe: the sketch returns an actual sample value q,
+    so its admissible rank is the INTERVAL [count(<q)+1, count(≤q)]; the
+    contract holds iff that interval intersects [p·n − n/acc, p·n +
+    n/acc]. Two passes over events (sketch, then rank counts against the
+    group-sized quantile frame — AQE broadcasts it); at 100 TB you ship
+    ONLY the first pass — the rank verification is the eval harness,
+    same division as approx_distinct's exact NDV."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile_approx("value", list(_AQ_PS), _AQ_ACC).alias("qs"),
+    )
+    ranked = ev.join(stats, "event_type").groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        *[
+            agg
+            for i in range(len(_AQ_PS))
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.element_at("qs", i + 1)).cast("long")
+                ).alias(f"lo{i}"),
+                F.sum(
+                    (F.col("value") <= F.element_at("qs", i + 1)).cast("long")
+                ).alias(f"hi{i}"),
+            )
+        ],
+    )
+    # slack = guaranteed rank error (n/accuracy) + 1 for the sketch's rank
+    # discretization: it answers the integer rank ceil(p·n), which can sit
+    # a full rank above p·n itself (measured: p90 over n=188 returns the
+    # rank-170 element while p·n = 169.2 — correct behavior, not error)
+    eps = F.col("n").cast("double") / F.lit(float(_AQ_ACC)) + F.lit(1.0)
+    cols = [F.col("event_type"), F.col("n")]
+    for i, p_ in enumerate(_AQ_PS):
+        target = F.ceil(F.lit(p_) * F.col("n").cast("double")).cast("double")
+        ok = ((F.col(f"lo{i}") + 1).cast("double") <= target + eps) & (
+            F.col(f"hi{i}").cast("double") >= target - eps
+        )
+        cols.append(ok.alias(f"p{int(p_ * 100)}_ok"))
+    return ranked.select(*cols)
+
+
 @register(
     "rollup_year_prof",
     oracle="""
