@@ -64,6 +64,7 @@ EXT = [
     "ann_recall_report",
     "lsh_recall_report",
     "approx_quantile_contract",
+    "boilerplate_strip",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

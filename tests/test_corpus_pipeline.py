@@ -463,3 +463,53 @@ def test_minhash_index_serve_probes_index_not_corpus_text(spark, sf_dir):
         assert lo - 1e-9 <= est <= 1 + 1e-9
         # k/N_MINHASH grid: exactly representable, hash-safe
         assert abs(est * N_MINHASH - round(est * N_MINHASH)) < 1e-9
+
+
+def test_boilerplate_strip_matches_bruteforce(spark, sf_dir):
+    """Pure-Python replay of the strip at the test SF: flagged 5-gram
+    starts cover [p, p+4]; kept tokens rejoin in order; md5 of the cleaned
+    text and the kept-count must match per doc, fully-covered docs must be
+    absent, and the strip must be consistent with doc_boilerplate_share
+    (share == 0 ⇒ nothing stripped)."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    from vacancy_analyser_spark.functions.text import BOILER_MIN_DOCS, BOILER_NGRAM
+    from vacancy_analyser_spark.plans.textops import (
+        boilerplate_strip,
+        doc_boilerplate_share,
+    )
+
+    texts = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    gram_docs = defaultdict(set)
+    for d, toks in texts.items():
+        for i in range(len(toks) - BOILER_NGRAM + 1):
+            gram_docs[" ".join(toks[i : i + BOILER_NGRAM])].add(d)
+    boiler = {g for g, ds in gram_docs.items() if len(ds) >= BOILER_MIN_DOCS}
+    want = {}
+    for d, toks in texts.items():
+        covered = set()
+        for i in range(len(toks) - BOILER_NGRAM + 1):
+            if " ".join(toks[i : i + BOILER_NGRAM]) in boiler:
+                covered.update(range(i, i + BOILER_NGRAM))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        if kept:
+            want[d] = (len(kept), hashlib.md5(" ".join(kept).encode()).hexdigest())
+
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_md5"])
+        for r in boilerplate_strip(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) < len(texts)  # the strip drops fully-templated docs
+
+    share = {
+        r["doc_id"]: r["boiler_share"] for r in doc_boilerplate_share(spark, sf_dir).collect()
+    }
+    for d, s in share.items():
+        if s == 0.0 and d in got:
+            assert got[d][0] == len(texts[d])

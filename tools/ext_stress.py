@@ -167,6 +167,7 @@ DOC_EXT_QUERIES = (
     "contamination_spans",
     "minhash_index_serve",
     "lsh_recall_report",
+    "boilerplate_strip",
 )
 
 

@@ -1567,6 +1567,97 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_strip",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS token,
+                   generate_subscripts({_TOKS_SQL}, 1) AS pos
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest({_5GRAMS_SQL}) AS gram,
+                   generate_subscripts({_5GRAMS_SQL}, 1) AS p
+            FROM documents
+        ),
+        boiler AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        flagged AS (SELECT g.doc_id, g.p FROM g JOIN boiler USING (gram)),
+        covered AS (
+            SELECT DISTINCT doc_id, p + u.o AS pos
+            FROM flagged,
+                 (SELECT unnest(generate_series(0, {BOILER_NGRAM - 1})) AS o) u
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.token
+            FROM toks t
+            LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.doc_id IS NULL
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_kept,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLICATION step of the boilerplate family: rewrite each
+    document with every boilerplate-covered token removed — a token is
+    covered when any flagged 5-gram (boilerplate_ngrams' corpus-level
+    floor) starts at most BOILER_NGRAM−1 positions before it. Detection
+    (boilerplate_ngrams) and scoring (doc_boilerplate_share) exist as
+    registered keys; a cleaning pass has to actually EMIT the stripped
+    text, and this key drives that plumbing end to end. The output hashes
+    the cleaned text (md5 of the space-rejoined kept tokens, order
+    preserved) instead of shipping it — engine-portable, and exactly what
+    a content-addressed corpus store records after a cleaning pass.
+
+    Plan, all JVM Column algebra: one materialized token-array scan feeds
+    both position tables (tokens and 5-gram starts — posexplode each);
+    the boilerplate set gates gram starts with a left-semi join (bounded
+    by the template vocabulary in production — broadcastable — and
+    AQE-sized here); coverage expands each flagged start with
+    sequence(p, p+4) → explode → distinct (≤ 5 rows per flagged
+    position, never text); kept tokens are a left-anti join on (doc_id,
+    pos); the cleaned text reassembles per doc via
+    array_sort(collect_list(struct(pos, token))) — the deterministic
+    ordered-concat idiom — then md5. Docs with every token covered
+    vanish from the output (nothing to store), same rule as the share
+    query's short-doc exclusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks")).persist()
+    toks.count()  # two posexplode readers: token positions + gram starts
+    tok = toks.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+    g = toks.select("doc_id", F.posexplode(_five_grams("toks")).alias("p", "gram"))
+    boiler = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    flagged = g.join(boiler, "gram", "left_semi")
+    covered = flagged.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(BOILER_NGRAM - 1))).alias("pos"),
+    ).distinct()
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = F.md5(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"), clean.alias("clean_md5")
+    )
+
+
 #: Head cap for the capped cosine variant: drop terms present in more than
 #: n_docs // TFIDF_DF_CAP_DIVISOR of the TOP-K vectors. Divisor 2 kills
 #: only the degenerate universal head (a term in EVERY short doc's top-K —
