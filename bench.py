@@ -65,6 +65,8 @@ EXT = [
     "lsh_recall_report",
     "approx_quantile_contract",
     "boilerplate_strip",
+    "ngram_novelty_score",
+    "dataset_card_stats",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -513,3 +513,91 @@ def test_boilerplate_strip_matches_bruteforce(spark, sf_dir):
     for d, s in share.items():
         if s == 0.0 and d in got:
             assert got[d][0] == len(texts[d])
+
+
+def test_novelty_score_matches_bruteforce_and_skips_windows(spark, sf_dir):
+    """First-doc novelty replayed in pure Python, plus the scale shape:
+    the firsts census is an AGGREGATE + gram-keyed join back (Σ df rows),
+    never a per-gram window over the corpus."""
+    import re
+    from collections import defaultdict
+
+    from vacancy_analyser_spark.plans.textops import ngram_novelty_score
+
+    texts = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    grams = {
+        d: {" ".join(p) for p in zip(t, t[1:])} for d, t in texts.items() if len(t) > 1
+    }
+    first = defaultdict(lambda: 1 << 62)
+    for d, gs in grams.items():
+        for g in gs:
+            first[g] = min(first[g], d)
+    want = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if first[g] == d)
+        want[d] = (len(gs), novel, novel / len(gs))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty_score(spark, sf_dir).collect()
+    }
+    assert got == want
+    df = ngram_novelty_score(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Window" not in plan
+
+
+def test_dataset_card_stats_matches_bruteforce_single_scan(spark, sf_dir):
+    """Every cell of the card replayed in pure Python (counts, token
+    totals, exact-int ratio arithmetic), and the plan reads documents
+    ONCE — per-doc signals are Column algebra on the same scan."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    from vacancy_analyser_spark.plans.textops import dataset_card_stats
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    fp_counts = Counter(
+        hashlib.md5(re.sub(r"\s+", " ", r["text"].lower()).strip().encode()).hexdigest()
+        for r in rows
+    )
+    cells = defaultdict(list)
+    for r in rows:
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        alpha = len(re.sub(r"[^a-zA-Z]", "", r["text"])) / len(r["text"]) if r["text"] else 0
+        q = bool(
+            r["text"]
+            and 120 <= r["n_chars"] <= 400
+            and len(toks) >= 20
+            and alpha > 0.7
+        )
+        fp = hashlib.md5(
+            re.sub(r"\s+", " ", r["text"].lower()).strip().encode()
+        ).hexdigest()
+        cells[(r["source"], r["lang"])].append((len(toks), r["n_chars"], q, fp_counts[fp] > 1))
+    want = {}
+    for k, vs in cells.items():
+        n = len(vs)
+        want[k] = (
+            n,
+            sum(v[0] for v in vs),
+            sum(v[1] for v in vs) / n,
+            sum(1 for v in vs if v[3]) / n,
+            sum(1 for v in vs if v[2]) / n,
+        )
+    df = dataset_card_stats(spark, sf_dir)
+    got = {
+        (r["source"], r["lang"]): (
+            r["n_docs"], r["total_tokens"], r["avg_chars"], r["dup_share"], r["quality_rate"]
+        )
+        for r in df.collect()
+    }
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("documents.parquet") == 1

@@ -168,6 +168,8 @@ DOC_EXT_QUERIES = (
     "minhash_index_serve",
     "lsh_recall_report",
     "boilerplate_strip",
+    "ngram_novelty_score",
+    "dataset_card_stats",
 )
 
 

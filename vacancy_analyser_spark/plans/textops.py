@@ -1658,6 +1658,135 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAMS_TXT_SQL = (
+    f"list_transform(generate_series(1, len({_TOKS_SQL}) - 1), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])"
+)
+
+
+@register(
+    "ngram_novelty_score",
+    oracle=f"""
+        WITH g AS (
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_TXT_SQL}) AS bigram
+            FROM documents
+        ),
+        firsts AS (SELECT bigram, MIN(doc_id) AS first_doc FROM g GROUP BY bigram)
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS novelty
+        FROM g JOIN firsts f USING (bigram)
+        GROUP BY g.doc_id
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word-bigrams not seen in any earlier document (doc_id order standing
+    in for ingest order — in production, the crawl timestamp). The
+    data-curation dual of the dedup family: dedup asks "is this a copy of
+    one document", novelty asks "how much of this document is new to the
+    CORPUS" — the signal curriculum/mixture builders sort by (diminishing
+    novelty ⇒ a source is mined out) and the cheap first-pass filter
+    before pair-level dedup.
+
+    Plan: one distinct per-doc gram table (the dedup family's shared
+    shape), a vocabulary-bounded MIN aggregate for each gram's first
+    document, and one gram-keyed join back — Σ df rows, the same cost
+    class as the document-frequency census every tf-idf key already
+    pays. No windows, no pair joins; at 100 TB the firsts table is the
+    gram vocabulary (bounded), and an incremental ingest maintains it as
+    a MERGE, exactly like the snapshot high-water mark. novelty divides
+    identical doubles on both engines (IEEE-exact, hash-safe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    g = toks.select(
+        "doc_id", F.explode(F.array_distinct(token_ngrams("toks", 2))).alias("bigram")
+    ).persist()
+    g.count()  # two readers: the firsts aggregate and the join-back
+    firsts = g.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(firsts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "dataset_card_stats",
+    oracle=f"""
+        WITH base AS (
+            SELECT source, lang, n_chars,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) = 0 THEN FALSE
+                        ELSE n_chars BETWEEN 120 AND 400
+                             AND len({_TOKS_SQL}) >= 20
+                             AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                      AS DOUBLE) / length(text) > 0.7
+                   END AS q_ok,
+                   COUNT(*) OVER (PARTITION BY md5({_NORM_SQL})) > 1 AS is_dup
+            FROM documents
+        )
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_share,
+               CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS quality_rate
+        FROM base GROUP BY source, lang
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per (source, lang) cell — document count, total
+    tokens, mean length, exact-duplicate share (fingerprint seen >1 time
+    anywhere in the corpus, exact_dedup's md5-of-normalized-text), and
+    the quality-gate pass rate (doc_quality_filter's predicate). The one
+    table a data release publishes next to the corpus, and the first
+    thing a curator reads when a source's survival rate looks wrong —
+    composing the registered gates into the artifact they exist to feed.
+
+    Plan: ONE scan of documents computes every per-doc signal as Column
+    algebra (token count, quality booleans); the only shuffle before the
+    final cell aggregate is the fingerprint window for the duplicate
+    flag — hash-partitioned by md5, bounded groups (duplicate cliques),
+    no skew hazard. All ratios divide exact integers as doubles
+    (IEEE-exact, hash-safe); total_tokens sums BIGINTs. At 100 TB this
+    is a single map-combined aggregate over cells numbering
+    |sources|×|langs| — dashboard-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    q_ok = F.when(F.length("text") == 0, F.lit(False)).otherwise(
+        F.col("n_chars").between(120, 400) & (n_tokens >= 20) & (alpha_ratio > 0.7)
+    )
+    is_dup = F.count("*").over(Window.partitionBy(F.md5(normalize_ws("text")))) > 1
+    base = docs.select(
+        "source", "lang", "n_chars",
+        n_tokens.alias("n_tokens"), q_ok.alias("q_ok"), is_dup.alias("is_dup"),
+    )
+    return base.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(F.col("is_dup").cast("long")).cast("double") / F.count("*")).alias("dup_share"),
+        (F.sum(F.col("q_ok").cast("long")).cast("double") / F.count("*")).alias("quality_rate"),
+    )
+
+
 #: Head cap for the capped cosine variant: drop terms present in more than
 #: n_docs // TFIDF_DF_CAP_DIVISOR of the TOP-K vectors. Divisor 2 kills
 #: only the degenerate universal head (a term in EVERY short doc's top-K —
