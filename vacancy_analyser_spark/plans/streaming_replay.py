@@ -91,16 +91,21 @@ def _cleanup(*dirs: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _run_to_memory(stream_df: DataFrame, ckpt: str, src: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, ckpt: str, src: str, output_mode: str = "append"
+) -> DataFrame:
     """Drive the stream into a memory sink and return its table; fixture
     and checkpoint dirs are cleaned in a finally (the sink holds the rows
-    in driver memory), so even a timeout leaks nothing."""
+    in driver memory), so even a timeout leaks nothing. ``output_mode``
+    is "complete" for unfinalized-aggregation replays (session windows:
+    append would hold every session back behind a watermark that never
+    passes the last event)."""
     name = f"replay_{uuid.uuid4().hex[:12]}"
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -389,3 +394,63 @@ def snapshot_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _cleanup(root, ckpt, store.root)
     return spark.createDataFrame(rows, out_schema)
+
+
+@register(
+    "streaming_session_replay",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                        WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    tags=("ext-streaming", "replay"),
+)
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming session-window aggregation (ST4's stateful form)
+    driven over the events table as a three-batch file stream. The batch
+    split is event_id % 3 — deliberately NOT time-ordered, so sessions
+    arrive in pieces across micro-batches and the session-window STATE
+    STORE must merge partial sessions trigger over trigger (the stateful
+    behavior a batch run cannot exhibit; the registered
+    session_window_count pins only the batch form). Complete output mode:
+    session aggregations in append mode finalize behind the watermark,
+    which never passes the final event of a bounded replay — complete
+    mode emits the end-state table, which must equal the batch
+    sessionization exactly. The oracle is session_window_count's
+    gaps-and-islands SQL verbatim: merged-across-batches streaming state
+    == one-shot batch sessions, hash-checked by the driver."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    _write_batches(ev, "event_id", src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, ckpt, src, output_mode="complete")
