@@ -67,6 +67,8 @@ EXT = [
     "boilerplate_strip",
     "ngram_novelty_score",
     "dataset_card_stats",
+    "embedding_outliers",
+    "pq_reconstruction_error",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -56,6 +56,9 @@ EMB_QUERIES = (
     # recall evaluation: exact side is queries × corpus (linear at fixed
     # batch), IVF side is the linear assignment — both should hold ~linear
     "ann_recall_report",
+    # quality metrics: centroid-residual top-N and the PQ qd aggregate
+    "embedding_outliers",
+    "pq_reconstruction_error",
 )
 EVT_QUERIES = (
     "retention_cohorts",

@@ -2023,3 +2023,124 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         (n_hits.cast("double") / F.lit(float(IVF_K))).alias("recall"),
     )
+
+
+# --- Embedding/PQ quality metrics --------------------------------------------
+
+#: Outliers reported per label: the top-N vectors most distant from their
+#: label centroid — rank-based (no distributional threshold), so the
+#: report is non-empty and deterministic on any corpus.
+OUTLIER_TOP_N = 3
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+        WITH e AS (
+            SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding::DOUBLE[]) AS val
+            FROM embeddings
+        ),
+        m AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+            FROM e GROUP BY label, pos
+        ),
+        d AS (
+            SELECT e.label, e.vec_id,
+                   sqrt(CAST(SUM(CAST(round((e.val - m.m) * (e.val - m.m) * 1e9)
+                                      AS BIGINT)) AS DOUBLE) / 1e9) AS dist
+            FROM e JOIN m ON e.label = m.label AND e.pos = m.pos
+            GROUP BY e.label, e.vec_id
+        )
+        SELECT label, vec_id, round(dist, 6) AS dist
+        FROM (
+            SELECT label, vec_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY dist DESC, vec_id) AS rn
+            FROM d
+        ) WHERE rn <= {OUTLIER_TOP_N}
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the OUTLIER_TOP_N vectors farthest
+    (L2) from their own label's centroid — the mislabeled/noisy-vector
+    report a curation pass reviews before trusting label metadata (the
+    embedding-space dual of lang_confusion_matrix's claim-vs-content
+    audit, and the pruning signal SemDeDup-style pipelines apply inside
+    clusters).
+
+    Plan: the centroid is the decimal-exact per-(label, pos) mean the
+    drift/centroid keys already own (label-count-bounded aggregate); the
+    distance pass joins each vector component to its centroid component
+    — the join's build side is |labels|·dim rows, broadcastable at any
+    corpus scale — and sums squared residuals through the fixed-point
+    form (round(x·1e9) longs), so the per-vector reduction is
+    order-independent and the sqrt/round-6 output hash-matches exactly.
+    Per-label top-N rides one WindowGroupLimit window. One vector-table
+    pass, no pair joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    m = e.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("m")
+    )
+    resid2 = (F.col("val") - F.col("m")) * (F.col("val") - F.col("m"))
+    d = (
+        e.join(m, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(resid2 * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OUTLIER_TOP_N)
+        .select("label", "vec_id", F.round("dist", 6).alias("dist"))
+    )
+
+
+@register(
+    "pq_reconstruction_error",
+    oracle=f"""
+        WITH {_PQ_CTES}
+        SELECT block, COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(round(qd * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS total_qd,
+               (CAST(SUM(CAST(round(qd * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                   / COUNT(*) AS mean_qd
+        FROM codes GROUP BY block
+    """,
+    tags=("ext-sim", "contract"),
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook quality as a checked query: per sub-space, the total
+    and mean quantization distance (each vector's L2² to its assigned
+    codebook entry — the qd the encoder already computes). This is THE
+    number a PQ deployment tunes PQ_K/PQ_M against (reconstruction error
+    ⇒ ADC ranking error), reported from the same deterministic
+    codebook-training replay the pq_encode oracle pins — so a codebook
+    regression shows up as a driver hash diff on PQ_M aggregate rows,
+    the sketch-contract pattern with an exact (not bounded) metric.
+
+    Plan: _pq_subvectors → one-step Lloyd codebook → broadcast argmin
+    assignment (the registered encoder's plan, unchanged), then ONE
+    map-combined aggregate to PQ_M rows. The qd sums go through the
+    fixed-point form, so the totals are order-independent and
+    hash-exact; mean divides identical doubles."""
+    vecs = _vectors(spark, sf_dir)
+    sub = _pq_subvectors(vecs).persist()
+    sub.count()  # codebook training + assignment both read it
+    cb = _pq_codebook(sub)
+    codes = _pq_assign(sub, cb)
+    total = F.sum(F.round(F.col("qd") * F.lit(1e9)).cast("bigint")).cast("double") / F.lit(1e9)
+    return codes.groupBy("block").agg(
+        F.count("*").alias("n_vecs"),
+        total.alias("total_qd"),
+        (total / F.count("*")).alias("mean_qd"),
+    )
