@@ -267,7 +267,7 @@ def test_value_drift_by_day_matches_replay(spark, sf_dir):
 
 def test_approx_quantile_contract_bound_is_real_not_vacuous(spark, sf_dir):
     """Replay the rank-interval contract in pure Python: for each group and
-    percentile, the sketch's answer must sit within slack of ceil(p·n) —
+    percentile, the sketch's answer must sit within the merge-safe slack of ceil(p·n) —
     and the replayed interval test must agree with the query's booleans
     (proving they are computed from real ranks, not constants). Also pin
     that a deliberately out-of-bound value FAILS the same test."""
@@ -302,7 +302,7 @@ def test_approx_quantile_contract_bound_is_real_not_vacuous(spark, sf_dir):
         n = len(vals)
         lo = sum(1 for v in vals if v < q)
         hi = sum(1 for v in vals if v <= q)
-        slack = n / _AQ_ACC + 1.0
+        slack = 2.0 * n / _AQ_ACC + 1.0
         target = math.ceil(p * n)
         return (lo + 1) <= target + slack and hi >= target - slack
 

@@ -319,11 +319,17 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    # slack = guaranteed rank error (n/accuracy) + 1 for the sketch's rank
-    # discretization: it answers the integer rank ceil(p·n), which can sit
-    # a full rank above p·n itself (measured: p90 over n=188 returns the
-    # rank-170 element while p·n = 169.2 — correct behavior, not error)
-    eps = F.col("n").cast("double") / F.lit(float(_AQ_ACC)) + F.lit(1.0)
+    # slack = 2·(n/accuracy) + 1: the documented single-summary rank error
+    # is n/accuracy, but MERGED summaries (one per partition — and the
+    # driver's partitioning differs from ours) can degrade toward twice
+    # that in the classic GK analysis, and the sketch answers the integer
+    # rank ceil(p·n), a full rank above p·n itself (measured: p90 over
+    # n=188 returns the rank-170 element while p·n = 169.2 — correct
+    # behavior, not error). The bound must hold under ANY partitioning or
+    # the boolean — and the driver hash — would flip nondeterministically;
+    # measured error across the shipped SFs stays under half the
+    # single-summary bound, so 2ε+1 still catches a real regression.
+    eps = F.lit(2.0) * F.col("n").cast("double") / F.lit(float(_AQ_ACC)) + F.lit(1.0)
     cols = [F.col("event_type"), F.col("n")]
     for i, p_ in enumerate(_AQ_PS):
         target = F.ceil(F.lit(p_) * F.col("n").cast("double")).cast("double")
