@@ -77,11 +77,12 @@ EXT = [
 #: whose min-of-2 exceeds 2x its pinned number lands in the output's
 #: "ext_regressions" list (the 2x bound absorbs local-mode jitter, which
 #: is routinely 1.3-2x on the min-of-2 the ext block affords; sustained
-#: entries here mean a plan regressed, not a noisy host). Ops without a
-#: pin (added after r4) are recorded but not gated until re-pinned.
-#: containment_dedup and tfidf_cosine_capped keep their r4 pins on
-#: purpose: both were rewritten in r5 to be several times faster, so the
-#: gate also documents where they came from.
+#: entries here mean a plan regressed, not a noisy host). This table is
+#: the r4 PROVENANCE record, kept verbatim; the EFFECTIVE gate is
+#: EXT_BASELINE below — the r5 overlay re-pins the keys r5 rewrote
+#: (under the r4 pins the gate had gone slack: containment_dedup could
+#: triple back to its pre-dispatch shape and still pass 2× of 17.4 s)
+#: and gives first pins to the r5 additions.
 EXT_BASELINE_R4 = {
     "semantic_dedup": 1.336,
     "knn_graph": 1.389,
@@ -101,6 +102,33 @@ EXT_BASELINE_R4 = {
     "containment_dedup": 17.435,
     "incremental_dedup": 2.529,
 }
+
+#: r5 re-pins and new pins (quiet-host min-of-2 recordings, 2026-08-14).
+#: Keys REWRITTEN in r5 are re-pinned to their post-fix numbers — under
+#: the r4 pins the gate had gone slack (containment_dedup could triple
+#: back to its old shape and still pass 2× of 17.4 s); keys NEW in r5
+#: get their first pin here. The r4 table above is kept verbatim for
+#: provenance; the effective gate is the merge below (r5 overrides).
+EXT_BASELINE_R5 = {
+    "tfidf_cosine_capped": 4.0,        # was 9.433 — layout fix
+    "containment_dedup": 2.6,          # was 17.435 — density dispatch
+    "corpus_keep_list": 3.8,           # was 8.356 — components dispatch
+    "containment_capped": 3.4,
+    "ann_ivfpq_index_serve": 1.8,
+    "ann_ivfpq_batch_topk": 4.2,
+    "minhash_index_serve": 1.3,
+    "contamination_spans": 1.1,
+    "ann_recall_report": 1.6,
+    "lsh_recall_report": 6.5,
+    "approx_quantile_contract": 0.7,
+    "boilerplate_strip": 2.6,
+    "ngram_novelty_score": 1.3,
+    "dataset_card_stats": 0.6,
+    "embedding_outliers": 1.4,
+    "pq_reconstruction_error": 3.2,
+}
+
+EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5}
 
 #: The queries that represent the engine's load-bearing paths: batch spine,
 #: fact⋈fact join, window aggs, merge, and each LLM-pipeline extension tier.
@@ -190,9 +218,9 @@ def main() -> None:
     # r4 numbers were recorded there); at other SFs just record timings
     ext_regressions = (
         {
-            name: {"sec": t, "r4_sec": EXT_BASELINE_R4[name], "ratio": round(t / EXT_BASELINE_R4[name], 2)}
+            name: {"sec": t, "pin_sec": EXT_BASELINE[name], "ratio": round(t / EXT_BASELINE[name], 2)}
             for name, t in ext_timings.items()
-            if name in EXT_BASELINE_R4 and t > 2.0 * EXT_BASELINE_R4[name]
+            if name in EXT_BASELINE and t > 2.0 * EXT_BASELINE[name]
         }
         if sf == 0.1
         else {}

@@ -20,12 +20,18 @@ def test_headline_keys_all_registered():
 
 
 def test_ext_regression_gate_pins_resolve():
-    """Every pinned r4 ext baseline must still be a timed ext query —
-    a renamed/dropped key would silently un-gate itself otherwise."""
+    """Every pinned ext baseline (r4 provenance table and the effective
+    r5-merged gate) must still be a timed ext query — a renamed/dropped
+    key would silently un-gate itself otherwise. Every r5-REWRITTEN key
+    must carry an r5 re-pin (an r4-era pin on a now-faster plan makes
+    the 2x gate slack)."""
     import bench
 
-    stale = [k for k in bench.EXT_BASELINE_R4 if k not in bench.EXT]
-    assert not stale, f"EXT_BASELINE_R4 pins not in bench.EXT: {stale}"
+    stale = [k for k in bench.EXT_BASELINE if k not in bench.EXT]
+    assert not stale, f"EXT_BASELINE pins not in bench.EXT: {stale}"
+    assert bench.EXT_BASELINE["containment_dedup"] < bench.EXT_BASELINE_R4["containment_dedup"]
+    assert bench.EXT_BASELINE["tfidf_cosine_capped"] < bench.EXT_BASELINE_R4["tfidf_cosine_capped"]
+    assert bench.EXT_BASELINE["corpus_keep_list"] < bench.EXT_BASELINE_R4["corpus_keep_list"]
 
 
 def test_queries_md_catalog_in_sync():
