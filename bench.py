@@ -69,6 +69,8 @@ EXT = [
     "dataset_card_stats",
     "embedding_outliers",
     "pq_reconstruction_error",
+    "near_dup_component_stats",
+    "dedup_savings_report",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -126,6 +128,8 @@ EXT_BASELINE_R5 = {
     "dataset_card_stats": 0.6,
     "embedding_outliers": 1.4,
     "pq_reconstruction_error": 3.2,
+    "near_dup_component_stats": 3.3,
+    "dedup_savings_report": 3.7,
 }
 
 EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5}

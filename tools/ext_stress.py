@@ -173,6 +173,8 @@ DOC_EXT_QUERIES = (
     "boilerplate_strip",
     "ngram_novelty_score",
     "dataset_card_stats",
+    "near_dup_component_stats",
+    "dedup_savings_report",
 )
 
 

@@ -1723,10 +1723,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_keep_list",
-    oracle=f"""
-        WITH RECURSIVE {_GROUPS_CTES},
+#: The keep-list CTE chain through a final ``verdicts`` table — shared by
+#: corpus_keep_list (per-doc labels) and dedup_savings_report (the
+#: aggregate accounting over the same labels), so the two oracles cannot
+#: drift.
+_KEEP_LIST_CTES = f"""{_GROUPS_CTES},
         scored AS (
             SELECT c.doc_id, c.group_id, d.n_chars
             FROM comp c JOIN documents d ON c.doc_id = d.doc_id
@@ -1753,17 +1754,26 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    doc_id = MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL}))
                        AS ex_keeper
             FROM documents
-        )
-        SELECT d.doc_id,
-               CASE WHEN NOT q.q_ok THEN 'quality_fail'
-                    WHEN NOT ex.ex_keeper THEN 'exact_dup'
-                    WHEN comp.doc_id IS NOT NULL AND k.doc_id IS NULL THEN 'near_dup'
-                    ELSE 'kept' END AS verdict
-        FROM documents d
-        JOIN q ON d.doc_id = q.doc_id
-        JOIN ex ON d.doc_id = ex.doc_id
-        LEFT JOIN comp ON d.doc_id = comp.doc_id
-        LEFT JOIN keepers k ON d.doc_id = k.doc_id
+        ),
+        verdicts AS (
+            SELECT d.doc_id,
+                   CASE WHEN NOT q.q_ok THEN 'quality_fail'
+                        WHEN NOT ex.ex_keeper THEN 'exact_dup'
+                        WHEN comp.doc_id IS NOT NULL AND k.doc_id IS NULL THEN 'near_dup'
+                        ELSE 'kept' END AS verdict
+            FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            JOIN ex ON d.doc_id = ex.doc_id
+            LEFT JOIN comp ON d.doc_id = comp.doc_id
+            LEFT JOIN keepers k ON d.doc_id = k.doc_id
+        )"""
+
+
+@register(
+    "corpus_keep_list",
+    oracle=f"""
+        WITH RECURSIVE {_KEEP_LIST_CTES}
+        SELECT doc_id, verdict FROM verdicts
     """,
     tags=("ext-dedup", "pipeline"),
 )
@@ -1917,4 +1927,80 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("detected").alias("n_detected"),
         (F.sum("detected").cast("double") / F.count("*")).alias("detect_rate"),
+    )
+
+
+@register(
+    "near_dup_component_stats",
+    oracle=f"""
+        WITH RECURSIVE {_GROUPS_CTES},
+        csize AS (
+            SELECT group_id, COUNT(*) AS component_size FROM comp GROUP BY group_id
+        )
+        SELECT component_size,
+               COUNT(*) AS n_components,
+               CAST(component_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM csize GROUP BY component_size
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def near_dup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size HISTOGRAM: how many components of each size
+    the pair graph collapses into, and how many documents they hold — the
+    dedup-QA chart a pipeline review reads first (a fat tail of giant
+    components means the threshold is too loose or a template is eating
+    the corpus; all-pairs-size-2 means near-dup adds little over exact).
+
+    Plan: the registered groups key (density-dispatched pairs → size-
+    dispatched components) already carries group_size per member; one
+    distinct over (group_id, size) — component-count rows — and one hash
+    aggregate produce the histogram. Dashboard-sized output at any
+    corpus scale; n_docs = size × count multiplies exact BIGINTs."""
+    comp = near_dup_groups(spark, sf_dir)
+    sizes = comp.select("group_id", F.col("group_size").alias("component_size")).distinct()
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components")).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "dedup_savings_report",
+    oracle=f"""
+        WITH RECURSIVE {_KEEP_LIST_CTES}
+        SELECT verdict,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+        FROM verdicts v JOIN documents d ON v.doc_id = d.doc_id
+        GROUP BY verdict
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the cleaning pipeline BOUGHT: per keep-list verdict
+    (quality_fail / exact_dup / near_dup / kept), the document count and
+    the TOKEN count those documents carry — the accounting line a
+    training-data review attaches to every corpus release ("dedup
+    reclaimed N billion tokens; the quality gate cost M"). Token-weighted
+    because training cost is token-denominated: a thousand boilerplate
+    stubs matter less than one duplicated book.
+
+    Plan: corpus_keep_list's verdict frame (pair + component machinery
+    runs ONCE, shared via that key) joins per-doc token counts — Column
+    algebra on the documents scan — and aggregates to ≤4 rows. The
+    oracle shares the keep-list's verdict CTE chain verbatim
+    (_KEEP_LIST_CTES), so the two artifacts cannot disagree on a label."""
+    kl = corpus_keep_list(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        kl.join(docs, "doc_id")
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )
