@@ -35,6 +35,32 @@ def tokens(col: str | Column) -> Column:
     return F.split(normalize_ws(col), " ")
 
 
+def quality_signals(col: str | Column = "text") -> tuple[Column, Column]:
+    """(n_tokens, alpha_ratio) — the per-document signals the quality gate
+    reads. One definition, so the gate's inputs cannot drift between the
+    registered quality keys and the composites that embed them."""
+    t = _c(col)
+    n_tokens = F.size(tokens(t)).cast("int")
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / F.length(t)
+    )
+    return n_tokens, alpha_ratio
+
+
+def quality_ok(
+    n_chars: str | Column, n_tokens: Column, alpha_ratio: Column
+) -> Column:
+    """THE C4/Gopher-style gate predicate — length band, token floor,
+    alphabetic-ratio floor. Shared by doc_quality_filter,
+    corpus_prep_stats, corpus_keep_list, and dataset_card_stats (one
+    definition: retuning the band in one key retunes all four; the
+    oracles bake the same literals and are pinned by parity). Callers
+    gate empty text themselves (filter length > 0 or a when/otherwise):
+    alpha_ratio is NULL-by-zero-division there, and each call site
+    documents its own empty-document policy."""
+    return _c(n_chars).between(120, 400) & (n_tokens >= 20) & (alpha_ratio > 0.7)
+
+
 #: Boilerplate-span defaults shared by the registered boilerplate queries
 #: (plans/textops.py — their oracle SQL bakes these in) and the corpus
 #: API stage (corpus.boilerplate_filter) — ONE definition so the two

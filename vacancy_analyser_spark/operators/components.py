@@ -33,16 +33,20 @@ from pyspark.sql import functions as F
 
 #: Size dispatch (the ntile_quartiles precedent): at or below this many
 #: edges the transitive closure runs as driver-side union-find — one
-#: collect of an id-pair list (≤ ~64 MB at the cap), zero iterative jobs.
-#: The fixpoint's per-round cost is ~4 Spark jobs of pure scheduling
-#: overhead, which DOMINATES on the near-dup graphs real corpora produce
-#: (measured at sf0.1: 256 edges → 7.7 s through the fixpoint, <0.3 s
-#: local); above the cap — billions of pairs at 100 TB — the distributed
-#: propagation is the only shape that fits, and the threshold probe is
-#: one count over the (persisted) pair table either way. Both paths are
-#: deterministic min-label components and are pinned identical in tests
-#: (threshold forced to 0 to exercise the fixpoint on the same graphs).
-LOCAL_MAX_EDGES = 4_000_000
+#: Arrow transfer of two long columns (~16 MB at the cap), zero
+#: iterative jobs. The fixpoint's per-round cost is ~4 Spark jobs of
+#: pure scheduling overhead, which DOMINATES on the near-dup graphs real
+#: corpora produce (measured at sf0.1: 256 edges → 7.7 s through the
+#: fixpoint, <0.3 s local); above the cap — billions of pairs at
+#: 100 TB — the distributed propagation is the only shape that fits, and
+#: the threshold probe is one count over the (persisted) pair table
+#: either way. The cap is set where the DRIVER-side cost is known-small
+#: (a 1M-iteration python loop is well under a second; the transfer is
+#: Arrow-columnar, never per-row Row objects), not at the point the
+#: driver heap would struggle. Both paths are deterministic min-label
+#: components and are pinned identical in tests (threshold forced to 0
+#: to exercise the fixpoint on the same graphs).
+LOCAL_MAX_EDGES = 1_000_000
 
 
 def connected_components(
@@ -69,7 +73,10 @@ def connected_components(
 def _local_union_find(p: DataFrame) -> DataFrame:
     """Driver-side union-find over a collected edge list — the small-graph
     half of the size dispatch. Path-compressed, min-id roots, so the
-    labeling is exactly the fixpoint's (component = min reachable id)."""
+    labeling is exactly the fixpoint's (component = min reachable id).
+    The edges land as TWO ARROW COLUMNS (toPandas), never per-row Row
+    objects — at the 1M-edge cap that is ~16 MB of driver memory, not the
+    hundreds of MB a Row-list collect of the same table costs."""
     parent: dict = {}
 
     def find(x):
@@ -79,17 +86,14 @@ def _local_union_find(p: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in p.collect():
-        ra, rb = find(r["u"]), find(r["v"])
+    pdf = p.toPandas()
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ra, rb = find(u), find(v)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(x, find(x)) for x in parent]
-    schema = (
-        p.schema["u"].dataType.simpleString()
-    )
-    return p.sparkSession.createDataFrame(
-        rows, f"id {schema}, component {schema}"
-    )
+    schema = p.schema["u"].dataType.simpleString()
+    return p.sparkSession.createDataFrame(rows, f"id {schema}, component {schema}")
 
 
 def _propagate(sym: DataFrame, max_rounds: int) -> DataFrame:

@@ -336,7 +336,12 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = ((F.col(f"lo{i}") + 1).cast("double") <= target + eps) & (
             F.col(f"hi{i}").cast("double") >= target - eps
         )
-        cols.append(ok.alias(f"p{int(p_ * 100)}_ok"))
+        # a group whose `value` is entirely NULL has n = 0, a NULL sketch
+        # answer, and NULL rank sums — the contract holds vacuously, and
+        # the oracle emits literal TRUE for every group, so the boolean
+        # must be TRUE (not NULL) there or the hash breaks on a group
+        # that violates nothing
+        cols.append(F.coalesce(ok, F.lit(True)).alias(f"p{int(p_ * 100)}_ok"))
     return ranked.select(*cols)
 
 

@@ -851,7 +851,11 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit-trail variant a 100 TB training-data pipeline needs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    pg = toks.select("doc_id", F.posexplode(_bigrams("toks")).alias("pos", "bigram"))
+    pg = toks.select("doc_id", F.posexplode(_bigrams("toks")).alias("pos", "bigram")).persist()
+    # materialize once: the bench gram set and the train match gate are
+    # separate subtrees — without the cache, documents is scanned and
+    # tokenized per subtree (same multi-reader rule as the siblings)
+    pg.count()
     bench = pg.filter(F.col("doc_id") % 50 == 0).select("bigram").distinct()
     matched = pg.filter(F.col("doc_id") % 50 != 0).join(bench, "bigram", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1801,14 +1805,12 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; AQE sizes them)."""
     from ..operators.components import connected_components
 
+    from ..functions.text import quality_ok, quality_signals
+
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(tokens("text"))
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
-        / F.length("text")
-    )
+    n_tokens, alpha_ratio = quality_signals("text")
     q_ok = F.when(F.length("text") == 0, F.lit(False)).otherwise(
-        F.col("n_chars").between(120, 400) & (n_tokens >= 20) & (alpha_ratio > 0.7)
+        quality_ok("n_chars", n_tokens, alpha_ratio)
     )
     ex_keeper = F.col("doc_id") == F.min("doc_id").over(
         Window.partitionBy(F.md5(normalize_ws("text")))

@@ -18,6 +18,8 @@ from ..functions.text import (
     normalize_ws,
     token_ngrams,
     tokens,
+    quality_ok,
+    quality_signals,
 )
 from ..io import load_table
 from .registry import register
@@ -122,18 +124,13 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio — the C4/Gopher-style heuristic gate, as pushdown-friendly Column
     algebra."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tokens = F.size(tokens("text")).cast("int")
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double") / F.length("text")
-    )
+    n_tokens, alpha_ratio = quality_signals("text")
     return (
         docs.select(
             "doc_id", "lang", "n_chars",
             n_tokens.alias("n_tokens"), alpha_ratio.alias("alpha_ratio"),
         )
-        .filter(
-            F.col("n_chars").between(120, 400) & (F.col("n_tokens") >= 20) & (F.col("alpha_ratio") > 0.7)
-        )
+        .filter(quality_ok("n_chars", F.col("n_tokens"), F.col("alpha_ratio")))
     )
 
 
@@ -552,21 +549,13 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import davg
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tokens = F.size(tokens("text")).cast("int")
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
-        / F.length("text")
-    )
+    n_tokens, alpha_ratio = quality_signals("text")
     quality = docs.select(
         "doc_id", "lang", "n_chars",
         n_tokens.alias("n_tokens"),
         F.md5(normalize_ws("text")).alias("fingerprint"),
         alpha_ratio.alias("alpha_ratio"),
-    ).filter(
-        F.col("n_chars").between(120, 400)
-        & (F.col("n_tokens") >= 20)
-        & (F.col("alpha_ratio") > 0.7)
-    )
+    ).filter(quality_ok("n_chars", F.col("n_tokens"), F.col("alpha_ratio")))
     survivors = quality.withColumn(
         "keeper_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
     ).filter(F.col("doc_id") == F.col("keeper_id"))
@@ -1658,17 +1647,11 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAMS_TXT_SQL = (
-    f"list_transform(generate_series(1, len({_TOKS_SQL}) - 1), "
-    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])"
-)
-
-
 @register(
     "ngram_novelty_score",
     oracle=f"""
         WITH g AS (
-            SELECT DISTINCT doc_id, unnest({_BIGRAMS_TXT_SQL}) AS bigram
+            SELECT DISTINCT doc_id, unnest({_BIGRAMS_LIST_SQL}) AS bigram
             FROM documents
         ),
         firsts AS (SELECT bigram, MIN(doc_id) AS first_doc FROM g GROUP BY bigram)
@@ -1765,13 +1748,10 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single map-combined aggregate over cells numbering
     |sources|×|langs| — dashboard-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(tokens("text")).cast("bigint")
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
-        / F.length("text")
-    )
+    nt, alpha_ratio = quality_signals("text")
+    n_tokens = nt.cast("bigint")
     q_ok = F.when(F.length("text") == 0, F.lit(False)).otherwise(
-        F.col("n_chars").between(120, 400) & (n_tokens >= 20) & (alpha_ratio > 0.7)
+        quality_ok("n_chars", nt, alpha_ratio)
     )
     is_dup = F.count("*").over(Window.partitionBy(F.md5(normalize_ws("text")))) > 1
     base = docs.select(
