@@ -71,6 +71,7 @@ EXT = [
     "pq_reconstruction_error",
     "near_dup_component_stats",
     "dedup_savings_report",
+    "incremental_dedup_bucketed",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -130,6 +131,7 @@ EXT_BASELINE_R5 = {
     "pq_reconstruction_error": 3.2,
     "near_dup_component_stats": 3.3,
     "dedup_savings_report": 3.7,
+    "incremental_dedup_bucketed": 1.8,
 }
 
 EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5}

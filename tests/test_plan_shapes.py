@@ -512,3 +512,57 @@ def test_corpus_lake_scan_prunes_partitions_and_text(spark, sf_dir):
     assert "lang" in pf and ("IN" in pf.upper() or "in(" in pf)
     scan = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" not in scan
+
+
+def test_bucketed_incremental_skips_corpus_shuffle_and_sort(spark, sf_dir):
+    """The bucketed-corpus serving key must (a) feed the candidate
+    SortMergeJoin with exactly ONE bh-keyed Exchange — the increment's;
+    the bucketed corpus scan's output partitioning satisfies the join,
+    so its branch carries none, while the flat merge-hinted equivalent
+    needs TWO — and (b) return exactly the flat registered key's rows
+    (layout independence, the same contract the lake/DPP key pins)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vacancy_analyser_spark.functions.text import tokens
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.dedup import (
+        INCREMENT_SOURCE,
+        _bigrams,
+        incremental_dedup,
+        incremental_dedup_bucketed,
+    )
+
+    df = incremental_dedup_bucketed(spark, sf_dir)
+    rows = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in df.collect()}
+    flat = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_dedup(spark, sf_dir).collect()
+    }
+    assert rows == flat
+
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan
+    bucketed_exchanges = len(re.findall(r"Exchange hashpartitioning\(bh#", plan))
+    assert bucketed_exchanges == 1, plan
+
+    # the flat merge-hinted equivalent shuffles BOTH sides on bh
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    gh = toks.select(
+        "doc_id", "source", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram")
+    ).select("doc_id", "source", F.xxhash64("bigram").alias("bh"))
+    a = gh.filter(F.col("source") == INCREMENT_SOURCE).alias("a")
+    b = gh.filter(F.col("source") != INCREMENT_SOURCE).alias("b")
+    flat_inter = (
+        a.join(b.hint("merge"), F.col("a.bh") == F.col("b.bh"))
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    flat_inter.collect()
+    flat_plan = (
+        flat_inter._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    flat_exchanges = len(re.findall(r"Exchange hashpartitioning\(bh#", flat_plan))
+    assert flat_exchanges == 2, flat_plan

@@ -175,6 +175,7 @@ DOC_EXT_QUERIES = (
     "dataset_card_stats",
     "near_dup_component_stats",
     "dedup_savings_report",
+    "incremental_dedup_bucketed",
 )
 
 
