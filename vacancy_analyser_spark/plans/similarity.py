@@ -394,20 +394,88 @@ def kmeans_step(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_train(vectors: DataFrame, k: int, n_iters: int) -> DataFrame:
-    """Deterministic k-means: first-k-by-id init (the IVF contract's seed),
-    ``n_iters`` Lloyd steps. Each step localCheckpoints — the loop is the
-    same iterative-plan shape as connected_components, and untruncated
-    lineage would nest every previous step's plan."""
-    init = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
-    )
-    cent = init.localCheckpoint(eager=True)
+def kmeans_train(
+    vectors: DataFrame, k: int, n_iters: int, init: str = "first"
+) -> DataFrame:
+    """Deterministic k-means with three seeding strategies — all RNG-free,
+    so any index built from any of them is exactly reproducible:
+
+    - ``"first"``: the first k ids — the registered IVF contract's seed
+      (trivially replayable in the SQL oracles).
+    - ``"sample"``: a deterministic uniform draw (rank by md5(vec_id),
+      take k via TakeOrdered — never a global sort) — the production
+      trainer's seed shape, independent of id order.
+    - ``"farthest"``: deterministic farthest-point (k-center) seeding —
+      md5-min start, then greedily add the vector farthest (min-cosine
+      to the chosen set, ties by vec_id) k−1 times; one broadcast-scan
+      pass per seed (k-means|| is the O(log k)-pass production variant
+      of the same idea).
+
+    What the seed comparison MEASURED (tests pin it; numbers at
+    sf0.001, k=8, 2 Lloyd steps, nprobe=1 recall@5): first-k 0.875,
+    sample 0.375, farthest 0.325 — and neither more iterations, more
+    centroids (k=16 ≥ the 10 modes), nor k-center coverage recovers the
+    first-k number. The 0.875 is partly an EVALUATION COINCIDENCE, not
+    a seeding win: the recall probes query vec_ids 0..7, which under
+    the first-k seed are the initial centroids themselves — each
+    query's neighborhood starts centered on the query. With any
+    independent seed, single-probe recall sits at the boundary-loss
+    floor and climbs the nprobe curve exactly as IVF theory says
+    (sample seed: 0.375 → 0.525 → 0.65 → 0.70 at nprobe 1..4). The
+    operational lessons, recorded here so nobody "fixes" the seed
+    chasing the coincidence: (a) size nprobe from a measured
+    recall curve whose query set is NOT the seed set; (b) the
+    registered keys keep the first-k seed because the oracles replay
+    it exactly — their correctness story is determinism, not the
+    inflated single-probe recall.
+
+    ``n_iters`` Lloyd steps follow; each step localCheckpoints — the
+    loop is the same iterative-plan shape as connected_components, and
+    untruncated lineage would nest every previous step's plan."""
+    if init == "first":
+        seed = vectors.orderBy("vec_id").limit(k)
+        cent = seed.select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        ).localCheckpoint(eager=True)
+    elif init == "sample":
+        seed = vectors.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(k)
+        cent = seed.select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        ).localCheckpoint(eager=True)
+    elif init == "farthest":
+        cent = _farthest_point_seed(vectors, k)
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     for _ in range(n_iters):
         cent = kmeans_step(vectors, cent).localCheckpoint(eager=True)
     return cent
+
+
+def _farthest_point_seed(vectors: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-center seeding: md5-min start, then k−1 greedy
+    farthest-point picks (max over vectors of the min cosine-distance to
+    the chosen seeds; round-9 + vec_id tie-break keeps every pick
+    deterministic). Each pick is one broadcast-scan aggregate — k passes
+    total, the k-means|| trade documented in kmeans_train."""
+    first = (
+        vectors.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = first
+    for _ in range(k - 1):
+        d = F.lit(1.0) - F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
+        nxt = (
+            vectors.crossJoin(F.broadcast(seeds))
+            .groupBy("vec_id")
+            .agg(F.min(d).alias("d_min"), F.first("embedding").alias("embedding"))
+            .orderBy(F.col("d_min").desc(), "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+        )
+        seeds = seeds.union(nxt).localCheckpoint(eager=True)
+    return seeds
 
 
 N_CENTROIDS = 8
