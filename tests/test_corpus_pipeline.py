@@ -601,3 +601,69 @@ def test_dataset_card_stats_matches_bruteforce_single_scan(spark, sf_dir):
     assert got == want
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert plan.count("documents.parquet") == 1
+
+
+def test_api_stages_match_registered_keys(spark, sf_dir):
+    """The four r5 API stages must agree with their registered twins on
+    the harness data — the API and the driver-checked keys share one
+    behavior (the boilerplate_filter/share precedent)."""
+    from vacancy_analyser_spark.corpus import (
+        contamination_report,
+        dataset_card,
+        novelty_scores,
+        strip_boilerplate,
+    )
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.dedup import CONTAM_SPAN_MIN, contamination_spans
+    from vacancy_analyser_spark.plans.textops import (
+        boilerplate_strip,
+        dataset_card_stats,
+        ngram_novelty_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # strip: same kept tokens per doc (the key ships md5; the API ships text)
+    import hashlib
+
+    api = {
+        r["doc_id"]: hashlib.md5(r["text"].encode()).hexdigest()
+        for r in strip_boilerplate(docs).select("doc_id", "text").collect()
+    }
+    want = {
+        r["doc_id"]: r["clean_md5"] for r in boilerplate_strip(spark, sf_dir).collect()
+    }
+    assert api == want
+
+    api_nov = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_scores(docs).collect()
+    }
+    want_nov = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty_score(spark, sf_dir).collect()
+    }
+    assert api_nov == want_nov
+
+    # contamination: benchmark = the registered key's synthetic split
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    api_c = {
+        r["doc_id"]: (r["max_span"], r["n_matched"], r["n_spans"])
+        for r in contamination_report(train, bench, min_span=CONTAM_SPAN_MIN).collect()
+    }
+    want_c = {
+        r["doc_id"]: (r["max_span"], r["n_matched"], r["n_spans"])
+        for r in contamination_spans(spark, sf_dir).collect()
+    }
+    assert api_c == want_c
+
+    api_card = {
+        (r["source"], r["lang"]): (r["n_docs"], r["total_tokens"], r["avg_chars"], r["dup_share"], r["quality_rate"])
+        for r in dataset_card(docs).collect()
+    }
+    want_card = {
+        (r["source"], r["lang"]): (r["n_docs"], r["total_tokens"], r["avg_chars"], r["dup_share"], r["quality_rate"])
+        for r in dataset_card_stats(spark, sf_dir).collect()
+    }
+    assert api_card == want_card

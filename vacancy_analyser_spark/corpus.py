@@ -43,6 +43,10 @@ __all__ = [
     "pack_sequences",
     "mix_resample",
     "sample_per_group",
+    "strip_boilerplate",
+    "novelty_scores",
+    "contamination_report",
+    "dataset_card",
 ]
 
 
@@ -257,3 +261,147 @@ def mix_resample(
         + F.when(bucket < (w - F.floor(w)) * 10000, F.lit(1)).otherwise(F.lit(0))
     )
     return docs.withColumn("rep", F.explode(F.sequence(F.lit(1), n_rep)))
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int = BOILER_MIN_DOCS,
+    ngram: int = BOILER_NGRAM,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REWRITE documents with boilerplate spans removed (the apply form of
+    boilerplate_filter's drop form, mirroring the registered
+    boilerplate_strip): any token covered by a flagged ``ngram``-gram
+    (span in ≥ ``min_docs`` distinct docs) is cut, and ``text_col`` is
+    replaced by the space-rejoined remainder in original order.
+    Documents whose every token is covered drop out (inner join —
+    nothing left to keep), same rule as the registered key. Coverage
+    expands flagged gram STARTS by position only; document text never
+    rides the candidate shuffle."""
+    toks = docs.select(key, tokens(text_col).alias("_t"))
+    tok = toks.select(key, F.posexplode("_t").alias("_pos", "_token"))
+    g = toks.select(key, F.posexplode(token_ngrams("_t", ngram)).alias("_p", "_gram"))
+    boiler = (
+        g.groupBy("_gram")
+        .agg(F.countDistinct(key).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gram")
+    )
+    covered = (
+        g.join(boiler, "_gram", "left_semi")
+        .select(
+            key,
+            F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(ngram - 1))).alias("_pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [key, "_pos"], "left_anti")
+    clean = kept.groupBy(key).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_token"))),
+                lambda s: s["_token"],
+            ),
+        ).alias("_clean")
+    )
+    return (
+        docs.join(clean, key, "inner")
+        .withColumn(text_col, F.col("_clean"))
+        .drop("_clean")
+    )
+
+
+def novelty_scores(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, n_grams, n_novel, novelty) per document — the fraction of a
+    doc's distinct word-bigrams not seen in any earlier document (order =
+    ascending ``key``; pass the crawl-timestamp column as ``key`` for
+    true ingest order). The API form of ngram_novelty_score — the
+    curriculum/mined-out signal, composable before sampling stages."""
+    toks = docs.select(key, tokens(text_col).alias("_t"))
+    g = toks.select(
+        key, F.explode(F.array_distinct(token_ngrams("_t", 2))).alias("_gram")
+    )
+    firsts = g.groupBy("_gram").agg(F.min(key).alias("_first"))
+    novel = (F.col("_first") == F.col(key)).cast("long")
+    return (
+        g.join(firsts, "_gram")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_span: int = 5,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest contiguous benchmark-overlap run per document — the API
+    generalization of the registered contamination_spans key, taking a
+    REAL benchmark frame (any DataFrame with ``text_col``) instead of
+    the harness's synthetic held-out split. Returns (key, max_span,
+    n_matched, n_spans) for documents whose longest run of word-bigram
+    positions matching the benchmark's gram set reaches ``min_span``.
+    The benchmark's distinct gram vocabulary is the semi-join build side
+    — fixed-size in production, so it broadcasts and the corpus side
+    never shuffles for the gate."""
+    toks = docs.select(key, tokens(text_col).alias("_t"))
+    pg = toks.select(key, F.posexplode(token_ngrams("_t", 2)).alias("_pos", "_gram"))
+    bt = benchmark.select(tokens(text_col).alias("_t"))
+    bench = bt.select(F.explode(token_ngrams("_t", 2)).alias("_gram")).distinct()
+    matched = pg.join(bench, "_gram", "left_semi")
+    w = Window.partitionBy(key).orderBy("_pos")
+    isl = matched.select(key, (F.col("_pos") - F.row_number().over(w)).alias("_grp"))
+    spans = isl.groupBy(key, "_grp").agg(F.count("*").alias("_len"))
+    return (
+        spans.groupBy(key)
+        .agg(
+            F.max("_len").alias("max_span"),
+            F.sum("_len").alias("n_matched"),
+            F.count("*").alias("n_spans"),
+        )
+        .filter(F.col("max_span") >= min_span)
+    )
+
+
+def dataset_card(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+) -> DataFrame:
+    """The release table per ``group_cols`` cell: doc count, total tokens,
+    mean length, exact-duplicate share (normalized-content fingerprint
+    seen more than once anywhere in the frame), quality-gate pass rate —
+    the API form of dataset_card_stats, for a frame mid-pipeline (run it
+    before AND after cleaning; the delta is the cleaning report)."""
+    from .functions.text import quality_ok, quality_signals
+
+    nt, alpha_ratio = quality_signals(text_col)
+    q_ok = F.when(F.length(text_col) == 0, F.lit(False)).otherwise(
+        quality_ok(n_chars_col, nt, alpha_ratio)
+    )
+    is_dup = F.count("*").over(Window.partitionBy(F.md5(normalize_ws(text_col)))) > 1
+    base = docs.select(
+        *group_cols,
+        F.col(n_chars_col).alias("_nc"),
+        nt.cast("bigint").alias("_nt"),
+        q_ok.alias("_q"),
+        is_dup.alias("_d"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        (F.sum("_nc").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(F.col("_d").cast("long")).cast("double") / F.count("*")).alias("dup_share"),
+        (F.sum(F.col("_q").cast("long")).cast("double") / F.count("*")).alias("quality_rate"),
+    )
