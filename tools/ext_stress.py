@@ -179,19 +179,29 @@ DOC_EXT_QUERIES = (
 )
 
 
-def collect_doc_ext(spark) -> dict:
+def collect_doc_ext(spark, deadline_sec: float | None = None) -> dict:
     """×N linearity for DOC_EXT_QUERIES over the tagged-word document
     surrogate (scale_stress.build_corpus) — importable by bench.py so the
     per-round BENCH artifact carries the numbers. Same vs_linear metric
-    as every other block: wall(×N) / (N · wall(×1))."""
+    as every other block: wall(×N) / (N · wall(×1)).
+
+    ``deadline_sec`` bounds the block from INSIDE (the r4 ADVICE finding
+    the suite-level budget couldn't): once the elapsed wall passes it,
+    remaining keys are recorded as {"skipped": "deadline"} — visible
+    truncation, never a silent cap. Keys run in list order, so the
+    longest-standing measurements keep priority over late additions."""
     import tools.scale_stress as dstress
 
     from vacancy_analyser_spark.plans.registry import queries
 
     qs = queries()
+    t0 = time.monotonic()
     doc_dir = dstress.build_corpus(spark)
     rep: dict[str, object] = {"replicas": REPLICAS}
     for q in DOC_EXT_QUERIES:
+        if deadline_sec is not None and time.monotonic() - t0 > deadline_sec:
+            rep[q] = {"skipped": "deadline"}
+            continue
         b = run(spark, qs, q, BASE_SF)
         s = run(spark, qs, q, doc_dir)
         rep[q] = {
