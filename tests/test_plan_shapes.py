@@ -566,3 +566,17 @@ def test_bucketed_incremental_skips_corpus_shuffle_and_sort(spark, sf_dir):
     )
     flat_exchanges = len(re.findall(r"Exchange hashpartitioning\(bh#", flat_plan))
     assert flat_exchanges == 2, flat_plan
+
+
+def test_skew_salted_enrich_salts_the_exchange(spark, sf_dir):
+    """The salted join must actually partition on (key, salt) — that IS the
+    skew mitigation — and stay a distributed join (merge pin), since a
+    broadcast would erase the salted Exchange the operator exists for."""
+    plan = _plan(spark, sf_dir, "skew_salted_enrich")
+    assert "SortMergeJoin" in plan
+    salted_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt" in ln and "event_type" in ln
+    ]
+    assert len(salted_exchanges) >= 2  # both sides shuffle on (key, salt)

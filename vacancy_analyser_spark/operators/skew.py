@@ -38,17 +38,28 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Equi-join ``fact ⋈ dim on fact[on] == dim[on]`` with key salting.
 
     ``how`` supports inner/left (the fact side must keep its multiplicity;
     right/full variants would need dim-side de-salting and are not what
     salting is for).
+
+    ``strategy`` optionally pins the join implementation via a dim-side
+    hint (``"merge"`` / ``"shuffle_hash"``). Salting is for the regime
+    where the dim is too big to broadcast, so production callers leave it
+    None; at test/demo scale every dim fits under the broadcast threshold
+    and AQE would promote it, hiding the salted Exchange the operator
+    exists to create — pinning ``"merge"`` makes the small-scale plan the
+    same distributed shape the 100 TB run would execute.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     dim_rep = dim.withColumn(_SALT, salts)
+    if strategy is not None:
+        dim_rep = dim_rep.hint(strategy)
     fact_s = fact.withColumn(
         _SALT,
         F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(42)), F.lit(n_salts)).cast("int"),

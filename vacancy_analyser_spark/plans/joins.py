@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, dsum_sql
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 from ..io import load_table
 from .registry import register
 
@@ -647,4 +647,48 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "skew_salted_enrich",
+    oracle=f"""
+        WITH dim AS (
+            SELECT event_type,
+                   COUNT(*) AS type_n,
+                   {davg_sql('value')} AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value, d.type_n, d.type_avg
+        FROM events e JOIN dim d USING (event_type)
+    """,
+    tags=("ext", "skew"),
+)
+def skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key enrichment via the salted-join operator
+    (operators/skew.py): every event joins its event-type profile, and
+    event_type is the canonical hot key — 5 distinct values, each holding
+    ~20% of the fact, so a plain shuffle join streams a fifth of the
+    table through ONE task per key and AQE's skew splitting cannot help
+    (it subdivides partitions, not single-key hash groups on the build
+    side). Salting spreads each hot key over n_salts shuffle groups by
+    joining on (key, salt) with the dim replicated per salt — the
+    standard fix when the dim scales past the broadcast threshold (a
+    million-employer dimension under a power-law employer_id at 100 TB;
+    module header of operators/skew.py).
+
+    Salting is result-identical to the plain join by construction — the
+    oracle IS the plain join. The merge pin keeps the demonstrated plan
+    the distributed shape the operator exists for (at this SF the 5-row
+    dim would broadcast and no salted Exchange would survive); the plan
+    guard in test_plan_shapes.py asserts the Exchange partitions on
+    (event_type, __salt)."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_n"), davg("value").alias("type_avg")
+    )
+    return salted_join(ev, dim, on="event_type", n_salts=8, strategy="merge").select(
+        "event_id", "event_type", "value", "type_n", "type_avg"
     )
