@@ -7,7 +7,10 @@ inverts that: queries annotate themselves with ``observe_freshness``
 (streaming/windows.py) and this listener receives the observed metrics
 per micro-batch — no extra scans, no polling, metrics ride the data path.
 
-``publish`` is the export hook (Prometheus gauge setter, StatsD, a log);
+``publish`` is the export hook (Prometheus gauge setter, StatsD, a log —
+exporter.py ships the two standard bindings: a node_exporter textfile
+writer and an HTTP /metrics endpoint, both rendering the reference's
+gauge names);
 the listener also keeps the latest observation per query name for pull-
 style consumers, mirroring the reference's gauges:
 ``vacancy_lastdata{source}`` → max_event_time, size gauges → rows.
