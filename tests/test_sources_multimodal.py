@@ -183,3 +183,141 @@ def test_sample_frames_row_explosion(spark, media_df):
         by_id.setdefault(r["media_id"], []).append(r["frame_offset_ms"])
     assert sorted(by_id[4]) == [0, 1000, 2000, 3000]  # 4200 ms → 4 frames
     assert by_id[1] == [0]  # no duration → 1 frame
+
+
+# --- retry/backoff/pacing contract (get_hist_vacancies.py:15-21) -------------
+
+def test_call_with_retry_recovers_and_backs_off():
+    from vacancy_analyser_spark.sources.rest import (
+        RetryPolicy,
+        TransientFetchError,
+        call_with_retry,
+    )
+    import time as _time
+
+    attempts = []
+
+    def flaky():
+        attempts.append(_time.monotonic())
+        if len(attempts) < 3:
+            raise TransientFetchError("503")
+        return pd.DataFrame({"id": [1]})
+
+    t0 = _time.monotonic()
+    out = call_with_retry(
+        flaky, RetryPolicy(max_retries=3, backoff_s=0.05, backoff_multiplier=2.0)
+    )
+    assert len(out) == 1 and len(attempts) == 3
+    # two backoffs slept: 0.05 + 0.10
+    assert _time.monotonic() - t0 >= 0.15
+
+
+def test_call_with_retry_exhausts_then_raises():
+    from vacancy_analyser_spark.sources.rest import (
+        RetryPolicy,
+        TransientFetchError,
+        call_with_retry,
+    )
+
+    calls = []
+
+    def always_down():
+        calls.append(1)
+        raise TransientFetchError("503")
+
+    with pytest.raises(TransientFetchError):
+        call_with_retry(always_down, RetryPolicy(max_retries=2, backoff_s=0.01))
+    assert len(calls) == 3  # initial + 2 retries
+
+
+def test_call_with_retry_propagates_permanent_errors():
+    from vacancy_analyser_spark.sources.rest import RetryPolicy, call_with_retry
+
+    def permanent():
+        raise ValueError("schema drift is not transient")
+
+    with pytest.raises(ValueError):
+        call_with_retry(permanent, RetryPolicy(max_retries=5, backoff_s=0.01))
+
+
+def test_id_scan_retries_flaky_partitions_and_passes_timeout(spark, tmp_path):
+    """The distributed form of the reference's pacing loop: a fetcher that
+    fails transiently on its first attempt per chunk must still deliver
+    every row exactly once, and a fetcher that accepts timeout_s must
+    receive the policy deadline."""
+    from vacancy_analyser_spark.sources.rest import RetryPolicy, TransientFetchError
+
+    marker_dir = str(tmp_path)  # executor-visible scratch (local mode)
+
+    def flaky_fetch(ids: pd.Series, timeout_s: float = None) -> pd.DataFrame:
+        import os
+
+        assert timeout_s == 42.0  # policy deadline reaches the transport
+        marker = os.path.join(marker_dir, f"seen_{int(ids.iloc[0])}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise TransientFetchError("first attempt on this chunk fails")
+        return pd.DataFrame({"id": list(ids), "name": [f"vac-{i}" for i in ids]})
+
+    df = id_scan_source(
+        spark,
+        40,
+        VAC_DDL,
+        fetch_fn=flaky_fetch,
+        num_partitions=4,
+        batch_size=10,
+        retry=RetryPolicy(pause_s=0.0, timeout_s=42.0, max_retries=2, backoff_s=0.01),
+    )
+    rows = df.collect()
+    assert len(rows) == 40
+    assert {r["id"] for r in rows} == set(range(40))
+
+
+def test_id_scan_paces_from_policy_pause(spark):
+    """pause_s is the reference's PAUSE=1 knob: with no explicit
+    requests_per_sec, chunks within a partition are spaced ≥ pause_s·len."""
+    import time as _time
+
+    from vacancy_analyser_spark.sources.rest import RetryPolicy
+
+    def instant_fetch(ids: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"id": list(ids), "name": ["x"] * len(ids)})
+
+    t0 = _time.monotonic()
+    id_scan_source(
+        spark,
+        8,
+        VAC_DDL,
+        fetch_fn=instant_fetch,
+        num_partitions=1,
+        batch_size=2,
+        retry=RetryPolicy(pause_s=0.05),
+    ).collect()
+    # 4 chunks × 2 ids × 0.05 s/request = 0.4 s of enforced pacing
+    assert _time.monotonic() - t0 >= 0.4
+
+
+def test_range_scan_retry_contract(spark, tmp_path):
+    from vacancy_analyser_spark.sources.rest import RetryPolicy, TransientFetchError
+
+    marker_dir = str(tmp_path)
+
+    def flaky_range(lo: int, hi: int, timeout_s: float = None) -> pd.DataFrame:
+        import os
+
+        assert timeout_s == 7.0
+        marker = os.path.join(marker_dir, f"r_{lo}_{hi}")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise TransientFetchError("flap")
+        ids = list(range(lo, hi))
+        return pd.DataFrame({"id": ids, "name": [f"vac-{i}" for i in ids]})
+
+    df = range_scan_source(
+        spark,
+        [Range(0, 5), Range(5, 12)],
+        VAC_DDL,
+        fetch_range_fn=flaky_range,
+        retry=RetryPolicy(pause_s=0.0, timeout_s=7.0, max_retries=1, backoff_s=0.01),
+    )
+    assert df.count() == 12
