@@ -1,0 +1,108 @@
+"""Partition-scoped state rewrite (operators/partitioned_state.py): a merge
+must rewrite ONLY the buckets holding changed keys — untouched partitions'
+files stay byte-identical — while producing exactly the full-merge result."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.operators.partitioned_state import (
+    BUCKET_COL,
+    bucket_of,
+    merge_changeset_partitioned,
+    read_buckets,
+    touched_buckets,
+    write_state,
+)
+
+N_BUCKETS = 8
+
+
+def _state_df(spark):
+    rows = [(i, i * 10) for i in range(100)]
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+def _file_census(path: str) -> dict[str, tuple[int, str]]:
+    """relative file path → (mtime_ns, md5) for every data file."""
+    census = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            census[os.path.relpath(p, path)] = (
+                os.stat(p).st_mtime_ns,
+                hashlib.md5(open(p, "rb").read()).hexdigest(),
+            )
+    return census
+
+
+def _upsert(old, ch):
+    o, c = old.alias("o"), ch.alias("c")
+    return o.join(c, F.col("o.id") == F.col("c.id"), "full_outer").select(
+        F.coalesce(F.col("o.id"), F.col("c.id")).alias("id"),
+        F.coalesce(F.col("c.v"), F.col("o.v")).alias("v"),
+    )
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "state")
+    write_state(_state_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    before = _file_census(path)
+
+    # 3 updates + 2 inserts
+    ch = spark.createDataFrame([(7, 999), (13, 999), (21, 999), (1000, 1), (1001, 2)], "id long, v long")
+    touched = merge_changeset_partitioned(spark, path, ch, _upsert, key="id", n_buckets=N_BUCKETS)
+    assert touched == touched_buckets(ch, "id", N_BUCKETS)
+    assert 0 < len(touched) < N_BUCKETS  # the changeset is genuinely sparse
+
+    after = _file_census(path)
+    touched_dirs = {f"{BUCKET_COL}={b}" for b in touched}
+    for rel, sig in before.items():
+        bucket_dir = rel.split(os.sep)[0]
+        if bucket_dir not in touched_dirs:
+            assert after[rel] == sig  # untouched partitions: same files, same bytes, same mtime
+    # every touched partition got fresh files (old ones replaced)
+    for rel in before:
+        if rel.split(os.sep)[0] in touched_dirs:
+            assert rel not in after or after[rel] != before[rel]
+
+    # content equals the plain full merge
+    merged = spark.read.parquet(path).select("id", "v")
+    expected = _upsert(_state_df(spark), ch)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_empty_changeset_writes_nothing(spark, tmp_path):
+    path = str(tmp_path / "state")
+    write_state(_state_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    before = _file_census(path)
+    ch = spark.createDataFrame([], "id long, v long")
+    assert merge_changeset_partitioned(spark, path, ch, _upsert, key="id", n_buckets=N_BUCKETS) == []
+    assert _file_census(path) == before
+
+
+def test_read_buckets_is_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "state")
+    write_state(_state_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    df = read_buckets(spark, path, [2, 5])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split("PartitionFilters")[1][:200]
+    # the pruned scan returns exactly the rows whose keys hash to those buckets
+    expected = (
+        _state_df(spark)
+        .withColumn("b", bucket_of("id", N_BUCKETS))
+        .filter(F.col("b").isin([2, 5]))
+        .count()
+    )
+    assert df.count() == expected
+
+
+def test_bucket_function_is_stable(spark):
+    a = touched_buckets(spark.createDataFrame([(i,) for i in range(50)], "id long"), "id")
+    b = touched_buckets(spark.createDataFrame([(i,) for i in range(50)], "id long"), "id")
+    assert a == b

@@ -82,3 +82,114 @@ def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_events").alias("n_b"),
         status.alias("status"),
     )
+
+
+#: Changeset predicate for the partitioned-merge key: a sparse,
+#: deterministic, SQL-expressible subset of users so the changeset touches
+#: only SOME id-bucket partitions at the driver's correctness SF — the
+#: regime the partition-scoped rewrite exists for.
+_CS_MOD, _CS_REM = 20, 3
+
+
+def _partstate_paths(sf_dir: str) -> tuple[str, str]:
+    import os
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+    )
+    base = os.path.join(warehouse, f"partstate_{tag}")
+    return os.path.join(base, "state_a"), os.path.join(base, "merged")
+
+
+@register(
+    "snapshot_merge_partitioned",
+    oracle=f"""
+        WITH a AS ({_snap_sql(_A_LO, _A_HI)}),
+             b AS (
+                SELECT user_id, COUNT(*) AS n_events
+                FROM events
+                WHERE ts >= TIMESTAMP '{_B_LO}' AND ts < TIMESTAMP '{_B_HI}'
+                  AND user_id % {_CS_MOD} = {_CS_REM}
+                GROUP BY user_id
+             )
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               a.n_events AS n_a,
+               b.n_events AS n_b,
+               CASE WHEN a.user_id IS NULL THEN 'inserted'
+                    WHEN b.user_id IS NULL THEN 'retained'
+                    WHEN a.n_events <> b.n_events THEN 'updated'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    tags=("D1", "S10", "opt-partitioned"),
+)
+def snapshot_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's write side, partition-scoped (operators/partitioned_state.py):
+    state lives partitioned by pmod(xxhash64(user_id), 32); folding a
+    sparse changeset in rewrites ONLY the buckets holding changed users —
+    dynamic partition overwrite, with the old state read through a
+    partition-pruned scan of the same buckets. The reference rewrites one
+    id-bucket file at a time for exactly this reason
+    (get_hist_vacancies.py:15-16,191-216); at 100 TB a merge must scale
+    with the changeset, not the state.
+
+    The returned frame is the WHOLE post-merge state read back from the
+    store, so the driver hash proves both halves at once: the touched
+    buckets hold the classified merge (inserted/updated/unchanged) and
+    the untouched buckets still hold their initial rows byte-for-byte
+    ('retained' — their files were never rewritten;
+    tests/test_partitioned_state.py asserts file identity directly)."""
+    import os
+    import shutil
+
+    from ..io import materialization_is_fresh
+    from ..operators.partitioned_state import merge_changeset_partitioned, write_state
+
+    state_a, merged = _partstate_paths(sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    if not materialization_is_fresh(state_a, src):
+        shutil.rmtree(state_a, ignore_errors=True)
+        init = (
+            load_table(
+                spark, sf_dir, "events", ts_filters=[("ts", ">=", _A_LO), ("ts", "<", _A_HI)]
+            )
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_a"))
+            .select(
+                "user_id",
+                "n_a",
+                F.lit(None).cast("long").alias("n_b"),
+                F.lit("retained").alias("status"),
+            )
+        )
+        write_state(init, state_a, key="user_id")
+    shutil.rmtree(merged, ignore_errors=True)
+    shutil.copytree(state_a, merged)
+
+    changeset = (
+        load_table(
+            spark, sf_dir, "events", ts_filters=[("ts", ">=", _B_LO), ("ts", "<", _B_HI)]
+        )
+        .filter(F.col("user_id") % _CS_MOD == _CS_REM)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_b_new"))
+    )
+
+    def classify(old: DataFrame, ch: DataFrame) -> DataFrame:
+        o, c = old.alias("o"), ch.alias("c")
+        status = (
+            F.when(F.col("o.user_id").isNull(), "inserted")
+            .when(F.col("c.user_id").isNull(), F.col("o.status"))
+            .when(F.col("o.n_a") != F.col("c.n_b_new"), "updated")
+            .otherwise("unchanged")
+        )
+        return o.join(c, F.col("o.user_id") == F.col("c.user_id"), "full_outer").select(
+            F.coalesce(F.col("o.user_id"), F.col("c.user_id")).alias("user_id"),
+            F.col("o.n_a").alias("n_a"),
+            F.coalesce(F.col("c.n_b_new"), F.col("o.n_b")).alias("n_b"),
+            status.alias("status"),
+        )
+
+    merge_changeset_partitioned(spark, merged, changeset, classify, key="user_id")
+    return spark.read.parquet(merged).select("user_id", "n_a", "n_b", "status")
