@@ -73,6 +73,10 @@ EXT = [
     "near_dup_component_stats",
     "dedup_savings_report",
     "incremental_dedup_bucketed",
+    "duplicate_spans",
+    "span_strip",
+    "skew_salted_enrich",
+    "snapshot_merge_partitioned",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

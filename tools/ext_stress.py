@@ -176,6 +176,8 @@ DOC_EXT_QUERIES = (
     "near_dup_component_stats",
     "dedup_savings_report",
     "incremental_dedup_bucketed",
+    "duplicate_spans",
+    "span_strip",
 )
 
 

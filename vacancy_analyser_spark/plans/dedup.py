@@ -2156,3 +2156,217 @@ def incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+
+
+#: Duplication unit for the train-vs-train span keys: 8-token grams. The
+#: dedup tiers use bigrams because they feed SET similarity; a duplication
+#: SPAN is evidence of verbatim copying, and an 8-token window is already
+#: an 8-token verbatim match on its own — short shared grams (bigram df≥2)
+#: would mark ~100% of a small-vocabulary corpus as duplicated (measured:
+#: 27,155/27,165 positions at sf0.01) where 8-grams mark ~9%, which is the
+#: substring-dedup regime the operator targets.
+DUP_GRAM_N = 8
+#: Minimum run of consecutive duplicated 8-gram positions to qualify:
+#: 3 overlapping 8-grams = a 10-token verbatim repeat — long enough to be
+#: copied text rather than a stock phrase (Lee et al. strip 50-token
+#: repeats from web-scale corpora; these docs are 1-2 sentences long).
+DUP_SPAN_MIN = 3
+
+_DUP_GRAMS_SQL = (
+    f"list_transform(generate_series(1, len({_TOKS_SQL}) - {DUP_GRAM_N - 1}), "
+    f"i -> " + " || ' ' || ".join(f"{_TOKS_SQL}[i+{k}]" for k in range(DUP_GRAM_N)) + ")"
+)
+
+#: Positional train-vs-train duplication CTEs — shared by the span report
+#: and the strip key so the island definition cannot drift. A position is
+#: "duplicated" when its 8-gram occurs in ≥2 DISTINCT documents.
+_DUP_SPAN_CTES = f"""
+        pg AS (
+            SELECT doc_id, unnest({_DUP_GRAMS_SQL}) AS gram,
+                   generate_subscripts({_DUP_GRAMS_SQL}, 1) AS pos
+            FROM documents
+        ),
+        shared AS (
+            SELECT gram
+            FROM (SELECT DISTINCT doc_id, gram FROM pg)
+            GROUP BY gram HAVING COUNT(*) >= 2
+        ),
+        m AS (SELECT doc_id, pos FROM pg JOIN shared USING (gram)),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m
+        ),
+        spans AS (
+            SELECT doc_id, grp, COUNT(*) AS span_len, MIN(pos) AS start_pos
+            FROM isl GROUP BY doc_id, grp
+        )"""
+
+
+def _dup_positional_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_len, start_pos) for every maximal run of consecutive
+    8-gram positions whose gram appears in ≥2 distinct docs — the Spark
+    half of _DUP_SPAN_CTES (positions 0-based here vs 1-based in DuckDB;
+    the island key pos − row_number() absorbs the shift, and every
+    consumer derives token coverage within its own position domain).
+    The gram strings are replaced by xxhash64 8-byte keys before the df
+    census and match gate — 8-token strings through two shuffles would be
+    ~10× the bytes for zero information (the output carries positions
+    only; same move as _countjoin_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    pg = (
+        toks.select(
+            "doc_id", F.posexplode(token_ngrams("toks", DUP_GRAM_N)).alias("pos", "gram")
+        )
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+        .persist()
+    )
+    pg.count()  # two subtrees read it: the df census and the match gate
+    shared = (
+        pg.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    matched = pg.join(shared, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = matched.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("span_len"), F.min("pos").alias("start_pos")
+    ).select("doc_id", "span_len", "start_pos")
+
+
+@register(
+    "duplicate_spans",
+    oracle=f"""
+        WITH {_DUP_SPAN_CTES}
+        SELECT doc_id, MAX(span_len) AS max_span,
+               CAST(SUM(span_len) AS BIGINT) AS n_matched,
+               COUNT(*) AS n_spans
+        FROM spans GROUP BY doc_id
+        HAVING MAX(span_len) >= {DUP_SPAN_MIN}
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-train duplicate-SPAN report: contamination_spans'
+    gaps-and-islands machinery pointed at the training corpus itself —
+    per doc, the longest contiguous run of 8-gram positions whose gram
+    also appears in at least one OTHER document (≥ DUP_SPAN_MIN
+    consecutive 8-grams = a ≥10-token verbatim repeat), plus total
+    duplicated positions and run count. This is the audit view of
+    substring-level duplication (Lee et al.'s "deduplicating training
+    data makes language models better" removes exactly these long
+    verbatim runs; suffix arrays find them exactly, this gram-run form is
+    the shuffle-bounded approximation that needs no global order).
+
+    Plan shape = contamination_spans with the benchmark gate replaced by
+    a cross-doc df census: positional grams (one posexplode, linear),
+    duplicated-gram gate (semi join against df≥2 grams — an equi-join on
+    the hashed gram, never doc×doc), islands window partitioned by
+    doc_id (bounded by doc length), two hash aggregates. The df census
+    itself is the exact_dedup-style hash groupBy. Cited: dedup.py
+    contamination_spans (:788) for the island algebra."""
+    spans = _dup_positional_spans(spark, sf_dir)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("span_len").alias("max_span"),
+            F.sum("span_len").alias("n_matched"),
+            F.count("*").alias("n_spans"),
+        )
+        .filter(F.col("max_span") >= DUP_SPAN_MIN)
+    )
+
+
+@register(
+    "span_strip",
+    oracle=f"""
+        WITH {_DUP_SPAN_CTES},
+        covered AS (
+            SELECT DISTINCT s.doc_id, s.start_pos + g.x AS tpos
+            FROM (SELECT * FROM spans WHERE span_len >= {DUP_SPAN_MIN}) s,
+                 LATERAL (
+                    SELECT unnest(generate_series(0, s.span_len + {DUP_GRAM_N - 2})) AS x
+                 ) g
+        ),
+        tk AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+                   generate_subscripts({_TOKS_SQL}, 1) AS tpos
+            FROM documents
+        ),
+        kept AS (
+            SELECT t.doc_id, t.tok, t.tpos
+            FROM tk t LEFT JOIN covered c
+              ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+            WHERE c.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY tpos) AS text_stripped
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_total FROM tk GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               t.n_total - COALESCE(a.n_kept, 0) AS n_removed,
+               COALESCE(a.text_stripped, '') AS text_stripped
+        FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    tags=("ext-dedup", "pipeline"),
+)
+def span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span STRIP — the apply step over duplicate_spans'
+    findings: rebuild each document's (normalized) text with every token
+    covered by a qualifying duplicated run (≥ DUP_SPAN_MIN consecutive
+    8-grams = ≥ DUP_SPAN_MIN + 7 tokens) removed. A run of L gram
+    positions starting at p covers tokens p..p+L+6; kept tokens are
+    reassembled in position order, so the output is the normalized
+    lowercase text the tokenizer sees (same contract as
+    boilerplate_strip, textops.py).
+
+    Plan: duplicate_spans' islands + one explode(sequence) over the
+    QUALIFYING spans only (output scales with duplicated volume, not
+    corpus), an anti join of token positions against the covered set
+    (both sides keyed (doc_id, tpos) — co-partitioned equi-join), and a
+    per-doc sort-collect bounded by doc length. Docs with nothing
+    stripped pass through via the totals outer join — the full corpus
+    comes back, hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.posexplode(tokens("text")).alias("tpos", "tok")).persist()
+    tk.count()  # read twice: totals census + the kept-token anti join
+    spans = _dup_positional_spans(spark, sf_dir).filter(
+        F.col("span_len") >= DUP_SPAN_MIN
+    )
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start_pos"),
+                F.col("start_pos") + F.col("span_len") + F.lit(DUP_GRAM_N - 2),
+            )
+        ).alias("tpos"),
+    ).distinct()
+    kept = tk.join(covered, ["doc_id", "tpos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_stripped"),
+    )
+    totals = tk.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    return totals.alias("t").join(agg.alias("a"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("a.n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("t.n_total") - F.coalesce(F.col("a.n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("a.text_stripped"), F.lit("")).alias("text_stripped"),
+    )
