@@ -77,6 +77,7 @@ EXT = [
     "span_strip",
     "skew_salted_enrich",
     "snapshot_merge_partitioned",
+    "ann_recall_honest",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

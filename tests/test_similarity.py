@@ -419,7 +419,10 @@ def test_ivfpq_index_serve_matches_in_query_composition(spark, sf_dir):
     got = [(r["vec_id"], r["l2_dist"]) for r in serve.collect()]
     want = [(r["vec_id"], r["l2_dist"]) for r in ann_ivfpq_topk(spark, sf_dir).collect()]
     assert got == want
-    assert _ivfpq_index_is_fresh(_ivfpq_index_path(sf_dir), sf_dir)
+    from vacancy_analyser_spark.plans.similarity import _vectors, auto_centroids
+
+    k = auto_centroids(_vectors(spark, sf_dir).count())
+    assert _ivfpq_index_is_fresh(_ivfpq_index_path(sf_dir, k), sf_dir)
 
 
 def test_ivfpq_batch_covers_queries_and_agrees_with_single(spark, sf_dir):
@@ -573,3 +576,39 @@ def test_kmeans_seed_comparison_pins_the_coincidence_and_the_nprobe_curve(spark,
     far_1 = recall("farthest", 8, 2, 1)
     assert abs(far_1 - curve[0]) < 0.3, (far_1, curve)  # seeds don't rescue nprobe=1
     vecs.unpersist()
+
+
+def test_ann_recall_honest_is_honest(spark, sf_dir):
+    """The registered honest curve: queries disjoint from the seed set,
+    per-query recall monotone in nprobe, and the nprobe=1 mean sits BELOW
+    the contract key's coincidental first-k number — the whole point of
+    registering it."""
+    from vacancy_analyser_spark.plans.similarity import (
+        ANN_HONEST_NPROBES,
+        _vectors,
+        ann_recall_honest,
+        auto_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    seed_ids = {
+        r["vec_id"]
+        for r in vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    }
+    rows = ann_recall_honest(spark, sf_dir).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in rows:
+        assert r["q_id"] not in seed_ids  # no query is its own centroid
+        by_q.setdefault(r["q_id"], {})[r["nprobe"]] = r["recall"]
+    for q, curve in by_q.items():
+        assert set(curve) == set(ANN_HONEST_NPROBES)
+        ordered = [curve[p] for p in sorted(curve)]
+        assert ordered == sorted(ordered), f"recall not monotone for q={q}"
+    mean_1 = sum(c[1] for c in by_q.values()) / len(by_q)
+    mean_4 = sum(c[4] for c in by_q.values()) / len(by_q)
+    assert mean_1 < 0.8  # the coincidental 0.875 regime is gone
+    assert mean_4 > mean_1  # probing wider genuinely recovers recall

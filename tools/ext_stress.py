@@ -218,17 +218,20 @@ def collect_k_scaling(spark) -> dict:
     """The IVF/SemDeDup k-scaling probe alone, as a dict — importable by
     bench.py. With k fixed at N_CENTROIDS the within-cluster pair stage
     is quadratic in the corpus; scaling k ×REPLICAS holds expected
-    cluster size constant and must return it to ~linear."""
+    cluster size constant and must return it to ~linear. The ``auto``
+    row runs k=None — the corpus-derived default every registered key
+    now uses — and must track the scaled-k line WITHOUT a hand-set k."""
     from vacancy_analyser_spark.plans.similarity import (
         N_CENTROIDS,
         SEMANTIC_TAU,
         _vectors,
+        auto_centroids,
         semantic_dedup_pairs,
     )
 
     emb_dir = build_embeddings(spark)
 
-    def run_pairs(sf_dir: str, k: int) -> float:
+    def run_pairs(sf_dir: str, k: int | None) -> float:
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
@@ -241,15 +244,22 @@ def collect_k_scaling(spark) -> dict:
     b = run_pairs(BASE_SF, N_CENTROIDS)
     s_fixed = run_pairs(emb_dir, N_CENTROIDS)
     s_scaled = run_pairs(emb_dir, N_CENTROIDS * REPLICAS)
+    b_auto = run_pairs(BASE_SF, None)
+    s_auto = run_pairs(emb_dir, None)
     return {
         "replicas": REPLICAS,
         "k_fixed": N_CENTROIDS,
         "k_scaled": N_CENTROIDS * REPLICAS,
+        "k_auto_base": auto_centroids(_vectors(spark, BASE_SF).count()),
+        "k_auto_scaled": auto_centroids(_vectors(spark, emb_dir).count()),
         "x1_sec": b,
         "fixed_k_sec": s_fixed,
         "fixed_k_vs_linear": round(s_fixed / (REPLICAS * b), 2) if b > 0 else None,
         "scaled_k_sec": s_scaled,
         "scaled_k_vs_linear": round(s_scaled / (REPLICAS * b), 2) if b > 0 else None,
+        "auto_x1_sec": b_auto,
+        "auto_k_sec": s_auto,
+        "auto_k_vs_linear": round(s_auto / (REPLICAS * b_auto), 2) if b_auto > 0 else None,
     }
 
 
@@ -282,38 +292,9 @@ def main() -> None:
             }
         report[fam] = fam_rep
 
-    # the SemDeDup k-scaling mitigation: with k held at N_CENTROIDS the
-    # within-cluster pair stage is quadratic in the corpus; scaling k by
-    # the same factor holds expected cluster size constant and must return
-    # the stage to ~linear. Measured here so the claim is a number.
-    from vacancy_analyser_spark.plans.similarity import (
-        N_CENTROIDS,
-        SEMANTIC_TAU,
-        _vectors,
-        semantic_dedup_pairs,
-    )
-
-    def run_pairs(sf_dir: str, k: int) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            semantic_dedup_pairs(_vectors(spark, sf_dir), k, SEMANTIC_TAU).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        return round(best, 3)
-
-    b = run_pairs(BASE_SF, N_CENTROIDS)
-    s_fixed = report["embeddings"]["semantic_dedup"][f"x{REPLICAS}_sec"]
-    s_scaled = run_pairs(emb_dir, N_CENTROIDS * REPLICAS)
-    report["semantic_dedup_k_scaling"] = {
-        "k_fixed": N_CENTROIDS,
-        "k_scaled": N_CENTROIDS * REPLICAS,
-        "x1_sec": b,
-        "fixed_k_vs_linear": round(s_fixed / (REPLICAS * b), 2) if b > 0 else None,
-        "scaled_k_sec": s_scaled,
-        "scaled_k_vs_linear": round(s_scaled / (REPLICAS * b), 2) if b > 0 else None,
-    }
+    # the SemDeDup k-scaling mitigation, measured so the claim is a
+    # number — one definition (collect_k_scaling), not a drift-prone copy
+    report["semantic_dedup_k_scaling"] = collect_k_scaling(spark)
 
     print(json.dumps(report))
 

@@ -395,7 +395,7 @@ def kmeans_step(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_train(
-    vectors: DataFrame, k: int, n_iters: int, init: str = "first"
+    vectors: DataFrame, k: int | None = None, n_iters: int = 2, init: str = "first"
 ) -> DataFrame:
     """Deterministic k-means with three seeding strategies — all RNG-free,
     so any index built from any of them is exactly reproducible:
@@ -424,14 +424,24 @@ def kmeans_train(
     (sample seed: 0.375 → 0.525 → 0.65 → 0.70 at nprobe 1..4). The
     operational lessons, recorded here so nobody "fixes" the seed
     chasing the coincidence: (a) size nprobe from a measured
-    recall curve whose query set is NOT the seed set; (b) the
-    registered keys keep the first-k seed because the oracles replay
-    it exactly — their correctness story is determinism, not the
-    inflated single-probe recall.
+    recall curve whose query set is NOT the seed set — that curve is
+    now REGISTERED as ``ann_recall_honest`` (sample seed, disjoint
+    queries, nprobe 1..4; driver-hash-pinned per round: 0.225 → 0.65
+    mean recall@5 at sf0.01 under auto-k), so serving guidance reads
+    the honest number from the artifact, not the coincidental 0.875;
+    (b) the registered serving keys keep the first-k seed because the
+    oracles replay it exactly — their correctness story is
+    determinism, not the inflated single-probe recall.
 
-    ``n_iters`` Lloyd steps follow; each step localCheckpoints — the
-    loop is the same iterative-plan shape as connected_components, and
-    untruncated lineage would nest every previous step's plan."""
+    ``k=None`` derives the centroid count from the corpus size
+    (auto_centroids — the build-time default, so no caller hand-sets a k
+    that stops fitting when the corpus grows ×10; explicit k remains the
+    experiment knob). ``n_iters`` Lloyd steps follow; each step
+    localCheckpoints — the loop is the same iterative-plan shape as
+    connected_components, and untruncated lineage would nest every
+    previous step's plan."""
+    if k is None:
+        k = auto_centroids(vectors.count())
     if init == "first":
         seed = vectors.orderBy("vec_id").limit(k)
         cent = seed.select(
@@ -481,19 +491,63 @@ def _farthest_point_seed(vectors: DataFrame, k: int) -> DataFrame:
 N_CENTROIDS = 8
 IVF_K = 5
 
+#: Auto-k: the centroid count is DERIVED from the corpus size instead of
+#: hand-set. Rule: k = clamp(n // IVF_TARGET_BUCKET) — expected bucket
+#: size stays constant as the corpus grows, which is what returns the
+#: bucketed stages to linear (measured, tools/ext_stress.py k-scaling:
+#: k fixed at 8 → 2.5-3.4× of linear at ×10 vectors; k ∝ n → 0.3×).
+#: The IVF_MAX_K ceiling is the broadcast bound: the centroid table rides
+#: a broadcast join in every assignment, and 65,536 × a few-hundred-float
+#: rows ≈ tens of MB is where that stops being free — past it (n > 4M at
+#: this bucket size) the design moves to a two-level index (coarse
+#: centroids over centroid groups), not a bigger broadcast; serving-only
+#: deployments that never run bucketed pair stages can also switch to
+#: k ≈ √n, which minimizes per-query probe cost (k centroid scans +
+#: nprobe·n/k bucket rows) at the price of buckets that grow √n.
+IVF_TARGET_BUCKET = 64
+IVF_MIN_K = 4
+IVF_MAX_K = 65_536
 
-def _ivf_ranked(vecs: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+#: The same derivation in the oracles' dialect — a scalar subquery over
+#: the ``vecs`` CTE every IVF-family oracle defines, so DuckDB derives
+#: the identical k from the identical table.
+AUTO_K_SQL = (
+    f"(SELECT LEAST({IVF_MAX_K}, GREATEST({IVF_MIN_K}, "
+    f"COUNT(*) // {IVF_TARGET_BUCKET})) FROM vecs)"
+)
+
+
+def auto_centroids(n: int) -> int:
+    """Centroid count for an n-vector corpus (see the constants above)."""
+    return min(IVF_MAX_K, max(IVF_MIN_K, n // IVF_TARGET_BUCKET))
+
+
+def _ivf_ranked(vecs: DataFrame, n_centroids: int | None = None) -> DataFrame:
     """Every vector ranked against every centroid (first-N deterministic
     seed): argmax cosine rounded to 9 decimals, centroid-id tie-break —
     the shared assignment recipe of ivf_topk, the index builder,
-    semantic_dedup, and the oracle replay. ``n_centroids`` is
-    semantic_dedup's scale knob; the IVF paths pin the default so their
-    oracles replay the same index."""
-    centroids = F.broadcast(
+    semantic_dedup, and the oracle replay. ``n_centroids`` defaults to
+    the corpus-derived auto-k (one count — metadata-only under parquet
+    aggregate pushdown — mirrored by AUTO_K_SQL in every oracle);
+    explicit values remain the experiment knob (kmeans demos, stress
+    sweeps)."""
+    if n_centroids is None:
+        n_centroids = auto_centroids(vecs.count())
+    return _ranked_against(
+        vecs,
         vecs.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-        )
+        ),
     )
+
+
+def _ranked_against(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The assignment core under any centroid frame — broadcast cross join,
+    round-9 cosine argmax, centroid-id tie-break. _ivf_ranked feeds it the
+    first-k contract seed; the honest recall key feeds it the sample
+    seed's centroids; the rounding/tie-break is ONE definition either
+    way."""
+    centroids = F.broadcast(centroids)
     sim_c = F.round(cosine(F.col("embedding"), F.col("c_emb")), 9)
     return (
         vecs.crossJoin(centroids)
@@ -591,7 +645,7 @@ def _ivf_oracle(nprobe: int) -> str:
         ),
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
@@ -698,17 +752,17 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("centroid_id", "pos", F.round("c_val", 6).alias("c_val"))
 
 
-def _ivf_index_path(sf_dir: str) -> str:
+def _ivf_index_path(sf_dir: str, k: int) -> str:
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     warehouse = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
-    # the builder recipe is part of the identity: changing N_CENTROIDS (or
-    # any future assignment constant) must produce a NEW index directory,
-    # never silently serve one built under the old recipe
-    return os.path.join(warehouse, f"ivf_{tag}", f"index_by_centroid_c{N_CENTROIDS}")
+    # the builder recipe is part of the identity: a different derived k
+    # (or any future assignment constant) must produce a NEW index
+    # directory, never silently serve one built under the old recipe
+    return os.path.join(warehouse, f"ivf_{tag}", f"index_by_centroid_c{k}")
 
 
 def _ivf_index_is_fresh(path: str, sf_dir: str) -> bool:
@@ -737,10 +791,10 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same deterministic assignment recipe as ann_ivf_topk, so the oracle
     is the same replay; what this entry adds is the driver confirming the
     on-disk index round trip, not just the in-memory plan."""
-    path = _ivf_index_path(sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    path = _ivf_index_path(sf_dir, auto_centroids(vecs.count()))
     if not _ivf_index_is_fresh(path, sf_dir):
         ivf_build_index(spark, sf_dir, path)
-    vecs = _vectors(spark, sf_dir)
     # two driver-side scalars of control flow, not data: the query vector
     # and its probe bucket (both one-row lookups)
     q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -889,7 +943,7 @@ SEMANTIC_TAU = NEAR_DUP_TAU
         ),
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
@@ -935,11 +989,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The within-cluster metric is exact, so precision is 1.0 by
     construction."""
     vecs = _vectors(spark, sf_dir)
-    return semantic_dedup_pairs(vecs, N_CENTROIDS, SEMANTIC_TAU)
+    return semantic_dedup_pairs(vecs, None, SEMANTIC_TAU)
 
 
 def semantic_dedup_pairs(
-    vecs: DataFrame, n_centroids: int, tau: float, nprobe: int = 1
+    vecs: DataFrame, n_centroids: int | None, tau: float, nprobe: int = 1
 ) -> DataFrame:
     """The parameterized SemDeDup core: k IS the scale knob. With k fixed,
     clusters grow with the corpus and the within-cluster pair stage is
@@ -947,10 +1001,11 @@ def semantic_dedup_pairs(
     tools/ext_stress.py); scaling k with the corpus (SemDeDup's k ≈ n/20k)
     holds expected cluster size constant and returns the stage to linear
     (also measured there, k×10 at corpus×10). The registered query pins
-    k=N_CENTROIDS so its oracle replays the same assignment. The
-    assignment itself IS _ivf_ranked — one recipe, not a copy, so the
-    rounding/tie-break contract cannot drift between the IVF and SemDeDup
-    paths.
+    k=None — the corpus-derived auto-k (n // IVF_TARGET_BUCKET, the
+    SemDeDup k ≈ n/bucket rule made the DEFAULT), which its oracle
+    replays via the same derivation (AUTO_K_SQL). The assignment itself
+    IS _ivf_ranked — one recipe, not a copy, so the rounding/tie-break
+    contract cannot drift between the IVF and SemDeDup paths.
 
     ``nprobe`` is the boundary-recovery knob: vectors assigned to their
     nprobe nearest centroids, pairs meeting in ANY shared bucket. With
@@ -1303,7 +1358,7 @@ _IVFPQ_ORACLE = f"""
         WITH {_PQ_CTES},
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         iranked AS (
             SELECT v.vec_id, c.centroid_id,
@@ -1388,7 +1443,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_shortlist_rerank(vecs, sub, cb, codes_in)
 
 
-def _ivfpq_index_path(sf_dir: str) -> str:
+def _ivfpq_index_path(sf_dir: str, k: int) -> str:
     """Recipe-tagged IVFPQ index directory (see _ivf_index_path: any
     change to the assignment or codebook constants must mint a NEW
     directory, never silently serve a stale recipe)."""
@@ -1399,7 +1454,7 @@ def _ivfpq_index_path(sf_dir: str) -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
     return os.path.join(
-        warehouse, f"ivfpq_{tag}", f"index_c{N_CENTROIDS}_m{PQ_M}_k{PQ_K}"
+        warehouse, f"ivfpq_{tag}", f"index_c{k}_m{PQ_M}_k{PQ_K}"
     )
 
 
@@ -1482,12 +1537,12 @@ def ann_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME replay (_IVFPQ_ORACLE) — the driver hash-check proves the
     materialized index serves identical results to the in-query
     composition."""
-    path = _ivfpq_index_path(sf_dir)
-    if not _ivfpq_index_is_fresh(path, sf_dir):
-        ivfpq_build_index(spark, sf_dir, path)
     import os
 
     vecs = _vectors(spark, sf_dir)
+    path = _ivfpq_index_path(sf_dir, auto_centroids(vecs.count()))
+    if not _ivfpq_index_is_fresh(path, sf_dir):
+        ivfpq_build_index(spark, sf_dir, path)
     q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
     if q_row is None:
         return spark.createDataFrame([], "vec_id bigint, l2_dist double")
@@ -1557,7 +1612,7 @@ IVFPQ_BATCH_NQ = 16
         WITH {_PQ_CTES},
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         iranked AS (
             SELECT v.vec_id, c.centroid_id,
@@ -1734,7 +1789,7 @@ KNN_GRAPH_K = 3
         ),
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
@@ -1817,7 +1872,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
@@ -1856,7 +1911,7 @@ def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2 — one core, so the assignment/threshold contract cannot
     drift between the probe widths."""
     return semantic_dedup_pairs(
-        _vectors(spark, sf_dir), N_CENTROIDS, SEMANTIC_TAU, nprobe=2
+        _vectors(spark, sf_dir), None, SEMANTIC_TAU, nprobe=2
     )
 
 
@@ -1961,7 +2016,7 @@ ANN_RECALL_NPROBES = (1, 2)
         ),
         centroids AS (
             SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {N_CENTROIDS}
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
         ),
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
@@ -2043,6 +2098,19 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
     )
+    return _recall_frame(vecs, queries, _ivf_ranked(vecs), ANN_RECALL_NPROBES)
+
+
+def _recall_frame(
+    vecs: DataFrame, queries: DataFrame, ranked: DataFrame, nprobes: tuple[int, ...]
+) -> DataFrame:
+    """(q_id, nprobe, n_hits, recall) for any (query set, assignment) pair
+    — the shared evaluation plumbing of ann_recall_report (contract seed,
+    queries ⊆ seeds) and ann_recall_honest (sample seed, queries disjoint
+    from seeds). Exact side: one broadcast query batch × corpus pass with
+    per-query WindowGroupLimit top-k; IVF side: probe tiers exploded from
+    the shared ranked assignment; recall counted over the probe grid so
+    recall=0 rows stay visible."""
     sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
     scored = (
         vecs.crossJoin(queries)
@@ -2055,14 +2123,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_K)
         .select("q_id", "vec_id")
     )
-    ranked = _ivf_ranked(vecs)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     probes = F.broadcast(
-        ranked.filter(F.col("vec_id") < ANN_RECALL_NQ)
-        .select(F.col("vec_id").alias("q_id"), "centroid_id", "rn")
-        .withColumn(
-            "nprobe", F.explode(F.array(*[F.lit(p) for p in ANN_RECALL_NPROBES]))
+        ranked.join(
+            queries.select("q_id"), ranked.vec_id == F.col("q_id"), "inner"
         )
+        .select("q_id", "centroid_id", "rn")
+        .withColumn("nprobe", F.explode(F.array(*[F.lit(p) for p in nprobes])))
         .filter(F.col("rn") <= F.col("nprobe"))
         .select("q_id", "nprobe", "centroid_id")
     )
@@ -2212,3 +2279,132 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_qd"),
         (total / F.count("*")).alias("mean_qd"),
     )
+
+
+#: The honest curve sweeps the widths serving actually tunes over.
+ANN_HONEST_NPROBES = (1, 2, 3, 4)
+
+
+@register(
+    "ann_recall_honest",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS srn
+                FROM vecs
+            ) WHERE srn <= {AUTO_K_SQL}
+        ),
+        centroids AS (
+            SELECT v.vec_id AS centroid_id, v.emb AS c_emb
+            FROM vecs v JOIN seeds s ON v.vec_id = s.vec_id
+        ),
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM (
+                SELECT v.vec_id, v.emb,
+                       ROW_NUMBER() OVER (ORDER BY v.vec_id) AS qrn
+                FROM vecs v LEFT JOIN seeds s ON v.vec_id = s.vec_id
+                WHERE s.vec_id IS NULL
+            ) WHERE qrn <= {ANN_RECALL_NQ}
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT q.q_id, np.nprobe, r.centroid_id
+            FROM ranked r
+            JOIN queries q ON r.vec_id = q.q_id
+            CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in ANN_HONEST_NPROBES)}]) AS nprobe) np
+            WHERE r.rn <= np.nprobe
+        ),
+        cand AS (
+            SELECT p.q_id, p.nprobe, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, c.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.nprobe
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, nprobe FROM probes),
+        counts AS (
+            SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.nprobe
+        )
+        SELECT g.q_id, g.nprobe, COALESCE(c.n_hits, 0) AS n_hits,
+               CAST(COALESCE(c.n_hits, 0) AS DOUBLE) / {IVF_K} AS recall
+        FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.nprobe = c.nprobe
+    """,
+    tags=("ext-sim", "contract"),
+)
+def ann_recall_honest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HONEST ANN recall curve — the number serving guidance must rest
+    on. ann_recall_report measures the registered contract recipe, whose
+    nprobe=1 recall is partly an evaluation coincidence: its query set
+    (vec_ids 0..NQ) IS the first-k seed set, so every query's
+    neighborhood starts centered on the query (kmeans_train's docstring
+    carries the r5 measurement: first-k 0.875 vs independent seeds
+    0.325-0.375 at nprobe=1, climbing to ~0.70 by nprobe=4). This key
+    removes both thumbs from the scale:
+
+    - centroids come from the SAMPLE seed (rank by md5(vec_id) — the
+      production trainer's id-order-independent draw, deterministic so
+      DuckDB replays it exactly), auto-k sized;
+    - the query set is DISJOINT from the seed set (the lowest non-seed
+      vec_ids), so no query is its own centroid;
+    - the curve sweeps nprobe 1..4 — the boundary-loss floor and its
+      recovery rate, per query, hash-pinned in the driver artifact.
+
+    Same evaluation plumbing as ann_recall_report (_recall_frame — one
+    definition of exact-side truth and probe-tier counting); only the
+    seed and query-set policy differ, which is exactly the variable the
+    honest curve isolates. Seeding-only (no Lloyd steps), mirroring the
+    registered serving recipe; kmeans_iterate covers the Lloyd path."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    seeds = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    centroids = vecs.join(seeds, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = F.broadcast(
+        vecs.join(seeds, "vec_id", "left_anti")
+        .orderBy("vec_id")
+        .limit(ANN_RECALL_NQ)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    return _recall_frame(vecs, queries, _ranked_against(vecs, centroids), ANN_HONEST_NPROBES)
