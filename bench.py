@@ -269,6 +269,9 @@ def run_scale_stress(spark) -> dict:
         "neardup_x10": scale_stress.collect,
         "relational_x10": relational_stress.collect,
         "ivf_k_scaling_x10": ext_stress.collect_k_scaling,
+        # the exact-tier high-multiple row (r6): registered dispatcher at
+        # ×20 — bitmap→count-join flip + mass-derived exchange width
+        "exact_tier_x20": lambda s: scale_stress.collect_exact_tier(s, 20),
         # the doc tier grew to 13 keys in r5 (~10 min of x10 runs at full
         # length): it consumes whatever budget the earlier blocks left,
         # truncating VISIBLY per key instead of blowing the suite wall

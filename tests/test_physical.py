@@ -316,3 +316,45 @@ def test_ntile_dispatch_paths_agree(spark, sf_dir, monkeypatch):
     large = sorted(map(tuple, AW.ntile_quartiles(spark, sf_dir).collect()))
     assert small == large
     assert len(small) == 4
+
+
+def test_countjoin_width_rule_is_result_identical_and_mass_gated(spark, monkeypatch):
+    """The corpus-mass exchange-width branch (r6): widened plans must be
+    byte-identical in RESULT to the stock count-join, the dispatcher must
+    return a widened plan only past the mass threshold, and the widened
+    plan must actually carry the width into its exchanges."""
+    import functools
+
+    from pyspark.sql import functions as FF
+
+    from vacancy_analyser_spark.plans import dedup
+    from vacancy_analyser_spark.plans.dedup import (
+        _countjoin_pairs,
+        _jaccard_countjoin,
+        _sparse_plan_for,
+    )
+
+    g = spark.createDataFrame(
+        [(d, f"s-{(d + j) % 37}") for d in range(60) for j in range(8)],
+        "doc_id long, bigram string",
+    )
+    stock = sorted(map(tuple, _jaccard_countjoin(g).collect()))
+    wide = sorted(map(tuple, _jaccard_countjoin(g, shuffle_width=7).collect()))
+    assert stock == wide and len(stock) > 0
+
+    # plan shape: both heavy exchanges run at the requested width
+    df = _countjoin_pairs(g, shuffle_width=7)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") >= 2 or plan.count(", 7)") >= 2
+
+    # mass gate: default constants keep the tiny corpus on the stock plan
+    assert _sparse_plan_for(g) is _jaccard_countjoin
+    # shrink the per-partition budget → same corpus now demands a width
+    monkeypatch.setattr(dedup, "CAND_ROWS_PER_PARTITION", 2)
+    chosen = _sparse_plan_for(g)
+    assert isinstance(chosen, functools.partial)
+    assert chosen.keywords["shuffle_width"] > int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert sorted(map(tuple, chosen(g).collect())) == stock

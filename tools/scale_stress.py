@@ -119,7 +119,14 @@ def collect(spark) -> dict:
     g = dedup._doc_bigrams(spark, stress_dir)
     nv, nd, _bc = dedup._regime_probe(g, stress_dir)
     dense = dedup._dense_regime(nv, nd)
-    plan = "bitmap" if dense else dedup._sparse_plan_for(g, nd).__name__
+    if dense:
+        plan = "bitmap"
+    else:
+        chosen = dedup._sparse_plan_for(g, nd)
+        # a mass-widened count-join comes back as functools.partial
+        inner = getattr(chosen, "func", chosen)
+        width = getattr(chosen, "keywords", {}).get("shuffle_width")
+        plan = inner.__name__ + (f"[w={width}]" if width else "")
     report["stress_regime"] = {"n_vocab": nv, "n_docs": nd, "plan": plan}
 
     if PERTURB == "third" and not dense:
@@ -157,6 +164,51 @@ def collect(spark) -> dict:
             "within_2x_linear": ratio <= 2.0,
         }
     return report
+
+
+def collect_exact_tier(spark, replicas: int = 20) -> dict:
+    """The exact-tier high-multiple row (r6 verdict item 1): the two exact
+    pair keys at ×replicas on the constant-density surrogate, run through
+    the REGISTERED dispatcher (which flips bitmap→count-join past the doc
+    ceiling and widens the count-join's exchanges ∝ candidate mass —
+    dedup._sparse_plan_for). vs_linear compares against the key's own ×1
+    wall, where the dispatcher picks the bitmap plan — a cross-plan
+    ratio by design: it asks "does the corpus cost per row survive the
+    tier flip", which is what a pipeline owner sees."""
+    global REPLICAS
+    prev = REPLICAS
+    REPLICAS = replicas
+    try:
+        from vacancy_analyser_spark.plans import dedup
+        from vacancy_analyser_spark.plans.registry import queries
+
+        qs = queries()
+        stress_dir = build_corpus(spark)
+        report: dict[str, object] = {"replicas": replicas, "perturb": PERTURB}
+        g = dedup._doc_bigrams(spark, stress_dir)
+        nv, nd, _bc = dedup._regime_probe(g, stress_dir)
+        if dedup._dense_regime(nv, nd):
+            report["plan"] = "bitmap"
+        else:
+            chosen = dedup._sparse_plan_for(g, nd)
+            inner = getattr(chosen, "func", chosen)
+            width = getattr(chosen, "keywords", {}).get("shuffle_width")
+            report["plan"] = inner.__name__ + (f"[w={width}]" if width else "")
+        for q in ("ngram_jaccard_dedup", "containment_dedup"):
+            b = run(spark, qs, q, BASE_SF)
+            t0 = time.monotonic()
+            qs[q](spark, stress_dir).write.format("noop").mode("overwrite").save()
+            s = round(time.monotonic() - t0, 2)
+            ratio = s / (replicas * b)
+            report[q] = {
+                "base_sec": b,
+                f"x{replicas}_sec": s,
+                "vs_linear": round(ratio, 2),
+                "within_1_5x_linear": ratio <= 1.5,
+            }
+        return report
+    finally:
+        REPLICAS = prev
 
 
 def main() -> None:

@@ -1,18 +1,20 @@
-"""×30 exact-tier probe: count-join vs PPJoin on the constant-density
-surrogate (PERTURB=all — the regime the r5 ×30 probe measured at 2.0× of
-linear for both exact tiers, PLANS.md "r5 late probe").
+"""×30 exact-tier probe, round 2 (quiet host, one config at a time).
 
-Measures, at ×1 (sf0.1 base) and ×REPLICAS, each sparse exact plan
-DIRECTLY (no dispatcher) over one persisted shingle table:
+Round-1 findings (2026-08-15, contended host — relative signal only):
+- _jaccard_ppjoin at ×30 (PERTURB=all) DIED ON DISK: its verification
+  stage joins candidate pairs to the full shingle table on a_id alone —
+  a fan-out of |cand|·n̄ rows — and at ×30 that wrote >60 GB of shuffle
+  temp before ENOSPC. PPJoin is the frequent-HEAD regime's plan (where
+  it never *builds* head candidates); it is NOT the constant-density
+  scale fix, and the dispatcher must not send big uniform corpora to it.
+- ppjoin base (sf0.1) ≈ 2× countjoin base — consistent with r1/r5
+  measurements (rank window + df join overhead with no head to prune).
 
-- _jaccard_countjoin / _jaccard_ppjoin
-- _containment_countjoin / _containment_ppjoin
-- _jaccard_countjoin with shuffle.partitions temporarily raised ×8
-  (isolates whether the ×30 superlinearity is partition starvation —
-  30× rows through 32 sort buckets — rather than candidate volume)
-
-Output: one JSON line with per-plan {base_sec, scaled_sec, vs_linear}.
-Informs the corpus-mass branch of plans.dedup._sparse_plan_for.
+Remaining hypothesis for the count-join's 2.0×-of-linear drift at ×30
+(PLANS.md "r5 late probe"): SHUFFLE-WIDTH starvation — 30× the rows
+through the same 32 sort buckets turns in-memory hash aggregation into
+multi-pass spill. This probe measures the same plan at 32 vs 256
+shuffle partitions, base and ×30.
 
 Run:  REPLICAS=30 python tools/x30_probe.py 2>/dev/null
 """
@@ -30,6 +32,7 @@ import scale_stress  # noqa: E402  (tools/ sibling)
 
 REPLICAS = int(os.environ.get("REPLICAS", "30"))
 BASE_SF = scale_stress.BASE_SF
+WIDTHS = tuple(int(w) for w in os.environ.get("WIDTHS", "32,256").split(","))
 
 
 def _run_once(plan, g) -> float:
@@ -51,29 +54,18 @@ def main() -> None:
     stress_dir = scale_stress.build_corpus(spark)
     report: dict[str, object] = {"replicas": REPLICAS}
 
-    plans = {
-        "jaccard_countjoin": dedup._jaccard_countjoin,
-        "jaccard_ppjoin": dedup._jaccard_ppjoin,
-        "containment_countjoin": dedup._containment_countjoin,
-        "containment_ppjoin": dedup._containment_ppjoin,
-    }
-
     for sf_label, sf_dir, n_runs in (("base", BASE_SF, 2), ("scaled", stress_dir, 1)):
         g = dedup._doc_bigrams(spark, sf_dir).persist()
         g.count()
-        for name, plan in plans.items():
-            best = min(_run_once(plan, g) for _ in range(n_runs))
-            report.setdefault(name, {})[f"{sf_label}_sec"] = best
-            print(f"# {name} {sf_label}: {best}s", file=sys.stderr, flush=True)
-        # partition-starvation isolate: same count-join, 8× sort buckets
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(int(prev) * 8))
-        try:
-            best = min(_run_once(dedup._jaccard_countjoin, g) for _ in range(n_runs))
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        report.setdefault("jaccard_countjoin_8x_parts", {})[f"{sf_label}_sec"] = best
-        print(f"# countjoin_8x_parts {sf_label}: {best}s", file=sys.stderr, flush=True)
+        for width in WIDTHS:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            try:
+                best = min(_run_once(dedup._jaccard_countjoin, g) for _ in range(n_runs))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            report.setdefault(f"countjoin_w{width}", {})[f"{sf_label}_sec"] = best
+            print(f"# countjoin_w{width} {sf_label}: {best}s", file=sys.stderr, flush=True)
         g.unpersist()
 
     for name, row in report.items():

@@ -22,6 +22,9 @@ top-document-frequency shingles first (standard MinHash practice).
 
 from __future__ import annotations
 
+import functools
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -219,6 +222,18 @@ PPJOIN_CAND_PER_DOC = 40_000
 MIN_DF_CAP = 2
 DF_CAP_DIVISOR = 10
 
+#: Corpus-mass exchange sizing for the count-join (the ×30 finding,
+#: PLANS.md r6): candidate rows per shuffle partition above which the
+#: pair aggregate's sort/hash machinery starts multi-pass spilling.
+#: A candidate row is ~24 bytes of (a_id, b_id, shuffle overhead), so
+#: 2.5M rows ≈ 60 MB/task — the same order as
+#: spark.sql.files.maxPartitionBytes, and comfortably in-memory per core.
+CAND_ROWS_PER_PARTITION = 2_500_000
+#: Ceiling on the derived width — 4096 tasks is ~128 executors' worth of
+#: 32-core waves; past that the mass estimate says "re-tier" (MinHash),
+#: not "more partitions".
+MAX_CANDJOIN_WIDTH = 4096
+
 
 def _sparse_plan_for(
     g: DataFrame,
@@ -240,7 +255,19 @@ def _sparse_plan_for(
     between — the Jaccard pair by default; containment passes its own.
     The probe is metric-independent: both metrics ride the same
     shared-shingle candidate topology, so the SAME Σ df(df-1) estimate
-    governs when the prefix filter pays off."""
+    governs when the prefix filter pays off.
+
+    The second branch is CORPUS-MASS-aware (the ×30 finding, PLANS.md
+    r6): when the per-doc skew rule keeps the count-join but the TOTAL
+    candidate mass outgrows the session's shuffle width (×30 the rows
+    through the same sort buckets → multi-pass spill → the 2.0×-of-
+    linear drift the r5 probe recorded), the count-join is returned with
+    an explicit exchange width ∝ mass. The prefix-filtered join is NOT
+    the answer to that regime — its verification stage fans candidates
+    out by full set size, and the r6 ×30 probe measured it writing >60 GB
+    of shuffle temp (ENOSPC) on the constant-density surrogate where the
+    count-join finishes; PPJoin stays the frequent-HEAD plan the per-doc
+    rule selects."""
     if plans is None:
         plans = (_jaccard_countjoin, _jaccard_ppjoin)
     stats = (
@@ -257,6 +284,11 @@ def _sparse_plan_for(
     cand_rows = (stats["pairs2"] or 0) / 2
     if n_docs and cand_rows / n_docs > PPJOIN_CAND_PER_DOC:
         return plans[1]
+    session_width = int(g.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    mass_width = math.ceil(cand_rows / CAND_ROWS_PER_PARTITION)
+    if mass_width > session_width:
+        width = min(MAX_CANDJOIN_WIDTH, mass_width)
+        return functools.partial(plans[0], shuffle_width=width)
     return plans[0]
 
 
@@ -390,7 +422,9 @@ def _jaccard_bitmap(
     )
 
 
-def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
+def _jaccard_countjoin(
+    g: DataFrame, max_df: int | None = None, shuffle_width: int | None = None
+) -> DataFrame:
     """Sparse-regime plan: candidate pairs from an equi-join on shared
     bigrams (a bucket join, never a cross product), |∩| counted by one
     partial-aggregated groupBy, set sizes attached AFTER the aggregation
@@ -415,22 +449,38 @@ def _jaccard_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
     says nothing about any pair); measured under tools/scale_stress.py
     PERTURB=third, where density growth is exactly such a head. With
     ``max_df=None`` (every registered path) the plan is byte-identical to
-    before (pinned in tests)."""
+    before (pinned in tests).
+
+    ``shuffle_width`` is the corpus-mass knob (see _countjoin_pairs)."""
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        _countjoin_pairs(g, max_df)
+        _countjoin_pairs(g, max_df, shuffle_width=shuffle_width)
         .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
 
-def _countjoin_pairs(g: DataFrame, max_df: int | None = None) -> DataFrame:
+def _countjoin_pairs(
+    g: DataFrame, max_df: int | None = None, shuffle_width: int | None = None
+) -> DataFrame:
     """The count-join candidate recipe shared by the Jaccard and
     containment sparse plans: (a_id, b_id, n_common, na, nb) for every
     a<b pair sharing ≥1 (optionally df-capped) shingle — hashed 8-byte
     keys, bucket equi-join, partial-agg |∩|, unhinted AQE-sized size
     joins (_jaccard_countjoin's docstring carries each choice's
-    rationale)."""
+    rationale).
+
+    ``shuffle_width`` widens the plan's two heavy exchanges when the
+    planner's mass probe says the default width would starve them (the
+    ×30 finding, PLANS.md r6: 30× the rows through 32 sort buckets turns
+    the join sort and the pair aggregate into multi-pass spills). Both
+    aliases of the self-join read ONE bh-repartitioned table, so the
+    join runs exchange-free at the chosen width; the pair aggregate gets
+    an explicit (a_id, b_id) repartition at the same width, which
+    REPLACES the aggregate's own default-width exchange (same bytes
+    moved — candidate pairs compress almost nothing map-side because a
+    pair's shared shingles hash to different bh partitions — at spill-
+    free parallelism). None = the stock plan, byte-identical to before."""
     gh = g.select("doc_id", F.xxhash64("bigram").alias("bh"))
     if max_df is not None:
         rare = (
@@ -440,13 +490,16 @@ def _countjoin_pairs(g: DataFrame, max_df: int | None = None) -> DataFrame:
             .select("bh")
         )
         gh = gh.join(rare, "bh", "left_semi")
+    if shuffle_width:
+        gh = gh.repartition(shuffle_width, "bh")
     sizes = gh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = gh.alias("a"), gh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    cand = a.join(
+        b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    if shuffle_width:
+        cand = cand.repartition(shuffle_width, "a_id", "b_id")
+    inter = cand.groupBy("a_id", "b_id").agg(F.count("*").alias("n_common"))
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     return (
@@ -1059,13 +1112,16 @@ def _containment_bitmap(
     return _containment_directions(_bitmap_pairs(packed, n_words))
 
 
-def _containment_countjoin(g: DataFrame, max_df: int | None = None) -> DataFrame:
+def _containment_countjoin(
+    g: DataFrame, max_df: int | None = None, shuffle_width: int | None = None
+) -> DataFrame:
     """Sparse-regime containment over the shared count-join candidates
     (_countjoin_pairs): same hashed-shingle bucket equi-join, same
     unhinted size joins, both directions from one overlap table.
     ``max_df`` is the frequent-head cap (exact containment over the
-    capped shingle sets — see _jaccard_countjoin)."""
-    return _containment_directions(_countjoin_pairs(g, max_df))
+    capped shingle sets — see _jaccard_countjoin); ``shuffle_width`` the
+    corpus-mass exchange width (see _countjoin_pairs)."""
+    return _containment_directions(_countjoin_pairs(g, max_df, shuffle_width=shuffle_width))
 
 
 def _containment_ppjoin(g: DataFrame) -> DataFrame:
