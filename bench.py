@@ -258,7 +258,10 @@ def main() -> None:
 
 
 def run_scale_stress(spark) -> dict:
-    budget = float(os.environ.get("SPARK_GRAFT_STRESS_BUDGET", "900"))
+    # 900 → 1400 in r6: the exact_tier_x20 block adds ~5-6 min (two ×20
+    # runs + same-plan bases); doc_ext keeps its between-key deadline, so
+    # the suite still truncates VISIBLY rather than blowing the wall
+    budget = float(os.environ.get("SPARK_GRAFT_STRESS_BUDGET", "1400"))
     t_start = time.monotonic()
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     import ext_stress

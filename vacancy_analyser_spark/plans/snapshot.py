@@ -192,4 +192,9 @@ def snapshot_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     merge_changeset_partitioned(spark, merged, changeset, classify, key="user_id")
-    return spark.read.parquet(merged).select("user_id", "n_a", "n_b", "status")
+    # Explicit schema: an empty corpus writes a store with zero data files
+    # (partitionBy on an empty frame), which parquet cannot infer from.
+    store_schema = "user_id bigint, n_a bigint, n_b bigint, status string, id_bucket int"
+    return spark.read.schema(store_schema).parquet(merged).select(
+        "user_id", "n_a", "n_b", "status"
+    )
