@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import os
 import sys
 from decimal import Decimal
 
@@ -100,7 +101,20 @@ def main() -> int:
     from vacancy_analyser_spark.plans import all_specs
     from vacancy_analyser_spark.session import get_spark
 
-    spark = get_spark("parity-check", shuffle_partitions=8)
+    if os.environ.get("PARITY_VANILLA"):
+        # The driver's environment: a stock SparkSession with none of the
+        # repo session's configs (200 shuffle partitions, no AQE tuning).
+        # Queries must pass under ANY partitioning — this is the sweep
+        # that catches partition-sensitive contract bugs.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("parity-check", shuffle_partitions=8)
     con = duck_connection(sf_dir)
     specs = all_specs()
     failures = []
