@@ -140,7 +140,33 @@ EXT_BASELINE_R5 = {
     "incremental_dedup_bucketed": 1.8,
 }
 
-EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5}
+#: r6 re-pins and new pins (quiet-host full-suite recording, 2026-08-15).
+#: Re-pinned: the IVF/SemDeDup family re-based on corpus-derived auto-k
+#: (k grew 8 → 31 at sf0.1, so semantic_dedup/knn_graph run slower than
+#: their r4 pins by design — the r5 numbers would let a further 2× slip
+#: through unflagged), and the count-join-recipe riders the mass-width
+#: branch touched. First pins: the five r6 keys.
+EXT_BASELINE_R6 = {
+    "semantic_dedup": 1.9,             # was 1.336 — auto-k (8 → 31 centroids)
+    "knn_graph": 1.9,                  # was 1.389 — auto-k
+    "ann_ivfpq_topk": 3.5,
+    "ann_ivfpq_index_serve": 1.4,
+    "ann_ivfpq_batch_topk": 3.7,
+    "ann_recall_report": 1.7,
+    "containment_dedup": 2.3,
+    "containment_capped": 2.6,
+    "corpus_keep_list": 3.9,
+    "lsh_recall_report": 5.8,
+    "near_dup_component_stats": 3.1,
+    "dedup_savings_report": 3.6,
+    "duplicate_spans": 1.6,
+    "span_strip": 2.5,
+    "skew_salted_enrich": 0.5,
+    "snapshot_merge_partitioned": 1.6,
+    "ann_recall_honest": 2.1,
+}
+
+EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5, **EXT_BASELINE_R6}
 
 #: The queries that represent the engine's load-bearing paths: batch spine,
 #: fact⋈fact join, window aggs, merge, and each LLM-pipeline extension tier.

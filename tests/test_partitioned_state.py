@@ -106,3 +106,23 @@ def test_bucket_function_is_stable(spark):
     a = touched_buckets(spark.createDataFrame([(i,) for i in range(50)], "id long"), "id")
     b = touched_buckets(spark.createDataFrame([(i,) for i in range(50)], "id long"), "id")
     assert a == b
+
+
+def test_store_path_encodes_build_recipe(monkeypatch):
+    """The store directory name must change when any build-recipe constant
+    changes (bucket count, snapshot window, changeset predicate) — the
+    _ivf_index_path identity rule: a mod-16 probe against a mod-32 layout
+    would silently merge against the wrong partitions."""
+    import vacancy_analyser_spark.operators.partitioned_state as ps
+    import vacancy_analyser_spark.plans.snapshot as snap
+
+    base_a, base_m = snap._partstate_paths("/root/testdata/sf0.001")
+    assert f"b{ps.N_STATE_BUCKETS}" in base_a
+
+    monkeypatch.setattr(ps, "N_STATE_BUCKETS", ps.N_STATE_BUCKETS // 2)
+    alt_a, _ = snap._partstate_paths("/root/testdata/sf0.001")
+    assert alt_a != base_a
+
+    monkeypatch.setattr(snap, "_CS_MOD", 7)
+    alt2_a, _ = snap._partstate_paths("/root/testdata/sf0.001")
+    assert alt2_a != alt_a

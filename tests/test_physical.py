@@ -358,3 +358,57 @@ def test_countjoin_width_rule_is_result_identical_and_mass_gated(spark, monkeypa
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     assert sorted(map(tuple, chosen(g).collect())) == stock
+
+
+def test_sparse_dispatch_records_decision_and_clamp_signal(spark, monkeypatch, caplog):
+    """LAST_SPARSE_DISPATCH mirrors every dispatch (plan, width, clamped);
+    a mass estimate past MAX_CANDJOIN_WIDTH partitions sets the clamped
+    re-tier signal and logs a warning instead of silently capping."""
+    import functools
+    import logging
+
+    from vacancy_analyser_spark.plans import dedup
+    from vacancy_analyser_spark.plans.dedup import _jaccard_countjoin, _sparse_plan_for
+
+    g = spark.createDataFrame(
+        [(d, f"s-{(d + j) % 37}") for d in range(60) for j in range(8)],
+        "doc_id long, bigram string",
+    )
+    assert _sparse_plan_for(g) is _jaccard_countjoin
+    rec = dedup.LAST_SPARSE_DISPATCH
+    assert rec["plan"] == "_jaccard_countjoin"
+    assert rec["width"] is None and rec["clamped"] is False
+
+    # shrink the budget AND the ceiling → same corpus is now "past the
+    # exact tier": width clamps to the ceiling, clamped flips, warning logs
+    monkeypatch.setattr(dedup, "CAND_ROWS_PER_PARTITION", 2)
+    monkeypatch.setattr(dedup, "MAX_CANDJOIN_WIDTH", 64)
+    with caplog.at_level(logging.WARNING, logger="vacancy_analyser_spark.plans.dedup"):
+        chosen = _sparse_plan_for(g)
+    assert isinstance(chosen, functools.partial)
+    assert chosen.keywords["shuffle_width"] == 64
+    assert dedup.LAST_SPARSE_DISPATCH["clamped"] is True
+    assert any("re-tier" in r.message for r in caplog.records)
+
+
+def test_dispatch_label_renders_width_and_clamp(spark, monkeypatch):
+    """The shared stress-harness helper renders plain, widened, and
+    clamped dispatches distinctly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from scale_stress import dispatch_label
+
+    from vacancy_analyser_spark.plans import dedup
+    from vacancy_analyser_spark.plans.dedup import _jaccard_countjoin, _sparse_plan_for
+
+    g = spark.createDataFrame(
+        [(d, f"s-{(d + j) % 37}") for d in range(60) for j in range(8)],
+        "doc_id long, bigram string",
+    )
+    assert dispatch_label(dedup, _sparse_plan_for(g)) == "_jaccard_countjoin"
+    monkeypatch.setattr(dedup, "CAND_ROWS_PER_PARTITION", 2)
+    label = dispatch_label(dedup, _sparse_plan_for(g))
+    assert label.startswith("_jaccard_countjoin[w=") and "!clamped" not in label
+    monkeypatch.setattr(dedup, "MAX_CANDJOIN_WIDTH", 64)
+    assert dispatch_label(dedup, _sparse_plan_for(g)) == "_jaccard_countjoin[w=64!clamped]"

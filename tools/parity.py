@@ -108,9 +108,15 @@ def main() -> int:
         # that catches partition-sensitive contract bugs.
         from pyspark.sql import SparkSession
 
+        # timeZone is pinned because the axis under test is PARTITIONING:
+        # the driver's host runs UTC, so a stock session there resolves
+        # date_trunc/to_date in UTC; on a non-UTC dev host the same stock
+        # session would shift day boundaries and drown the sweep in
+        # timezone noise unrelated to the driver environment.
         spark = (
             SparkSession.builder.master("local[8]")
             .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()
         )
     else:

@@ -122,11 +122,7 @@ def collect(spark) -> dict:
     if dense:
         plan = "bitmap"
     else:
-        chosen = dedup._sparse_plan_for(g, nd)
-        # a mass-widened count-join comes back as functools.partial
-        inner = getattr(chosen, "func", chosen)
-        width = getattr(chosen, "keywords", {}).get("shuffle_width")
-        plan = inner.__name__ + (f"[w={width}]" if width else "")
+        plan = dispatch_label(dedup, dedup._sparse_plan_for(g, nd))
     report["stress_regime"] = {"n_vocab": nv, "n_docs": nd, "plan": plan}
 
     if PERTURB == "third" and not dense:
@@ -163,6 +159,24 @@ def collect(spark) -> dict:
             "vs_linear": round(ratio, 2),
             "within_2x_linear": ratio <= 2.0,
         }
+    if not dense:
+        # ngram_jaccard's ×1 base rides the bitmap plan while the scaled
+        # corpus dispatches to the count-join, so vs_linear above is a
+        # CROSS-TIER ratio (see collect_exact_tier's docstring). Record
+        # the same-plan base too — linearity is a property of a plan.
+        gb = dedup._doc_bigrams(spark, BASE_SF).persist()
+        gb.count()
+        sp = min(_timed_noop(dedup._jaccard_countjoin, gb) for _ in range(2))
+        gb.unpersist()
+        if sp > 0:
+            r_same = scaledt["ngram_jaccard_dedup"] / (REPLICAS * sp)
+            report["ngram_jaccard_dedup"].update(
+                {
+                    "same_plan_base_sec": sp,
+                    "vs_linear_same_plan": round(r_same, 2),
+                    "within_2x_same_plan": r_same <= 2.0,
+                }
+            )
     return report
 
 
@@ -200,10 +214,7 @@ def collect_exact_tier(spark, replicas: int = 20) -> dict:
         if dedup._dense_regime(nv, nd):
             report["plan"] = "bitmap"
         else:
-            chosen = dedup._sparse_plan_for(g, nd)
-            inner = getattr(chosen, "func", chosen)
-            width = getattr(chosen, "keywords", {}).get("shuffle_width")
-            report["plan"] = inner.__name__ + (f"[w={width}]" if width else "")
+            report["plan"] = dispatch_label(dedup, dedup._sparse_plan_for(g, nd))
         gb = dedup._doc_bigrams(spark, BASE_SF).persist()
         gb.count()
         same_plan = {
@@ -218,16 +229,20 @@ def collect_exact_tier(spark, replicas: int = 20) -> dict:
             t0 = time.monotonic()
             qs[q](spark, stress_dir).write.format("noop").mode("overwrite").save()
             s = round(time.monotonic() - t0, 2)
-            r_key = s / (replicas * b) if b > 0 else None
-            r_same = s / (replicas * sp) if sp > 0 else None
-            report[q] = {
+            row: dict[str, object] = {
                 "key_base_sec": b,
                 "same_plan_base_sec": sp,
                 f"x{replicas}_sec": s,
-                "vs_linear_same_plan": round(r_same, 2),
-                "within_1_5x_same_plan": r_same <= 1.5,
-                "vs_linear_key_base": round(r_key, 2),
             }
+            # sub-10ms bases round to 0.0 — record the degenerate row
+            # rather than dividing by it (or crashing on round(None))
+            if sp > 0:
+                r_same = s / (replicas * sp)
+                row["vs_linear_same_plan"] = round(r_same, 2)
+                row["within_1_5x_same_plan"] = r_same <= 1.5
+            if b > 0:
+                row["vs_linear_key_base"] = round(s / (replicas * b), 2)
+            report[q] = row
         gb.unpersist()
         return report
     finally:
@@ -238,6 +253,16 @@ def _timed_noop(plan, g) -> float:
     t0 = time.monotonic()
     plan(g).write.format("noop").mode("overwrite").save()
     return round(time.monotonic() - t0, 2)
+
+
+def dispatch_label(dedup, chosen) -> str:
+    """Render a _sparse_plan_for result: a mass-widened count-join comes
+    back as functools.partial; '!clamped' marks the re-tier regime (mass
+    wanted more than MAX_CANDJOIN_WIDTH partitions)."""
+    inner = getattr(chosen, "func", chosen)
+    width = getattr(chosen, "keywords", {}).get("shuffle_width")
+    clamp = "!clamped" if dedup.LAST_SPARSE_DISPATCH.get("clamped") else ""
+    return inner.__name__ + (f"[w={width}{clamp}]" if width else "")
 
 
 def main() -> None:

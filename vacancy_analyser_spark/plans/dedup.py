@@ -234,6 +234,15 @@ CAND_ROWS_PER_PARTITION = 2_500_000
 #: not "more partitions".
 MAX_CANDJOIN_WIDTH = 4096
 
+#: The last decision _sparse_plan_for made, for observability: stress
+#: harnesses render it next to the timing, and ``clamped`` is the
+#: re-tier signal — the mass estimate exceeded MAX_CANDJOIN_WIDTH ×
+#: CAND_ROWS_PER_PARTITION (~10B candidate rows), the regime where the
+#: exact tier should hand off to MinHash-LSH rather than take more
+#: partitions. A clamped dispatch also logs a warning so the signal
+#: reaches non-harness callers.
+LAST_SPARSE_DISPATCH: dict = {}
+
 
 def _sparse_plan_for(
     g: DataFrame,
@@ -282,12 +291,33 @@ def _sparse_plan_for(
     if n_docs is None:
         n_docs = g.select("doc_id").distinct().count()
     cand_rows = (stats["pairs2"] or 0) / 2
+    LAST_SPARSE_DISPATCH.clear()
+    LAST_SPARSE_DISPATCH.update(
+        {"cand_rows": cand_rows, "n_docs": n_docs, "width": None, "clamped": False}
+    )
     if n_docs and cand_rows / n_docs > PPJOIN_CAND_PER_DOC:
+        LAST_SPARSE_DISPATCH["plan"] = plans[1].__name__
         return plans[1]
+    LAST_SPARSE_DISPATCH["plan"] = plans[0].__name__
     session_width = int(g.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     mass_width = math.ceil(cand_rows / CAND_ROWS_PER_PARTITION)
     if mass_width > session_width:
         width = min(MAX_CANDJOIN_WIDTH, mass_width)
+        LAST_SPARSE_DISPATCH["width"] = width
+        if mass_width > MAX_CANDJOIN_WIDTH:
+            LAST_SPARSE_DISPATCH["clamped"] = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "exact-tier candidate mass %.2g rows wants %d partitions "
+                "(clamped to %d, ~%.2g rows/task) — this corpus is past the "
+                "exact tier's design regime; re-tier to MinHash-LSH "
+                "(minhash_lsh_dedup) or a capped variant",
+                cand_rows,
+                mass_width,
+                MAX_CANDJOIN_WIDTH,
+                cand_rows / MAX_CANDJOIN_WIDTH,
+            )
         return functools.partial(plans[0], shuffle_width=width)
     return plans[0]
 

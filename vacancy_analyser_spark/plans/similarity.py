@@ -561,13 +561,16 @@ def _ranked_against(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def ivf_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def ivf_build_index(
+    spark: SparkSession, sf_dir: str, path: str, n_centroids: int | None = None
+) -> None:
     """Materialize the IVF index the ivf_topk docstring promises at scale:
     the assigned table written ``partitionBy(centroid_id)``, so a probe
     reads nprobe directories via partition pruning instead of scanning the
-    whole index (plan-asserted in tests/test_similarity.py)."""
+    whole index (plan-asserted in tests/test_similarity.py). Callers that
+    already derived auto-k pass it so the build doesn't re-count."""
     vecs = _vectors(spark, sf_dir)
-    assigned = _ivf_ranked(vecs).filter(F.col("rn") == 1).select(
+    assigned = _ivf_ranked(vecs, n_centroids).filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "centroid_id"
     )
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
@@ -792,9 +795,12 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same replay; what this entry adds is the driver confirming the
     on-disk index round trip, not just the in-memory plan."""
     vecs = _vectors(spark, sf_dir)
-    path = _ivf_index_path(sf_dir, auto_centroids(vecs.count()))
+    # derive auto-k ONCE: path identity, build, and probe assignment all
+    # share it (three redundant count jobs otherwise)
+    k_auto = auto_centroids(vecs.count())
+    path = _ivf_index_path(sf_dir, k_auto)
     if not _ivf_index_is_fresh(path, sf_dir):
-        ivf_build_index(spark, sf_dir, path)
+        ivf_build_index(spark, sf_dir, path, n_centroids=k_auto)
     # two driver-side scalars of control flow, not data: the query vector
     # and its probe bucket (both one-row lookups)
     q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -804,7 +810,7 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = q_row[0]
     probes = [
         r.centroid_id
-        for r in _ivf_ranked(vecs)
+        for r in _ivf_ranked(vecs, k_auto)
         .filter((F.col("vec_id") == 0) & (F.col("rn") <= 1))
         .select("centroid_id")
         .collect()
@@ -1458,7 +1464,9 @@ def _ivfpq_index_path(sf_dir: str, k: int) -> str:
     )
 
 
-def ivfpq_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def ivfpq_build_index(
+    spark: SparkSession, sf_dir: str, path: str, n_centroids: int | None = None
+) -> None:
     """Materialize the full IVFPQ index — what ann_ivfpq_topk's docstring
     promises is precomputable, written once so serving never trains:
 
@@ -1489,7 +1497,7 @@ def ivfpq_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
         .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
     )
-    assigned = _ivf_ranked(vecs).filter(F.col("rn") == 1).select(
+    assigned = _ivf_ranked(vecs, n_centroids).filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "centroid_id"
     )
     assigned.join(codes_arr, "vec_id").write.partitionBy("centroid_id").mode(
@@ -1540,15 +1548,18 @@ def ann_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     vecs = _vectors(spark, sf_dir)
-    path = _ivfpq_index_path(sf_dir, auto_centroids(vecs.count()))
+    # derive auto-k ONCE: path identity, build, and probe assignment all
+    # share it (three redundant count jobs otherwise)
+    k_auto = auto_centroids(vecs.count())
+    path = _ivfpq_index_path(sf_dir, k_auto)
     if not _ivfpq_index_is_fresh(path, sf_dir):
-        ivfpq_build_index(spark, sf_dir, path)
+        ivfpq_build_index(spark, sf_dir, path, n_centroids=k_auto)
     q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
     if q_row is None:
         return spark.createDataFrame([], "vec_id bigint, l2_dist double")
     probes = [
         r["centroid_id"]
-        for r in _ivf_ranked(vecs)
+        for r in _ivf_ranked(vecs, k_auto)
         .filter((F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE))
         .select("centroid_id")
         .collect()

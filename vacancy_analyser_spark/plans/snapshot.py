@@ -94,11 +94,20 @@ _CS_MOD, _CS_REM = 20, 3
 def _partstate_paths(sf_dir: str) -> tuple[str, str]:
     import os
 
+    from ..operators.partitioned_state import N_STATE_BUCKETS
+
     tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
     warehouse = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
-    base = os.path.join(warehouse, f"partstate_{tag}")
+    # The build recipe is part of the store's identity (the _ivf_index_path
+    # rule): a changed bucket count or snapshot/changeset window must
+    # produce a NEW store directory — pruning a mod-32 layout with mod-16
+    # bucket ids would silently merge against the wrong partitions.
+    recipe = f"b{N_STATE_BUCKETS}_{_A_LO[:10]}_{_A_HI[:10]}_m{_CS_MOD}r{_CS_REM}".replace(
+        "-", ""
+    )
+    base = os.path.join(warehouse, f"partstate_{tag}_{recipe}")
     return os.path.join(base, "state_a"), os.path.join(base, "merged")
 
 

@@ -141,7 +141,14 @@ class HttpExporter:
                     self.send_error(404)
                     return
                 with exporter._lock:
-                    body = render_prometheus(exporter._latest, exporter._dropped).encode()
+                    # snapshot the drop counters: the listener-bus thread
+                    # mutates the live dict mid-scrape; dict() is a single
+                    # C-level copy (atomic under the GIL), unlike the
+                    # Python-level iteration inside render_prometheus
+                    dropped = (
+                        dict(exporter._dropped) if exporter._dropped is not None else None
+                    )
+                    body = render_prometheus(exporter._latest, dropped).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")
                 self.send_header("Content-Length", str(len(body)))
