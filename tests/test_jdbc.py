@@ -57,3 +57,58 @@ def test_jdbc_partitioned_read_parallelizes(spark, tmp_path):
     )
     assert part.rdd.getNumPartitions() == 4
     assert sorted(r["id"] for r in part.collect()) == list(range(100))
+
+
+def test_write_jdbc_roundtrip(spark, tmp_path):
+    """The write half of S8: parallel batched INSERT through write_jdbc,
+    read back through read_jdbc."""
+    from vacancy_analyser_spark.io import write_jdbc
+
+    url = _url(tmp_path)
+    src = spark.range(50).selectExpr("id", "id * 3 AS val")
+    write_jdbc(src, url, "w1", mode="overwrite", properties=DRIVER, num_partitions=2)
+    got = read_jdbc(spark, url, "w1", properties=DRIVER)
+    assert sorted((r["id"], r["val"]) for r in got.collect()) == [
+        (i, 3 * i) for i in range(50)
+    ]
+
+
+def test_upsert_jdbc_updates_and_inserts(spark, tmp_path):
+    """The reference's conditional INSERT/UPDATE loop as one set-based
+    MERGE (feeder_postgres.py:147-177): existing keys update, new keys
+    insert, untouched keys survive."""
+    from vacancy_analyser_spark.io import upsert_jdbc, write_jdbc
+
+    url = _url(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, score long"
+    )
+    write_jdbc(base, url, "state", mode="overwrite", properties=DRIVER)
+
+    changeset = spark.createDataFrame(
+        [(2, "b2", 99), (4, "d", 40)], "id long, name string, score long"
+    )
+    upsert_jdbc(spark, changeset, url, "state", key_cols=["id"], properties=DRIVER)
+
+    got = read_jdbc(spark, url, "state", properties=DRIVER)
+    assert sorted((r["id"], r["name"], r["score"]) for r in got.collect()) == [
+        (1, "a", 10),    # untouched
+        (2, "b2", 99),   # updated
+        (3, "c", 30),    # untouched
+        (4, "d", 40),    # inserted
+    ]
+
+
+def test_upsert_jdbc_is_idempotent(spark, tmp_path):
+    """Replaying the same changeset must not duplicate rows — the property
+    that makes the sink safe under task retries of the calling pipeline."""
+    from vacancy_analyser_spark.io import upsert_jdbc, write_jdbc
+
+    url = _url(tmp_path)
+    base = spark.createDataFrame([(1, 10)], "id long, score long")
+    write_jdbc(base, url, "state2", mode="overwrite", properties=DRIVER)
+    changeset = spark.createDataFrame([(1, 11), (2, 20)], "id long, score long")
+    for _ in range(2):
+        upsert_jdbc(spark, changeset, url, "state2", key_cols=["id"], properties=DRIVER)
+    got = read_jdbc(spark, url, "state2", properties=DRIVER)
+    assert sorted((r["id"], r["score"]) for r in got.collect()) == [(1, 11), (2, 20)]

@@ -159,6 +159,97 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """SQL write sink — the reference writes its merged state back to
+    Postgres (feeder_postgres.py:147-177). Executors write their partitions
+    in parallel through their own connections with batched INSERTs; pass
+    ``num_partitions`` to bound the connection count the database sees
+    (Spark coalesces before writing — at 1000 executors an unbounded write
+    is a connection storm, not a throughput win)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    if num_partitions is not None:
+        writer = writer.option("numPartitions", str(num_partitions))
+    writer.mode(mode).save()
+
+
+def upsert_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str] | None = None,
+    staging_table: str | None = None,
+) -> None:
+    """Set-based JDBC upsert: the reference's conditional INSERT/UPDATE row
+    loop (feeder_postgres.py:147-177 — one SELECT + one INSERT-or-UPDATE
+    per vacancy id) re-expressed as the two-step shape that scales:
+
+    1. the changeset lands in a staging table through the PARALLEL batched
+       writer above (executor-side, no driver round trips), then
+    2. ONE database-side ``MERGE INTO target USING staging`` folds it in —
+       set-based, planned by the database, no per-row network round trips.
+
+    Tested end-to-end against embedded Derby (tests/test_jdbc.py), whose
+    MERGE is the same ANSI form Postgres 15+ speaks."""
+    staging = staging_table or f"{table}_staging"
+    write_jdbc(df, url, staging, mode="overwrite", properties=properties)
+    cols = df.columns
+    # Spark's JDBC writer creates QUOTED (case-exact) column identifiers;
+    # unquoted names would resolve case-folded (e.g. Derby → uppercase)
+    # and miss them, so every identifier here is quoted to match.
+    q = '"{}"'.format
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in cols if c not in key_cols)
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    merge_sql = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+    execute_jdbc(spark, url, merge_sql, properties)
+
+
+def execute_jdbc(
+    spark: SparkSession, url: str, sql: str, properties: dict[str, str] | None = None
+) -> None:
+    """Run one DDL/DML statement through a driver-side JDBC connection —
+    the control-plane half of the sink (MERGE, CREATE TABLE, index builds).
+    Data never flows through here; bulk rows go via write_jdbc."""
+    jvm = spark.sparkContext._jvm
+    if properties and "driver" in properties:
+        # make sure the driver class is registered with DriverManager
+        jvm.java.lang.Class.forName(properties["driver"])
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5 CSV snapshot sink (get_vacancies.py:224-236)."""
     (
