@@ -78,6 +78,7 @@ EXT = [
     "skew_salted_enrich",
     "snapshot_merge_partitioned",
     "ann_recall_honest",
+    "dsir_importance_resample",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -164,6 +165,7 @@ EXT_BASELINE_R6 = {
     "skew_salted_enrich": 0.5,
     "snapshot_merge_partitioned": 1.6,
     "ann_recall_honest": 2.1,
+    "dsir_importance_resample": 1.1,
 }
 
 EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5, **EXT_BASELINE_R6}

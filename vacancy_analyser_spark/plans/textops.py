@@ -1840,3 +1840,107 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
     )
     return _cosine_pairs_from(capped)
+
+
+#: DSIR selection size: the top-N documents by importance weight — at the
+#: driver's correctness SF (sf0.01, ~6k docs) a meaningful subset; at
+#: 100 TB this is the "sample k documents for the target mixture" knob.
+DSIR_TOP_N = 100
+#: The target distribution: the corpus's majority language. Production
+#: DSIR targets a high-quality reference corpus (Wikipedia/books); the
+#: synthetic corpus's stand-in for "looks like the target" is lang='en'.
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents
+        ),
+        cw AS (
+            SELECT w, COUNT(*) AS c_r,
+                   COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS c_t
+            FROM tok GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                   CAST(SUM(c_t) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM cw
+        ),
+        model AS (
+            SELECT w,
+                   round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE)), 6)
+                 - round(ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE)), 6)
+                     AS delta
+            FROM cw CROSS JOIN tot
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               round(CAST(SUM(CAST(m.delta AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS dsir_logweight
+        FROM tok t JOIN model m USING (w)
+        GROUP BY t.doc_id
+        ORDER BY dsir_logweight DESC, t.doc_id
+        LIMIT {DSIR_TOP_N}
+    """,
+    tags=("ext-corpus", "pipeline"),
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its tokens are under a TARGET unigram model than
+    under the RAW-corpus model, and keep the top-N. The importance weight
+    is Σ_tokens [ln p_target(w) − ln p_raw(w)] with add-one smoothing over
+    the shared vocabulary; the target here is the majority-language slice
+    (production targets a quality reference corpus).
+
+    Float discipline follows unigram_logprob_score: each ln() is rounded
+    to 6 decimals before the subtraction (the smoothed ratios are exact
+    double divisions, identical across engines), and the per-doc sum runs
+    through the fixed-point path so aggregation order cannot reorder
+    doubles. Selection is a deterministic top-N (weight desc, doc_id) —
+    the greedy variant of DSIR's Gumbel resampling, chosen because hash
+    replayability matters more here than sampling noise.
+
+    At 100 TB: ONE corpus scan builds both models simultaneously (the
+    target count is a conditional aggregate of the same groupBy — no
+    second pass), the |vocab|-row model broadcasts back against the token
+    stream, the per-doc sum map-side combines to |docs| rows, and the
+    top-N is a TakeOrdered, not a global sort. The corpus is read twice
+    and shuffled never."""
+    from ..functions.numeric import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+    # persisted because BOTH the totals branch and the model branch read
+    # it — without the cache Catalyst plans two independent subtrees and
+    # the corpus pays a third explode+aggregate pass (plan-verified)
+    cw = (
+        tok.groupBy("w")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1))).alias("c_t"),
+        )
+        .persist()
+    )
+    tot = cw.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"), F.count("*").alias("v")
+    )
+    lp = lambda c, n: F.round(  # noqa: E731 — two smoothed log-probs, one shape
+        F.log((c + 1).cast("double") / (n + F.col("v")).cast("double")), 6
+    )
+    model = cw.crossJoin(F.broadcast(tot)).select(
+        "w", (lp(F.col("c_t"), F.col("n_t")) - lp(F.col("c_r"), F.col("n_r"))).alias("delta")
+    )
+    return (
+        tok.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(dsum("delta"), 6).alias("dsir_logweight"),
+        )
+        .orderBy(F.col("dsir_logweight").desc(), "doc_id")
+        .limit(DSIR_TOP_N)
+    )
