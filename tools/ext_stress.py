@@ -59,6 +59,9 @@ EMB_QUERIES = (
     # quality metrics: centroid-residual top-N and the PQ qd aggregate
     "embedding_outliers",
     "pq_reconstruction_error",
+    # r6: the honest-seed recall curve — same linear assignment plan as
+    # ann_recall_report, larger constant (4 nprobe tiers × query batch)
+    "ann_recall_honest",
 )
 EVT_QUERIES = (
     "retention_cohorts",
@@ -66,6 +69,11 @@ EVT_QUERIES = (
     "funnel_conversion",
     "value_zscore_outliers",
     "active_users_rollup",
+    # r6: salted hot-key join (events×10 = 10× rows through the same 5
+    # hot event_type groups — exactly the skew the salt spreads) and the
+    # partition-scoped merge (changeset and state both scale ×10)
+    "skew_salted_enrich",
+    "snapshot_merge_partitioned",
 )
 DOC_QUERIES = (
     "bpe_train_merges",
@@ -178,6 +186,9 @@ DOC_EXT_QUERIES = (
     "incremental_dedup_bucketed",
     "duplicate_spans",
     "span_strip",
+    # r6: DSIR selection — two corpus passes + vocab-sized broadcast,
+    # should hold ~linear like the other model-broadcast keys
+    "dsir_importance_resample",
 )
 
 
