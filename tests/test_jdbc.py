@@ -112,3 +112,56 @@ def test_upsert_jdbc_is_idempotent(spark, tmp_path):
         upsert_jdbc(spark, changeset, url, "state2", key_cols=["id"], properties=DRIVER)
     got = read_jdbc(spark, url, "state2", properties=DRIVER)
     assert sorted((r["id"], r["score"]) for r in got.collect()) == [(1, 11), (2, 20)]
+
+
+def test_jdbc_upsert_stream_folds_changesets(spark, tmp_path):
+    """The feeder loop end-to-end: a file stream of changesets folded into
+    Derby via foreachBatch -> set-based MERGE. Two rounds (like the
+    reference's periodic scrape), then a no-new-files rerun proving the
+    checkpoint makes file delivery exactly-once."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from vacancy_analyser_spark.streaming.jdbc_sink import start_jdbc_upsert_stream
+
+    url = _url(tmp_path)
+    src = str(tmp_path / "changesets")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = T.StructType.fromDDL("id long, score long")
+
+    def _round(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+        q = start_jdbc_upsert_stream(
+            spark.readStream.schema(schema).option("recursiveFileLookup", True).parquet(src),
+            url,
+            "fed",
+            key_cols=["id"],
+            checkpoint=ckpt,
+            properties=DRIVER,
+        )
+        q.awaitTermination(120)
+
+    _round([(1, 10), (2, 20)], "r1")          # batch 0 bootstraps the table
+    got1 = read_jdbc(spark, url, "fed", properties=DRIVER)
+    assert sorted((r["id"], r["score"]) for r in got1.collect()) == [(1, 10), (2, 20)]
+
+    _round([(2, 99), (3, 30)], "r2")          # update + insert
+    got2 = read_jdbc(spark, url, "fed", properties=DRIVER)
+    assert sorted((r["id"], r["score"]) for r in got2.collect()) == [
+        (1, 10), (2, 99), (3, 30),
+    ]
+
+    # no new files: the checkpointed source emits nothing, table unchanged
+    q = start_jdbc_upsert_stream(
+        spark.readStream.schema(schema).option("recursiveFileLookup", True).parquet(src),
+        url, "fed", key_cols=["id"], checkpoint=ckpt, properties=DRIVER,
+    )
+    q.awaitTermination(120)
+    got3 = read_jdbc(spark, url, "fed", properties=DRIVER)
+    assert sorted((r["id"], r["score"]) for r in got3.collect()) == [
+        (1, 10), (2, 99), (3, 30),
+    ]

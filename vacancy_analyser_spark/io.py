@@ -207,6 +207,11 @@ def upsert_jdbc(
 
     Tested end-to-end against embedded Derby (tests/test_jdbc.py), whose
     MERGE is the same ANSI form Postgres 15+ speaks."""
+    if not jdbc_table_exists(spark, url, table, properties):
+        # first changeset bootstraps the target (a stream's batch 0, a
+        # fresh environment): plain parallel append creates the table
+        write_jdbc(df, url, table, mode="append", properties=properties)
+        return
     staging = staging_table or f"{table}_staging"
     write_jdbc(df, url, staging, mode="overwrite", properties=properties)
     cols = df.columns
@@ -224,6 +229,33 @@ def upsert_jdbc(
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
     execute_jdbc(spark, url, merge_sql, properties)
+
+
+def jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
+) -> bool:
+    """Whether ``table`` exists, via JDBC DatabaseMetaData (exact-case
+    match first — Spark creates quoted case-exact tables — then the
+    database's case-folded form for tables created outside Spark)."""
+    jvm = spark.sparkContext._jvm
+    if properties and "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        meta = conn.getMetaData()
+        for candidate in (table, table.upper(), table.lower()):
+            rs = meta.getTables(None, None, candidate, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
 
 
 def execute_jdbc(
