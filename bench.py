@@ -79,6 +79,7 @@ EXT = [
     "snapshot_merge_partitioned",
     "ann_recall_honest",
     "dsir_importance_resample",
+    "ann_recall_lloyd",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -166,6 +167,7 @@ EXT_BASELINE_R6 = {
     "snapshot_merge_partitioned": 1.6,
     "ann_recall_honest": 2.1,
     "dsir_importance_resample": 1.1,
+    "ann_recall_lloyd": 4.3,
 }
 
 EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5, **EXT_BASELINE_R6}

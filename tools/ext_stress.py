@@ -62,6 +62,9 @@ EMB_QUERIES = (
     # r6: the honest-seed recall curve — same linear assignment plan as
     # ann_recall_report, larger constant (4 nprobe tiers × query batch)
     "ann_recall_honest",
+    # r6: the honest curve + one Lloyd step (adds one broadcast
+    # assignment pass and a |centroids|×dim mean — still linear)
+    "ann_recall_lloyd",
 )
 EVT_QUERIES = (
     "retention_cohorts",
