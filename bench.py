@@ -80,6 +80,8 @@ EXT = [
     "ann_recall_honest",
     "dsir_importance_resample",
     "ann_recall_lloyd",
+    "ann_ivf2_topk",
+    "ann_ivf2_index_serve",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -168,6 +170,8 @@ EXT_BASELINE_R6 = {
     "ann_recall_honest": 2.1,
     "dsir_importance_resample": 1.1,
     "ann_recall_lloyd": 4.3,
+    "ann_ivf2_topk": 2.3,
+    "ann_ivf2_index_serve": 1.6,
 }
 
 EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5, **EXT_BASELINE_R6}

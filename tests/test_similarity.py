@@ -612,3 +612,74 @@ def test_ann_recall_honest_is_honest(spark, sf_dir):
     mean_4 = sum(c[4] for c in by_q.values()) / len(by_q)
     assert mean_1 < 0.8  # the coincidental 0.875 regime is gone
     assert mean_4 > mean_1  # probing wider genuinely recovers recall
+
+
+def test_ivf2_index_serve_matches_in_query_and_prunes_both_levels(spark, sf_dir):
+    """Two-level IVF: the materialized layout (partitionBy(coarse_id,
+    centroid_id)) must serve exactly the in-query cascade's rows, with
+    BOTH probe predicates landing in PartitionFilters — coarse trees
+    pruned before fine directories — and a fresh index reused on the
+    second call."""
+    import re
+
+    from vacancy_analyser_spark.plans.similarity import (
+        _ivf2_index_path,
+        _vectors,
+        ann_ivf2_index_serve,
+        ann_ivf2_topk,
+        auto_centroids,
+        coarse_centroid_count,
+    )
+    from vacancy_analyser_spark.io import materialization_is_fresh
+
+    serve = ann_ivf2_index_serve(spark, sf_dir)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("coarse_id" in p and "centroid_id" in p for p in pfs), pfs
+    got = [(r["vec_id"], r["sim"]) for r in serve.collect()]
+    want = [(r["vec_id"], r["sim"]) for r in ann_ivf2_topk(spark, sf_dir).collect()]
+    assert got == want and len(got) > 0
+    k = auto_centroids(_vectors(spark, sf_dir).count())
+    import os
+
+    assert materialization_is_fresh(
+        _ivf2_index_path(sf_dir, k, coarse_centroid_count(k)),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+
+
+def test_ivf2_cascade_never_rescores_and_stays_in_probed_cells(spark, sf_dir):
+    """Approximation contract: every returned sim equals the exact cosine
+    (approximation drops candidates, never rescores), and every returned
+    vector's fine cell is one of the cascade's probed fine centroids."""
+    from pyspark.sql import functions as F
+
+    from vacancy_analyser_spark.plans.similarity import (
+        _ivf_ranked,
+        _vectors,
+        ann_ivf2_topk,
+        cosine,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    q_emb = vecs.filter(F.col("vec_id") == 0).head()["embedding"]
+    qc = F.array(*[F.lit(float(x)) for x in q_emb])
+    exact = {
+        r["vec_id"]: r["s"]
+        for r in vecs.select(
+            "vec_id", F.round(cosine(F.col("embedding"), qc), 6).alias("s")
+        ).collect()
+    }
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _ivf_ranked(vecs).filter(F.col("rn") == 1).collect()
+    }
+    rows = ann_ivf2_topk(spark, sf_dir).collect()
+    assert rows
+    cells = {assigned[r["vec_id"]] for r in rows}
+    for r in rows:
+        assert r["sim"] == exact[r["vec_id"]]
+        assert assigned[r["vec_id"]] in cells
+    from vacancy_analyser_spark.plans.similarity import IVF2_NPROBE_F
+
+    assert len(cells) <= IVF2_NPROBE_F

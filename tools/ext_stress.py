@@ -65,6 +65,9 @@ EMB_QUERIES = (
     # r6: the honest curve + one Lloyd step (adds one broadcast
     # assignment pass and a |centroids|×dim mean — still linear)
     "ann_recall_lloyd",
+    # r6: two-level IVF — the probe cascade over coarse cells; the full
+    # fine assignment dominates, so ~the one-level linearity
+    "ann_ivf2_topk",
 )
 EVT_QUERIES = (
     "retention_cohorts",

@@ -2566,3 +2566,292 @@ def ann_recall_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
     return _recall_frame(vecs, queries, _ranked_against(vecs, centroids), ANN_HONEST_NPROBES)
+
+
+#: Two-level IVF: fine centroids per coarse cell. The one-level design's
+#: ceiling is the centroid BROADCAST (IVF_MAX_K ≈ 65k — see the auto-k
+#: block): past it, a query ranking against every fine centroid stops
+#: scaling. The coarse quantizer cuts the query's centroid scan from k to
+#: k_c + nprobe_c · (k / k_c) comparisons (√k-balanced at
+#: k_c ≈ √k; the fixed per-cell bucket keeps k_c ∝ k here, matching the
+#: corpus-∝ auto-k), and gives the index a two-level partition layout
+#: (coarse=…/fine=…) so a probe prunes whole coarse directories first.
+IVF2_COARSE_BUCKET = 64
+IVF2_MIN_KC, IVF2_MAX_KC = 2, 1024
+IVF2_NPROBE_C = 2
+IVF2_NPROBE_F = 2
+
+#: The coarse count in the oracles' dialect (nested over AUTO_K_SQL so
+#: both engines derive it from the identical corpus count).
+KC_SQL = (
+    f"(SELECT LEAST({IVF2_MAX_KC}, GREATEST({IVF2_MIN_KC}, "
+    f"{AUTO_K_SQL} // {IVF2_COARSE_BUCKET})))"
+)
+
+
+def coarse_centroid_count(k: int) -> int:
+    """Coarse-cell count for k fine centroids (see constants above)."""
+    return min(IVF2_MAX_KC, max(IVF2_MIN_KC, k // IVF2_COARSE_BUCKET))
+
+
+#: The full two-level cascade replay — shared by ann_ivf2_topk (in-query)
+#: and ann_ivf2_index_serve (materialized layout), the same oracle-reuse
+#: pattern as _ivf_oracle for ivf_index_probe: identical results from
+#: either physical shape is exactly what the second registration proves.
+_IVF2_ORACLE = f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        fine AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
+        ),
+        coarse AS (
+            SELECT vec_id AS coarse_id, emb AS g_emb
+            FROM vecs WHERE vec_id < {KC_SQL}
+        ),
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0),
+        probes_c AS (
+            SELECT coarse_id FROM coarse g CROSS JOIN q
+            ORDER BY round(list_cosine_similarity(g.g_emb, q.q_emb), 9) DESC, coarse_id
+            LIMIT {IVF2_NPROBE_C}
+        ),
+        probes_f AS (
+            SELECT f.centroid_id
+            FROM fine f JOIN f2c USING (centroid_id)
+            JOIN probes_c USING (coarse_id) CROSS JOIN q
+            ORDER BY round(list_cosine_similarity(f.c_emb, q.q_emb), 9) DESC, f.centroid_id
+            LIMIT {IVF2_NPROBE_F}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id AS vec_id,
+               round(list_cosine_similarity(a.emb, q.q_emb), 6) AS sim
+        FROM assigned a JOIN probes_f p ON a.centroid_id = p.centroid_id CROSS JOIN q
+        WHERE a.vec_id <> 0
+        ORDER BY sim DESC, a.vec_id
+        LIMIT {IVF_K}
+    """
+
+
+@register("ann_ivf2_topk", oracle=_IVF2_ORACLE, tags=("ext-sim",))
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF serving — the documented design past the one-level
+    broadcast ceiling (see the auto-k block: at k > IVF_MAX_K the answer
+    is 'coarse centroids over centroid groups, not a bigger broadcast'),
+    now a driver-checked key instead of a docstring promise. The probe
+    cascade: rank the query against k_c COARSE cells (tiny), open the
+    top IVF2_NPROBE_C cells, rank only THEIR fine centroids (≈nprobe_c ·
+    k/k_c instead of all k), open the top IVF2_NPROBE_F fine buckets,
+    exact top-k inside. Every stage deterministic (first-k seeds at both
+    levels, round-9 argmax, id tie-breaks), so DuckDB replays the whole
+    cascade and the driver hash-checks it.
+
+    The in-query build keeps the one-pass broadcast assignment to fine
+    centroids (the thing being demonstrated is the QUERY cascade and the
+    two-level layout); a materialized variant writes
+    partitionBy(coarse_id, centroid_id) so a probe prunes whole coarse
+    directories before fine ones — at 100 TB with k = 65k fine cells in
+    1024 coarse groups, a query ranks 1024 + 2·64 centroids instead of
+    65k, and the scan still reads only nprobe fine directories."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    kc = coarse_centroid_count(k)
+    fine = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    coarse = vecs.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
+    )
+    wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "c_emb",
+            "coarse_id",
+            F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "c_emb", "coarse_id")
+    )
+    q = F.broadcast(vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
+    probes_c = F.broadcast(
+        coarse.crossJoin(q)
+        .select("coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s"))
+        .orderBy(F.col("s").desc(), "coarse_id")
+        .limit(IVF2_NPROBE_C)
+        .select("coarse_id")
+    )
+    probes_f = F.broadcast(
+        f2c.join(probes_c, "coarse_id")
+        .crossJoin(q)
+        .select("centroid_id", F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s"))
+        .orderBy(F.col("s").desc(), "centroid_id")
+        .limit(IVF2_NPROBE_F)
+        .select("centroid_id")
+    )
+    assigned = (
+        _ranked_against(vecs, fine)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        assigned.join(probes_f, "centroid_id")
+        .crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(IVF_K)
+    )
+
+
+def _ivf2_index_path(sf_dir: str, k: int, kc: int) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+    )
+    # recipe-tagged (the _ivf_index_path identity rule): both level sizes
+    # are part of the layout; either changing must produce a new index
+    return os.path.join(warehouse, f"ivf2_{tag}", f"index_c{k}_g{kc}")
+
+
+def ivf2_build_index(
+    spark: SparkSession, sf_dir: str, path: str, k: int, kc: int
+) -> None:
+    """Materialize the two-level index: every vector with its fine cell
+    AND its fine cell's coarse cell, written partitionBy(coarse_id,
+    centroid_id) — the nested directory layout where a probe prunes whole
+    coarse trees before fine ones."""
+    vecs = _vectors(spark, sf_dir)
+    fine = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    coarse = vecs.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
+    )
+    wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "coarse_id",
+            F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "coarse_id")
+    )
+    assigned = (
+        _ranked_against(vecs, fine)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    (
+        assigned.join(F.broadcast(f2c), "centroid_id")
+        .write.partitionBy("coarse_id", "centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "ann_ivf2_index_serve",
+    oracle=_IVF2_ORACLE,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivf2_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/probe-cheap half of the two-level design: the index
+    from ivf2_build_index (partitionBy(coarse_id, centroid_id)), probed
+    by the same deterministic cascade as ann_ivf2_topk — so the oracle is
+    the SAME replay, and the driver hash proves the materialized layout
+    serves identical results. The probe's isin() filters sit on BOTH
+    partition columns: planning-time pruning opens only the probed fine
+    directories inside the probed coarse trees
+    (tests/test_similarity.py asserts the PartitionFilters)."""
+    import os
+
+    from ..io import materialization_is_fresh
+
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    kc = coarse_centroid_count(k)
+    path = _ivf2_index_path(sf_dir, k, kc)
+    if not materialization_is_fresh(path, os.path.join(sf_dir, "embeddings.parquet")):
+        ivf2_build_index(spark, sf_dir, path, k, kc)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    if q_row is None:
+        return spark.createDataFrame([], "vec_id bigint, sim double")
+    fine = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    coarse = vecs.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
+    )
+    q = F.broadcast(vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
+    # the cascade's two shortlists are control-plane scalars (≤ a few ids)
+    probes_c = [
+        r["coarse_id"]
+        for r in coarse.crossJoin(q)
+        .select("coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s"))
+        .orderBy(F.col("s").desc(), "coarse_id")
+        .limit(IVF2_NPROBE_C)
+        .collect()
+    ]
+    wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "c_emb",
+            "coarse_id",
+            F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+    )
+    probes_f = [
+        r["centroid_id"]
+        for r in f2c.filter(F.col("coarse_id").isin(probes_c))
+        .crossJoin(q)
+        .select("centroid_id", F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s"))
+        .orderBy(F.col("s").desc(), "centroid_id")
+        .limit(IVF2_NPROBE_F)
+        .collect()
+    ]
+    q_emb = q_row[0]
+    qc = F.array(*[F.lit(float(x)) for x in q_emb])
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("coarse_id").isin(probes_c) & F.col("centroid_id").isin(probes_f))
+        .filter(F.col("vec_id") != 0)
+    )
+    sim = F.round(cosine(F.col("embedding").cast("array<double>"), qc), 6)
+    return (
+        idx.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(IVF_K)
+    )
