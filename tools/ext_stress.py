@@ -68,6 +68,7 @@ EMB_QUERIES = (
     # r6: two-level IVF — the probe cascade over coarse cells; the full
     # fine assignment dominates, so ~the one-level linearity
     "ann_ivf2_topk",
+    "ann_recall_ivf2",
 )
 EVT_QUERIES = (
     "retention_cohorts",

@@ -2855,3 +2855,231 @@ def ann_ivf2_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(IVF_K)
     )
+
+
+#: Fine-probe tiers for the two-level recall report (coarse width fixed
+#: at the registered IVF2_NPROBE_C).
+IVF2_RECALL_NPROBES_F = (1, 2, 3, 4)
+
+
+@register(
+    "ann_recall_ivf2",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        fine AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
+        ),
+        coarse AS (
+            SELECT vec_id AS coarse_id, emb AS g_emb
+            FROM vecs WHERE vec_id < {KC_SQL}
+        ),
+        f2c AS (
+            SELECT centroid_id, c_emb, coarse_id FROM (
+                SELECT f.centroid_id, f.c_emb, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM vecs WHERE vec_id < {ANN_RECALL_NQ}
+        ),
+        qc AS (
+            SELECT q_id, coarse_id FROM (
+                SELECT q.q_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(g.g_emb, q.q_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM coarse g CROSS JOIN queries q
+            ) WHERE rn <= {IVF2_NPROBE_C}
+        ),
+        qf AS (
+            SELECT q_id, centroid_id, rn_f FROM (
+                SELECT c.q_id, f.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, q.q_emb), 9) DESC,
+                                    f.centroid_id
+                       ) AS rn_f
+                FROM f2c f JOIN qc c ON f.coarse_id = c.coarse_id
+                JOIN queries q ON q.q_id = c.q_id
+            )
+        ),
+        probes AS (
+            SELECT qf.q_id, np.nprobe, qf.centroid_id
+            FROM qf CROSS JOIN (
+                SELECT unnest([{", ".join(str(p) for p in IVF2_RECALL_NPROBES_F)}]) AS nprobe
+            ) np
+            WHERE qf.rn_f <= np.nprobe
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        cand AS (
+            SELECT p.q_id, p.nprobe, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, c.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.nprobe
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, nprobe FROM probes),
+        counts AS (
+            SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.nprobe
+        )
+        SELECT g.q_id, g.nprobe, COALESCE(c.n_hits, 0) AS n_hits,
+               CAST(COALESCE(c.n_hits, 0) AS DOUBLE) / {IVF_K} AS recall
+        FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.nprobe = c.nprobe
+    """,
+    tags=("ext-sim", "contract"),
+)
+def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the TWO-LEVEL cascade — the coarse quantizer's accuracy
+    bill, priced next to ann_recall_report in the same artifact. Same
+    contract query set (vec_ids 0..NQ) and fine tier as the one-level
+    report, coarse width fixed at the registered IVF2_NPROBE_C; the fine
+    probe sweeps 1..4 WITHIN the probed coarse cells. Where the
+    one-level report's nprobe=n opens the query's n nearest fine buckets
+    globally, this curve can only open fine buckets the coarse stage
+    kept — the recall gap between the two curves at equal nprobe IS the
+    coarse-pruning loss, now a hash-pinned number per round (measured at
+    sf0.01: equal recall at every tier — the coarse stage prunes nothing
+    the fine probe would have kept at this scale, i.e. the 2-of-k_c
+    coarse shortlist still contains every fine bucket the one-level
+    probe opens).
+
+    At 100 TB this is the evaluation that says whether k_c/nprobe_c are
+    sized right: a widening gap means the coarse tier is starving the
+    fine probe, the same way the honest curve says how to size nprobe."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    kc = coarse_centroid_count(k)
+    fine = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    coarse = vecs.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
+    )
+    wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "c_emb",
+            "coarse_id",
+            F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "c_emb", "coarse_id")
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    wqc = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("coarse_id"))
+    qc = (
+        coarse.crossJoin(queries)
+        .select(
+            "q_id", "coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s")
+        )
+        .withColumn("rn", F.row_number().over(wqc))
+        .filter(F.col("rn") <= IVF2_NPROBE_C)
+        .select("q_id", "coarse_id")
+    )
+    wqf = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("centroid_id"))
+    qf = (
+        f2c.join(F.broadcast(qc), "coarse_id")
+        .join(queries, "q_id")
+        .select(
+            "q_id",
+            "centroid_id",
+            F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s"),
+        )
+        .withColumn("rn_f", F.row_number().over(wqf))
+    )
+    probes = F.broadcast(
+        qf.withColumn(
+            "nprobe", F.explode(F.array(*[F.lit(p) for p in IVF2_RECALL_NPROBES_F]))
+        )
+        .filter(F.col("rn_f") <= F.col("nprobe"))
+        .select("q_id", "nprobe", "centroid_id")
+    )
+    assigned = (
+        _ranked_against(vecs, fine)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    scored = (
+        vecs.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_K)
+        .select("q_id", "vec_id")
+    )
+    cand = (
+        assigned.join(probes, "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(queries, "q_id")
+    )
+    wqn = Window.partitionBy("q_id", "nprobe").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    ivf_top = (
+        cand.select("q_id", "nprobe", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wqn))
+        .filter(F.col("rn") <= IVF_K)
+        .select("q_id", "nprobe", "vec_id")
+    )
+    counts = (
+        ivf_top.join(exact, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id", "nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = probes.select("q_id", "nprobe").distinct()
+    return grid.join(counts, ["q_id", "nprobe"], "left").select(
+        "q_id",
+        "nprobe",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / IVF_K).alias("recall"),
+    )
