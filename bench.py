@@ -83,6 +83,7 @@ EXT = [
     "ann_ivf2_topk",
     "ann_ivf2_index_serve",
     "ann_recall_ivf2",
+    "corpus_selection_manifest",
 ]
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -174,6 +175,7 @@ EXT_BASELINE_R6 = {
     "ann_ivf2_topk": 2.3,
     "ann_ivf2_index_serve": 1.6,
     "ann_recall_ivf2": 3.4,
+    "corpus_selection_manifest": 4.1,
 }
 
 EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5, **EXT_BASELINE_R6}

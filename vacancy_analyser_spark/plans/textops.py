@@ -1852,38 +1852,49 @@ DSIR_TOP_N = 100
 DSIR_TARGET_LANG = "en"
 
 
-@register(
-    "dsir_importance_resample",
-    oracle=f"""
-        WITH tok AS (
+#: The DSIR model CTEs (tokenize → dual-count → totals → per-token
+#: log-ratio), shared by the selection key and the pipeline manifest so
+#: the two oracles compute the identical model. Names (dsir_tok/cw/tot/
+#: model) are prefixed to compose cleanly next to the keep-list chain.
+_DSIR_CTES = f"""dsir_tok AS (
             SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents
         ),
-        cw AS (
+        dsir_cw AS (
             SELECT w, COUNT(*) AS c_r,
                    COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS c_t
-            FROM tok GROUP BY w
+            FROM dsir_tok GROUP BY w
         ),
-        tot AS (
+        dsir_tot AS (
             SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
                    CAST(SUM(c_t) AS BIGINT) AS n_t,
                    CAST(COUNT(*) AS BIGINT) AS v
-            FROM cw
+            FROM dsir_cw
         ),
-        model AS (
+        dsir_model AS (
             SELECT w,
                    round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE)), 6)
                  - round(ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE)), 6)
                      AS delta
-            FROM cw CROSS JOIN tot
-        )
-        SELECT t.doc_id,
-               COUNT(*) AS n_tokens,
-               round(CAST(SUM(CAST(m.delta AS DECIMAL(18,6))) AS DOUBLE), 6)
-                   AS dsir_logweight
-        FROM tok t JOIN model m USING (w)
-        GROUP BY t.doc_id
-        ORDER BY dsir_logweight DESC, t.doc_id
-        LIMIT {DSIR_TOP_N}
+            FROM dsir_cw CROSS JOIN dsir_tot
+        ),
+        dsir_sel AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   round(CAST(SUM(CAST(m.delta AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS dsir_logweight
+            FROM dsir_tok t JOIN dsir_model m USING (w)
+            GROUP BY t.doc_id
+            ORDER BY dsir_logweight DESC, t.doc_id
+            LIMIT {DSIR_TOP_N}
+        )"""
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+        WITH {_DSIR_CTES}
+        SELECT doc_id, n_tokens, dsir_logweight FROM dsir_sel
+        ORDER BY dsir_logweight DESC, doc_id
     """,
     tags=("ext-corpus", "pipeline"),
 )
@@ -1944,3 +1955,77 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_logweight").desc(), "doc_id")
         .limit(DSIR_TOP_N)
     )
+
+
+@register(
+    "corpus_selection_manifest",
+    oracle=None,  # set below — needs the keep-list CTEs from dedup.py
+    tags=("ext-corpus", "pipeline"),
+)
+def corpus_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's stages COMPOSED, per language: total docs, docs the
+    dedup+quality keep-list keeps (corpus_keep_list verdicts), docs in
+    the DSIR top-N, and the final selection (kept ∩ DSIR-selected) — the
+    manifest a training-data owner reads before cutting a dataset. The
+    Spark side literally calls the two registered stages (their plans
+    compose; the shared gram/model subtrees are reused via their
+    persisted intermediates), and the oracle splices the SAME keep-list
+    and DSIR CTE chains into one statement — so the driver hash proves
+    the composition computes exactly what the stages compute alone.
+
+    At 100 TB each stage keeps its own scale story (documented on its
+    key); the composition adds only id-keyed joins of id-sized frames
+    and a |langs|-row aggregate."""
+    from .dedup import corpus_keep_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = corpus_keep_list(spark, sf_dir)
+    sel = dsir_importance_resample(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("in_dsir")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(verdicts, "doc_id")
+        .join(sel, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("verdict") == "kept", F.lit(1))).alias("n_kept"),
+            F.count(F.when(F.col("in_dsir"), F.lit(1))).alias("n_dsir_top"),
+            F.count(
+                F.when((F.col("verdict") == "kept") & F.col("in_dsir"), F.lit(1))
+            ).alias("n_selected"),
+        )
+    )
+
+
+# the manifest oracle splices dedup's keep-list chain next to the DSIR
+# chain (CTE names verified disjoint); assigned post-definition because
+# _KEEP_LIST_CTES lives in dedup.py and importing it at module top would
+# be circular (dedup imports from this module's sibling functions)
+def _set_manifest_oracle() -> None:
+    import dataclasses
+
+    from .dedup import _KEEP_LIST_CTES
+    from .registry import _REGISTRY
+
+    oracle = f"""
+        WITH RECURSIVE {_KEEP_LIST_CTES},
+        {_DSIR_CTES}
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE v.verdict = 'kept') AS n_kept,
+               COUNT(*) FILTER (WHERE s.doc_id IS NOT NULL) AS n_dsir_top,
+               COUNT(*) FILTER (WHERE v.verdict = 'kept' AND s.doc_id IS NOT NULL)
+                   AS n_selected
+        FROM documents d
+        JOIN verdicts v ON d.doc_id = v.doc_id
+        LEFT JOIN dsir_sel s ON d.doc_id = s.doc_id
+        GROUP BY d.lang
+    """
+    _REGISTRY["corpus_selection_manifest"] = dataclasses.replace(
+        _REGISTRY["corpus_selection_manifest"], oracle=oracle
+    )
+
+
+_set_manifest_oracle()
