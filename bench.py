@@ -275,7 +275,15 @@ def main() -> None:
         if sf == 0.1
         else {}
     )
-    out = {
+    # Two artifacts (r6 verdict item 5: BENCH_r04..06 recorded
+    # "parsed": null because one giant stdout line — headline + 44 ext
+    # ops + 1400 s of stress evidence — overflowed the driver's parser):
+    #   stdout  — the COMPACT driver-contract line only (headline queries
+    #             + value + a 3-field ext summary), ~1.5 KB like r1-r3.
+    #   BENCH_FULL.json — everything (per-ext-op timings, regression
+    #             details, the scale_stress blocks), written next to
+    #             this script for the judge / PLANS.md.
+    full = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
@@ -290,9 +298,24 @@ def main() -> None:
     # builders replicate $SPARK_GRAFT_SF_DIR; running them against the
     # tiny SFs would record numbers dominated by fixed overhead)
     if os.environ.get("SPARK_GRAFT_STRESS", "1") != "0" and sf == 0.1:
-        out["scale_stress"] = run_scale_stress(spark)
+        full["scale_stress"] = run_scale_stress(spark)
 
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    compact = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ext_total_wall": full["ext_total_wall"],
+        "ext_ops": len(ext_timings),
+        "ext_regressions": sorted(ext_regressions),
+        "full_artifact": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
 
 
 def run_scale_stress(spark) -> dict:

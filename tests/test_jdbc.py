@@ -165,3 +165,100 @@ def test_jdbc_upsert_stream_folds_changesets(spark, tmp_path):
     assert sorted((r["id"], r["score"]) for r in got3.collect()) == [
         (1, 10), (2, 99), (3, 30),
     ]
+
+
+def test_upsert_jdbc_dedups_batch_keys(spark, tmp_path):
+    """A batch with duplicate keys (the cold-start availableNow shape: all
+    existing changeset files folded into batch 0) must collapse last-wins
+    BEFORE the database sees it — on both paths: the bootstrap append (no
+    target yet — duplicates would land permanently) and the ANSI MERGE
+    (which raises 'multiple source rows match' on Derby/Postgres)."""
+    from vacancy_analyser_spark.io import upsert_jdbc
+
+    url = _url(tmp_path)
+    # bootstrap path: table does not exist, batch has key 1 twice
+    dup = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200), (2, 20, 100)], "id long, score long, ver long"
+    )
+    upsert_jdbc(spark, dup, url, "dd", key_cols=["id"], properties=DRIVER, order_col="ver")
+    got = read_jdbc(spark, url, "dd", properties=DRIVER)
+    assert sorted((r["id"], r["score"]) for r in got.collect()) == [(1, 11), (2, 20)]
+
+    # MERGE path: duplicates again, later version wins, no MERGE error
+    dup2 = spark.createDataFrame(
+        [(2, 98, 300), (2, 99, 400), (3, 30, 100)], "id long, score long, ver long"
+    )
+    upsert_jdbc(spark, dup2, url, "dd", key_cols=["id"], properties=DRIVER, order_col="ver")
+    got2 = read_jdbc(spark, url, "dd", properties=DRIVER)
+    assert sorted((r["id"], r["score"]) for r in got2.collect()) == [
+        (1, 11), (2, 99), (3, 30),
+    ]
+
+
+def test_last_wins_without_order_col_is_deterministic(spark):
+    """No version column: the fallback orders by all non-key columns, so
+    the winner is data-determined (and exact-duplicate rows are one row)."""
+    from vacancy_analyser_spark.io import last_wins_per_key
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 9), (1, 9), (2, 3)], "id long, score long"
+    )
+    got = last_wins_per_key(df, ["id"])
+    assert sorted((r["id"], r["score"]) for r in got.collect()) == [(1, 9), (2, 3)]
+
+
+def test_jdbc_upsert_stream_processing_time_trigger(spark, tmp_path):
+    """The reference's resident 60 s poll loop (feeder_postgres.py:251-259)
+    as a ProcessingTime-trigger stream: multiple micro-batches against
+    Derby, each folded through the same exactly-once MERGE — the one
+    trigger mode the availableNow tests don't cover."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from vacancy_analyser_spark.streaming.jdbc_sink import start_jdbc_upsert_stream
+
+    url = _url(tmp_path)
+    src = str(tmp_path / "pt_changesets")
+    ckpt = str(tmp_path / "pt_ckpt")
+    os.makedirs(src)
+    schema = T.StructType.fromDDL("id long, score long")
+
+    def _drop(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    def _wait_for(expected, timeout=60):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                from vacancy_analyser_spark.io import jdbc_table_exists
+
+                if jdbc_table_exists(spark, url, "ptfed", DRIVER):
+                    got = read_jdbc(spark, url, "ptfed", properties=DRIVER)
+                    if sorted((r["id"], r["score"]) for r in got.collect()) == expected:
+                        return True
+            except Exception:
+                pass
+            time.sleep(0.5)
+        return False
+
+    _drop([(1, 10), (2, 20)], "r1")
+    q = start_jdbc_upsert_stream(
+        spark.readStream.schema(schema).option("recursiveFileLookup", True).parquet(src),
+        url,
+        "ptfed",
+        key_cols=["id"],
+        checkpoint=ckpt,
+        properties=DRIVER,
+        available_now=False,
+        processing_time="1 second",
+    )
+    try:
+        assert _wait_for([(1, 10), (2, 20)]), "batch 0 did not fold"
+        _drop([(2, 99), (3, 30)], "r2")          # later micro-batch: update + insert
+        assert _wait_for([(1, 10), (2, 99), (3, 30)]), "batch 1 did not fold"
+    finally:
+        q.stop()

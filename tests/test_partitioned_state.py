@@ -126,3 +126,53 @@ def test_store_path_encodes_build_recipe(monkeypatch):
     monkeypatch.setattr(snap, "_CS_MOD", 7)
     alt2_a, _ = snap._partstate_paths("/root/testdata/sf0.001")
     assert alt2_a != alt_a
+
+
+def test_merge_with_delete_semantics_empties_bucket(spark, tmp_path):
+    """A merge_fn that returns ZERO rows for a touched bucket (delete
+    semantics) must actually empty it: dynamic partition overwrite only
+    replaces partitions present in the written frame, so the operator
+    sweeps emptied buckets' directories explicitly — deleted rows must
+    not reappear on the next full read."""
+    path = str(tmp_path / "delstate")
+    # one small state: ids 0..19
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, v long")
+    write_state(df, path, key="id", n_buckets=N_BUCKETS)
+
+    # delete EVERY key in id 0..19 that shares a bucket with id=7, plus
+    # upsert one key in a different bucket — so one touched bucket ends
+    # empty and another stays populated
+    b7 = spark.range(1).select(bucket_of(F.lit(7), N_BUCKETS).alias("b")).collect()[0]["b"]
+    doomed = [
+        r["id"]
+        for r in df.select("id")
+        .withColumn("b", bucket_of("id", N_BUCKETS))
+        .filter(F.col("b") == b7)
+        .collect()
+    ]
+    other = next(
+        r["id"]
+        for r in df.select("id")
+        .withColumn("b", bucket_of("id", N_BUCKETS))
+        .filter(F.col("b") != b7)
+        .collect()
+    )
+    ch = spark.createDataFrame([(i, -1) for i in doomed] + [(other, 777)], "id long, v long")
+
+    def _delete_or_update(old, changeset):
+        # v == -1 → delete; else upsert
+        upd = changeset.filter(F.col("v") != -1)
+        dels = changeset.filter(F.col("v") == -1).select("id")
+        merged = _upsert(old, upd)
+        return merged.join(dels, "id", "left_anti")
+
+    merge_changeset_partitioned(spark, path, ch, _delete_or_update, key="id", n_buckets=N_BUCKETS)
+
+    got = spark.read.parquet(path)
+    ids = sorted(r["id"] for r in got.collect())
+    assert all(i not in ids for i in doomed), "deleted rows reappeared"
+    assert (
+        got.filter(F.col("id") == other).collect()[0]["v"] == 777
+    ), "upsert in sibling bucket lost"
+    # the emptied bucket's directory is gone
+    assert not os.path.exists(os.path.join(path, f"{BUCKET_COL}={b7}"))

@@ -14,6 +14,7 @@ Reference parity notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import TESTDATA_SCHEMAS
 from .session import MAX_RECORDS_PER_FILE
@@ -187,6 +188,35 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def last_wins_per_key(
+    df: DataFrame, key_cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Collapse ``df`` to one row per key with a deterministic last-wins
+    rule. ANSI MERGE raises on multiple source rows matching one target row
+    (and a bootstrap append would silently keep the duplicates), so every
+    upsert batch must be key-unique BEFORE it reaches the database.
+
+    Ordering: ``order_col`` DESC when given (a version / scraped-at column —
+    the reference's snapshots carry ``data_pull_date``); otherwise every
+    non-key column DESC, which is deterministic because rows that still tie
+    are exact duplicates and either one is the same row."""
+    from pyspark.sql.window import Window
+
+    order_exprs = (
+        [F.col(order_col).desc_nulls_last()]
+        if order_col
+        else [F.col(c).desc_nulls_last() for c in df.columns if c not in key_cols]
+    )
+    if not order_exprs:  # key-only schema: rows within a key are identical
+        return df.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*order_exprs)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def upsert_jdbc(
     spark: SparkSession,
     df: DataFrame,
@@ -195,6 +225,7 @@ def upsert_jdbc(
     key_cols: list[str],
     properties: dict[str, str] | None = None,
     staging_table: str | None = None,
+    order_col: str | None = None,
 ) -> None:
     """Set-based JDBC upsert: the reference's conditional INSERT/UPDATE row
     loop (feeder_postgres.py:147-177 — one SELECT + one INSERT-or-UPDATE
@@ -205,8 +236,16 @@ def upsert_jdbc(
     2. ONE database-side ``MERGE INTO target USING staging`` folds it in —
        set-based, planned by the database, no per-row network round trips.
 
+    The batch is first reduced to one row per key (``last_wins_per_key``):
+    a cold-start availableNow stream folds EVERY existing changeset file
+    into batch 0, so in-batch key duplicates are the normal case, and both
+    failure modes (MERGE 'multiple source rows match', duplicate bootstrap
+    appends) are prevented here rather than documented away. Pass
+    ``order_col`` to pick the winner by a version/timestamp column.
+
     Tested end-to-end against embedded Derby (tests/test_jdbc.py), whose
     MERGE is the same ANSI form Postgres 15+ speaks."""
+    df = last_wins_per_key(df, key_cols, order_col)
     if not jdbc_table_exists(spark, url, table, properties):
         # first changeset bootstraps the target (a stream's batch 0, a
         # fresh environment): plain parallel append creates the table

@@ -96,8 +96,35 @@ def merge_changeset_partitioned(
     # localCheckpoint severs the merged plan's lineage from state_path:
     # Spark (correctly) refuses to overwrite a path its input plan still
     # reads from, and the checkpoint is only the k/N touched fraction —
-    # the bounded slice this operator exists to isolate.
-    old = read_buckets(spark, state_path, buckets).drop(BUCKET_COL).localCheckpoint(eager=True)
-    merged = merge_fn(old, changeset).withColumn(BUCKET_COL, bucket_of(key, n_buckets))
+    # the bounded slice this operator exists to isolate. Checkpointing
+    # MERGED (not just old) also lets the emptied-bucket sweep below read
+    # the written partition set without recomputing the merge.
+    old = read_buckets(spark, state_path, buckets).drop(BUCKET_COL)
+    merged = (
+        merge_fn(old, changeset)
+        .withColumn(BUCKET_COL, bucket_of(key, n_buckets))
+        .localCheckpoint(eager=True)
+    )
     overwrite_buckets(merged, state_path)
+    # Dynamic partition overwrite replaces only partitions PRESENT in the
+    # written frame — a merge_fn with delete semantics that empties a
+    # touched bucket leaves the bucket's old files behind and the deleted
+    # rows would reappear. Sweep those buckets' directories explicitly.
+    present = {
+        r["b"] for r in merged.select(F.col(BUCKET_COL).alias("b")).distinct().collect()
+    }
+    emptied = [b for b in buckets if b not in present]
+    if emptied:
+        _delete_bucket_dirs(spark, state_path, emptied)
     return buckets
+
+
+def _delete_bucket_dirs(spark: SparkSession, path: str, buckets: list[int]) -> None:
+    """Remove ``<path>/id_bucket=<b>`` for each emptied bucket via the
+    Hadoop FileSystem API (works for local paths and object stores alike)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}={b}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)

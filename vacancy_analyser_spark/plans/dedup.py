@@ -241,6 +241,12 @@ MAX_CANDJOIN_WIDTH = 4096
 #: exact tier should hand off to MinHash-LSH rather than take more
 #: partitions. A clamped dispatch also logs a warning so the signal
 #: reaches non-harness callers.
+#:
+#: Concurrency note: this is a module-level last-writer-wins record — two
+#: dispatches racing from different threads/sessions interleave. It is
+#: observability (tests + the stress harness read it right after a
+#: single-threaded dispatch), never control flow, so a torn read can at
+#: worst mislabel a diagnostic, not change a plan.
 LAST_SPARSE_DISPATCH: dict = {}
 
 
@@ -299,7 +305,12 @@ def _sparse_plan_for(
         LAST_SPARSE_DISPATCH["plan"] = plans[1].__name__
         return plans[1]
     LAST_SPARSE_DISPATCH["plan"] = plans[0].__name__
-    session_width = int(g.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        # non-numeric on some platforms (e.g. "auto" under auto-optimized
+        # shuffle) — a broken parse must not take down every dispatch
+        session_width = int(g.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        session_width = 200
     mass_width = math.ceil(cand_rows / CAND_ROWS_PER_PARTITION)
     if mass_width > session_width:
         width = min(MAX_CANDJOIN_WIDTH, mass_width)

@@ -112,7 +112,11 @@ class TextfileExporter:
     def __call__(self, name: str, record: dict[str, Any]) -> None:
         with self._lock:
             self._latest[name] = record
-            text = render_prometheus(self._latest, self._dropped)
+            # snapshot: attach_drops keeps a reference to the listener's
+            # LIVE dict, which the listener-bus thread mutates — HttpExporter
+            # snapshots for exactly this race; render from a copy here too
+            dropped = dict(self._dropped) if self._dropped is not None else None
+            text = render_prometheus(self._latest, dropped)
             d = os.path.dirname(os.path.abspath(self.path))
             fd, tmp = tempfile.mkstemp(dir=d, suffix=".prom.tmp")
             try:

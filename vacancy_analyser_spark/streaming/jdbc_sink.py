@@ -37,24 +37,36 @@ def start_jdbc_upsert_stream(
     checkpoint: str,
     properties: dict[str, str] | None = None,
     available_now: bool = True,
+    order_col: str | None = None,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Fold a streaming DataFrame of changesets into a JDBC table.
 
     ``changesets`` is any streaming frame (typically ``readStream`` over a
     snapshot/changeset directory). ``available_now=True`` drains what is
     currently available and stops — the batch-job shape the reference's
-    cron-style feeder has; pass False with a trigger set by the caller for
-    a resident stream.
+    cron-style feeder has; pass ``available_now=False`` with
+    ``processing_time`` (e.g. ``"60 seconds"`` — the reference's poll
+    interval, feeder_postgres.py:251-259) for a resident stream.
+
+    In-batch key duplicates are collapsed last-wins inside ``upsert_jdbc``
+    (a cold-start availableNow run folds ALL existing files into batch 0);
+    ``order_col`` names the version/timestamp column that picks the winner.
     """
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_jdbc(batch_df.sparkSession, batch_df, url, table, key_cols, properties)
+        upsert_jdbc(
+            batch_df.sparkSession, batch_df, url, table, key_cols, properties,
+            order_col=order_col,
+        )
 
     writer = changesets.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
