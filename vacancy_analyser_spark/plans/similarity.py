@@ -2140,7 +2140,12 @@ def _recall_frame(
         .select("q_id", "vec_id")
     )
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
-    probes = F.broadcast(
+    # The broadcast hint goes on the CONSUMING equi-join below, not on the
+    # probes definition: probes also feeds the grid as the LEFT side of the
+    # final left-outer join, where Spark cannot build the left side — a
+    # lineage-level hint there is silently dropped (HintErrorLogger noise on
+    # every run) while hinting at the join site broadcasts where it can.
+    probes = (
         ranked.join(
             queries.select("q_id"), ranked.vec_id == F.col("q_id"), "inner"
         )
@@ -2150,7 +2155,7 @@ def _recall_frame(
         .select("q_id", "nprobe", "centroid_id")
     )
     cand = (
-        assigned.join(probes, "centroid_id")
+        assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(queries, "q_id")
     )
@@ -2168,7 +2173,10 @@ def _recall_frame(
     )
     grid = probes.select("q_id", "nprobe").distinct()
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
-    return grid.join(counts, ["q_id", "nprobe"], "left").select(
+    # counts is NQ×|nprobes| rows post-agg (size unknown to the optimizer):
+    # broadcasting the RIGHT side of the left join is legal and spares the
+    # grid an exchange.
+    return grid.join(F.broadcast(counts), ["q_id", "nprobe"], "left").select(
         "q_id",
         "nprobe",
         n_hits.alias("n_hits"),
@@ -3035,7 +3043,10 @@ def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn_f", F.row_number().over(wqf))
     )
-    probes = F.broadcast(
+    # Hint at the consuming join site, not here: probes also feeds the grid
+    # (left side of the final left-outer join, not buildable) — see
+    # _recall_frame's twin comment.
+    probes = (
         qf.withColumn(
             "nprobe", F.explode(F.array(*[F.lit(p) for p in IVF2_RECALL_NPROBES_F]))
         )
@@ -3060,7 +3071,7 @@ def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     cand = (
-        assigned.join(probes, "centroid_id")
+        assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(queries, "q_id")
     )
@@ -3077,7 +3088,7 @@ def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hits"))
     )
     grid = probes.select("q_id", "nprobe").distinct()
-    return grid.join(counts, ["q_id", "nprobe"], "left").select(
+    return grid.join(F.broadcast(counts), ["q_id", "nprobe"], "left").select(
         "q_id",
         "nprobe",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
