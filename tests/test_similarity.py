@@ -15,11 +15,14 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     ivf_ids = [r["vec_id"] for r in ivf]
 
     assert len(ivf_ids) == IVF_K
-    # On the harness embeddings (label-clustered) the probed bucket holds
-    # the true neighborhood: recall@5 is 5/5 measured; assert ≥ 4/5 so a
-    # testdata regeneration with slightly different clustering cannot flake
-    # the suite while a real quality regression still fails it.
-    assert len(set(bf_ids) & set(ivf_ids)) >= IVF_K - 1
+    # Since the r8 Lloyd flip the index is the honest trained recipe, not
+    # the first-k seed whose 5/5 single-probe recall was an evaluation
+    # coincidence (query 0 WAS a centroid — kmeans_train's docstring).
+    # Measured single-probe recall at sf0.001 is 2/5 (boundary-loss floor;
+    # the curve climbs with nprobe and is driver-hash-pinned bit-exact in
+    # ann_recall_report). Assert measured-minus-one so a testdata
+    # regeneration cannot flake the suite while a collapse still fails it.
+    assert len(set(bf_ids) & set(ivf_ids)) >= 1
     # Any id the IVF path returns must carry the same similarity the exact
     # path computes — approximation may drop candidates, never rescore them.
     for r in ivf:
@@ -54,7 +57,9 @@ def test_ivf_nprobe2_registered_entry_recall_floor(spark, sf_dir):
     truth_sims = {r["vec_id"]: r["sim"] for r in truth}
     got = ann_ivf_topk_nprobe2(spark, sf_dir).collect()
     assert len(got) == IVF_K
-    assert len({r["vec_id"] for r in got} & set(truth_sims)) >= IVF_K - 1
+    # Measured 3/5 at sf0.001 under the Lloyd recipe (see the nprobe=1
+    # test's comment); floor at measured-minus-one.
+    assert len({r["vec_id"] for r in got} & set(truth_sims)) >= 2
     for r in got:
         if r["vec_id"] in truth_sims:
             assert r["sim"] == truth_sims[r["vec_id"]]
@@ -144,11 +149,13 @@ def test_ivf_partitioned_index_prunes_probe(spark, sf_dir, tmp_path):
     reads ONLY the probed bucket's directory — partition pruning visible
     in both the plan and the actual input files — and (b) returns exactly
     the nprobe=1 result."""
+    import os
+
     from pyspark.sql import functions as FF
 
     from vacancy_analyser_spark.plans.similarity import (
         IVF_K,
-        _ivf_ranked,
+        _ranked_against,
         _vectors,
         ivf_build_index,
         ivf_probe_index,
@@ -159,11 +166,15 @@ def test_ivf_partitioned_index_prunes_probe(spark, sf_dir, tmp_path):
 
     vecs = _vectors(spark, sf_dir)
     q = vecs.filter(FF.col("vec_id") == 0).collect()[0]["embedding"]
+    # the serving pattern: rank the query against the STORED centroids
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
     q_centroid = (
-        _ivf_ranked(vecs).filter("vec_id = 0 and rn = 1").collect()[0]["centroid_id"]
+        _ranked_against(vecs.filter(FF.col("vec_id") == 0), cent_r)
+        .filter("rn = 1")
+        .collect()[0]["centroid_id"]
     )
 
-    probe = ivf_probe_index(spark, path, q, [q_centroid], k=IVF_K + 1)
+    probe = ivf_probe_index(spark, os.path.join(path, "vectors"), q, [q_centroid], k=IVF_K + 1)
     # pruning is real: the isin predicate lands in PartitionFilters (planning
     # -time directory pruning), NOT as a post-scan data filter
     plan = probe._jdf.queryExecution().executedPlan().toString()

@@ -434,9 +434,11 @@ def kmeans_train(
     nothing at nprobe=1 (boundary loss is a partitioning property) but
     +0.18-0.23 recall at every nprobe ≥ 2, which is the measured case
     for paying the trainer pass in the index build;
-    (b) the registered serving keys keep the first-k seed because the
-    oracles replay it exactly — their correctness story is
-    determinism, not the inflated single-probe recall.
+    (b) since r8 the registered serving keys BUILD from that measured
+    recipe (lloyd_centroids = sample seed + one Lloyd step; oracles
+    replay the trainer via _lloyd_chain_sql) — the first-k seed
+    (_ivf_ranked) remains only for the bucketing consumers
+    (semantic_dedup, knn_graph) and the kmeans demos.
 
     ``k=None`` derives the centroid count from the corpus size
     (auto_centroids — the build-time default, so no caller hand-sets a k
@@ -566,19 +568,113 @@ def _ranked_against(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_centroids(vecs: DataFrame, k: int | None = None) -> DataFrame:
+    """The SERVING trainer: deterministic sample seed + ONE Lloyd step —
+    the exact recipe whose recall value is driver-pinned (ann_recall_lloyd
+    vs ann_recall_honest: +0.18-0.23 recall@5 at every nprobe ≥ 2 for one
+    extra assignment+mean pass per index build). Every serving key's index
+    builds from THIS frame since r8; the raw first-k seed (_ivf_ranked)
+    remains only for the bucketing consumers (semantic_dedup, knn_graph),
+    whose pair quality is measured separately, and the kmeans demos."""
+    return kmeans_train(vecs, k=k, n_iters=1, init="sample")
+
+
+def _ranked_lloyd(vecs: DataFrame, n_centroids: int | None = None) -> DataFrame:
+    """Every vector ranked against the Lloyd-refined serving centroids —
+    the serving twin of _ivf_ranked (same _ranked_against core, same
+    round-9/tie-break contract; only the centroid frame differs)."""
+    if n_centroids is None:
+        n_centroids = auto_centroids(vecs.count())
+    return _ranked_against(vecs, lloyd_centroids(vecs, n_centroids))
+
+
+def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "") -> str:
+    """CTE chain ``seeds → c0 → a1 → m1 → c1`` replaying lloyd_centroids
+    (sample seed via md5 ranking, one kmeans_step: round-9 argmax-cosine
+    assignment with centroid-id tie-break → DECIMAL(38,9)-exact
+    element-wise means) against a ``vecs`` CTE the caller provides. ONE
+    definition feeds ann_recall_lloyd and every serving oracle, so the
+    trainer replay cannot drift between keys. Splice after ``vecs`` with a
+    leading comma; the refined centroids are the ``{prefix}c1`` relation.
+    ``prefix`` namespaces the CTEs where the surrounding query already uses
+    the bare names (_PQ_CTES trains the PQ codebook through its own
+    c0/a1/m1)."""
+    if k_sql is None:
+        k_sql = AUTO_K_SQL
+    p = prefix
+    return f"""
+        {p}seeds AS (
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS srn
+                FROM vecs
+            ) WHERE srn <= {k_sql}
+        ),
+        {p}c0 AS (
+            SELECT v.vec_id AS centroid_id, v.emb AS c_emb
+            FROM vecs v JOIN {p}seeds s ON v.vec_id = s.vec_id
+        ),
+        {p}a1 AS (
+            SELECT vec_id, emb, centroid_id FROM (
+                SELECT v.vec_id, v.emb, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                    c.centroid_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN {p}c0 c
+            ) WHERE rn = 1
+        ),
+        {p}m1 AS (
+            SELECT centroid_id, pos - 1 AS pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+            FROM (
+                SELECT centroid_id, unnest(emb) AS val,
+                       generate_subscripts(emb, 1) AS pos
+                FROM {p}a1
+            )
+            GROUP BY centroid_id, pos
+        ),
+        {p}c1 AS (
+            SELECT centroid_id, list(m ORDER BY pos) AS c_emb
+            FROM {p}m1 GROUP BY centroid_id
+        )"""
+
+
 def ivf_build_index(
     spark: SparkSession, sf_dir: str, path: str, n_centroids: int | None = None
 ) -> None:
     """Materialize the IVF index the ivf_topk docstring promises at scale:
-    the assigned table written ``partitionBy(centroid_id)``, so a probe
-    reads nprobe directories via partition pruning instead of scanning the
-    whole index (plan-asserted in tests/test_similarity.py). Callers that
-    already derived auto-k pass it so the build doesn't re-count."""
+
+    - ``centroids/``: the Lloyd-refined serving centroids (lloyd_centroids
+      — sample seed + one kmeans_step), written FIRST and read back so the
+      stored frame and the assignment below cannot disagree. Persisting
+      the trainer output is what makes serving and incremental adds
+      train-free: probes rank against the stored table, and a new batch
+      assigns against the SAME frozen centroids (ann_index_incremental_add)
+      instead of retraining — retraining on the union would move every
+      centroid and invalidate the existing partitions.
+    - ``vectors/``: the assigned table written ``partitionBy(centroid_id)``,
+      so a probe reads nprobe directories via partition pruning instead of
+      scanning the whole index (plan-asserted in tests/test_similarity.py).
+
+    Callers that already derived auto-k pass it so the build doesn't
+    re-count."""
+    import os
+
     vecs = _vectors(spark, sf_dir)
-    assigned = _ivf_ranked(vecs, n_centroids).filter(F.col("rn") == 1).select(
+    cent = lloyd_centroids(vecs, n_centroids if n_centroids is not None
+                           else auto_centroids(vecs.count()))
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = _ranked_against(vecs, cent_r).filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "centroid_id"
     )
-    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
 
 
 def ivf_probe_index(
@@ -608,8 +704,9 @@ def ivf_probe_index(
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF approximate nearest neighbor with a tunable probe width.
 
-    Vectors are assigned to their nearest 'centroid' (deterministically:
-    the first N_CENTROIDS vectors act as centroids); the query probes its
+    Vectors are assigned to their nearest Lloyd-refined centroid
+    (lloyd_centroids — fully deterministic, so the oracle replays the
+    trainer exactly); the query probes its
     ``nprobe`` nearest centroids' buckets and exact top-k runs inside the
     probed union. nprobe trades scanned fraction for recall:
     nprobe=N_CENTROIDS degenerates to exact brute force (tested), nprobe=1
@@ -617,12 +714,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     (sf0.01, label-clustered): recall@5 = 1.0 already at nprobe=1 with
     ~1/8 of the table scanned — see PLANS.md for the sweep.
 
-    At scale: centroids come from a sampled k-means (Spark ML KMeans), the
-    assignment is a broadcast join against ≤10⁴ centroids, and the bucketed
-    table is written partitioned by centroid_id so a probe touches nprobe
-    partitions (partition pruning does the skipping)."""
+    At scale: centroids come from the deterministic Lloyd trainer
+    (lloyd_centroids — the refinement ann_recall_lloyd prices at +0.18-0.23
+    recall@5 for nprobe ≥ 2), the assignment is a broadcast join against
+    ≤10⁴ centroids, and the bucketed table is written partitioned by
+    centroid_id so a probe touches nprobe partitions (partition pruning
+    does the skipping)."""
     vecs = _vectors(spark, sf_dir)
-    ranked = _ivf_ranked(vecs)
+    ranked = _ranked_lloyd(vecs)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     # the query's nprobe nearest centroids (one tiny ranked frame)
     q_probes = F.broadcast(
@@ -646,15 +745,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
 def _ivf_oracle(nprobe: int) -> str:
     """The DuckDB replay of ivf_topk's deterministic index build + probe,
     parameterized by probe width so every registered nprobe gets its own
-    driver-checked entry."""
+    driver-checked entry. Since r8 the build half is the Lloyd-refined
+    serving trainer (_lloyd_chain_sql — sample seed + one kmeans_step),
+    not the raw first-k seed: the refinement's recall value is pinned by
+    ann_recall_lloyd, and the serve oracles replay the SAME chain so the
+    driver hash-checks the trainer inside the recipe it ships."""
     return f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
-        centroids AS (
-            SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {AUTO_K_SQL}
-        ),
+        {_lloyd_chain_sql()},
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
                    ROW_NUMBER() OVER (
@@ -662,7 +762,7 @@ def _ivf_oracle(nprobe: int) -> str:
                        ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
                                 c.centroid_id
                    ) AS rn
-            FROM vecs v CROSS JOIN centroids c
+            FROM vecs v CROSS JOIN c1 c
         ),
         assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
         q_probes AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn <= {nprobe}),
@@ -767,10 +867,11 @@ def _ivf_index_path(sf_dir: str, k: int) -> str:
     warehouse = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
-    # the builder recipe is part of the identity: a different derived k
-    # (or any future assignment constant) must produce a NEW index
-    # directory, never silently serve one built under the old recipe
-    return os.path.join(warehouse, f"ivf_{tag}", f"index_by_centroid_c{k}")
+    # the builder recipe is part of the identity: a different derived k,
+    # trainer (the r8 lloyd1 flip minted this tag), or any future
+    # assignment constant must produce a NEW index directory, never
+    # silently serve one built under the old recipe
+    return os.path.join(warehouse, f"ivf_{tag}", f"index_lloyd1_c{k}")
 
 
 def _ivf_index_is_fresh(path: str, sf_dir: str) -> bool:
@@ -778,13 +879,17 @@ def _ivf_index_is_fresh(path: str, sf_dir: str) -> bool:
     the same sf_dir would otherwise keep serving the stale index (the
     oracle replays from the fresh parquet — driver hash-mismatch at best,
     silently wrong neighbors at worst). Source-mtime check via
-    io.materialization_is_fresh; the recipe constants are covered by the
-    recipe-tagged path."""
+    io.materialization_is_fresh on BOTH halves (an interrupted build can
+    leave centroids/ without vectors/); the recipe constants are covered
+    by the recipe-tagged path."""
     import os
 
     from ..io import materialization_is_fresh
 
-    return materialization_is_fresh(path, os.path.join(sf_dir, "embeddings.parquet"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    return materialization_is_fresh(
+        os.path.join(path, "vectors"), src
+    ) and materialization_is_fresh(os.path.join(path, "centroids"), src)
 
 
 @register("ivf_index_probe", oracle=_ivf_oracle(1), tags=("ext-sim", "opt-partition-pruning"))
@@ -796,9 +901,14 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus staleness guards), then ivf_probe_index answers the query by
     reading ONLY the probed centroid's directory — partition pruning at
     planning time, the plan shape asserted in tests/test_similarity.py.
-    Same deterministic assignment recipe as ann_ivf_topk, so the oracle
-    is the same replay; what this entry adds is the driver confirming the
-    on-disk index round trip, not just the in-memory plan."""
+    Same deterministic Lloyd recipe as ann_ivf_topk, so the oracle is the
+    same replay; what this entry adds is the driver confirming the
+    on-disk index round trip, not just the in-memory plan. Serving is
+    TRAIN-FREE: the probe ranks the query against the STORED centroids/
+    table (centroid-count rows), so a serve run after the build touches
+    no full-corpus stage at all."""
+    import os
+
     vecs = _vectors(spark, sf_dir)
     # derive auto-k ONCE: path identity, build, and probe assignment all
     # share it (three redundant count jobs otherwise)
@@ -813,14 +923,17 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no query vector (empty corpus): the probe has nothing to rank
         return spark.createDataFrame([], "vec_id bigint, sim double")
     q_emb = q_row[0]
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
     probes = [
         r.centroid_id
-        for r in _ivf_ranked(vecs, k_auto)
-        .filter((F.col("vec_id") == 0) & (F.col("rn") <= 1))
+        for r in _ranked_against(vecs.filter(F.col("vec_id") == 0), cent_r)
+        .filter(F.col("rn") <= 1)
         .select("centroid_id")
         .collect()
     ]
-    return ivf_probe_index(spark, path, q_emb, probes, k=IVF_K, exclude_ids=(0,))
+    return ivf_probe_index(
+        spark, os.path.join(path, "vectors"), q_emb, probes, k=IVF_K, exclude_ids=(0,)
+    )
 
 
 @register("ann_ivf_topk_nprobe2", oracle=_ivf_oracle(2), tags=("ext-sim",))
@@ -1367,10 +1480,7 @@ IVFPQ_NPROBE = 2
 #: oracle — one SQL definition keeps that contract honest.
 _IVFPQ_ORACLE = f"""
         WITH {_PQ_CTES},
-        centroids AS (
-            SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {AUTO_K_SQL}
-        ),
+        {_lloyd_chain_sql(prefix="iv")},
         iranked AS (
             SELECT v.vec_id, c.centroid_id,
                    ROW_NUMBER() OVER (
@@ -1378,7 +1488,7 @@ _IVFPQ_ORACLE = f"""
                        ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
                                 c.centroid_id
                    ) AS rn
-            FROM vecs v CROSS JOIN centroids c
+            FROM vecs v CROSS JOIN ivc1 c
         ),
         assigned AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
         q_probes AS (
@@ -1435,7 +1545,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and touches floats for PQ_SHORTLIST rows — no full-corpus stage
     anywhere."""
     vecs = _vectors(spark, sf_dir)
-    ranked = _ivf_ranked(vecs)
+    ranked = _ranked_lloyd(vecs)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
     q_probes = F.broadcast(
         ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE)).select(
@@ -1465,7 +1575,7 @@ def _ivfpq_index_path(sf_dir: str, k: int) -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
     return os.path.join(
-        warehouse, f"ivfpq_{tag}", f"index_c{k}_m{PQ_M}_k{PQ_K}"
+        warehouse, f"ivfpq_{tag}", f"index_lloyd1_c{k}_m{PQ_M}_k{PQ_K}"
     )
 
 
@@ -1477,6 +1587,10 @@ def ivfpq_build_index(
 
     - ``codebook/``: (block, cid, c_sub) — the trained PQ codebook,
       PQ_M·PQ_K rows (dimension-sized; read whole at serve time).
+    - ``centroids/``: the Lloyd-refined coarse quantizer (lloyd_centroids
+      — sample seed + one kmeans_step, the recipe ann_recall_lloyd prices)
+      — stored so serving AND incremental adds rank against the frozen
+      trained frame instead of retraining.
     - ``vectors/``: (vec_id, embedding, codes array<int> in block order),
       written partitionBy(centroid_id) — a probe reads nprobe
       DIRECTORIES via partition pruning. Codes ride NEXT TO the floats in
@@ -1502,7 +1616,12 @@ def ivfpq_build_index(
         .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
         .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
     )
-    assigned = _ivf_ranked(vecs, n_centroids).filter(F.col("rn") == 1).select(
+    cent = lloyd_centroids(
+        vecs, n_centroids if n_centroids is not None else auto_centroids(vecs.count())
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = _ranked_against(vecs, cent_r).filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "centroid_id"
     )
     assigned.join(codes_arr, "vec_id").write.partitionBy("centroid_id").mode(
@@ -1517,9 +1636,11 @@ def _ivfpq_index_is_fresh(path: str, sf_dir: str) -> bool:
     from ..io import materialization_is_fresh
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    return materialization_is_fresh(
-        os.path.join(path, "vectors"), src
-    ) and materialization_is_fresh(os.path.join(path, "codebook"), src)
+    return (
+        materialization_is_fresh(os.path.join(path, "vectors"), src)
+        and materialization_is_fresh(os.path.join(path, "codebook"), src)
+        and materialization_is_fresh(os.path.join(path, "centroids"), src)
+    )
 
 
 @register(
@@ -1564,8 +1685,11 @@ def ann_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id bigint, l2_dist double")
     probes = [
         r["centroid_id"]
-        for r in _ivf_ranked(vecs, k_auto)
-        .filter((F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE))
+        for r in _ranked_against(
+            vecs.filter(F.col("vec_id") == 0),
+            spark.read.parquet(os.path.join(path, "centroids")),
+        )
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
         .select("centroid_id")
         .collect()
     ]
@@ -1626,10 +1750,7 @@ IVFPQ_BATCH_NQ = 16
     "ann_ivfpq_batch_topk",
     oracle=f"""
         WITH {_PQ_CTES},
-        centroids AS (
-            SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {AUTO_K_SQL}
-        ),
+        {_lloyd_chain_sql(prefix="iv")},
         iranked AS (
             SELECT v.vec_id, c.centroid_id,
                    ROW_NUMBER() OVER (
@@ -1637,7 +1758,7 @@ IVFPQ_BATCH_NQ = 16
                        ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
                                 c.centroid_id
                    ) AS rn
-            FROM vecs v CROSS JOIN centroids c
+            FROM vecs v CROSS JOIN ivc1 c
         ),
         assigned AS (SELECT vec_id, centroid_id FROM iranked WHERE rn = 1),
         q_probes AS (
@@ -1722,7 +1843,7 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast distance table. Plan-guarded in tests: no cartesian
     product, one ADC aggregate, windowed top-k."""
     vecs = _vectors(spark, sf_dir)
-    ranked = _ivf_ranked(vecs)
+    ranked = _ranked_lloyd(vecs)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
     q_probes = F.broadcast(
         ranked.filter(
@@ -2030,10 +2151,7 @@ ANN_RECALL_NPROBES = (1, 2)
                 FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
             ) WHERE rn <= {IVF_K}
         ),
-        centroids AS (
-            SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {AUTO_K_SQL}
-        ),
+        {_lloyd_chain_sql()},
         ranked AS (
             SELECT v.vec_id, v.emb, c.centroid_id,
                    ROW_NUMBER() OVER (
@@ -2041,7 +2159,7 @@ ANN_RECALL_NPROBES = (1, 2)
                        ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
                                 c.centroid_id
                    ) AS rn
-            FROM vecs v CROSS JOIN centroids c
+            FROM vecs v CROSS JOIN c1 c
         ),
         assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
         probes AS (
@@ -2079,14 +2197,17 @@ ANN_RECALL_NPROBES = (1, 2)
     tags=("ext-sim", "contract"),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checked ANN accuracy: recall@k of the registered IVF recipe
-    against exact brute-force cosine, per query (first ANN_RECALL_NQ
-    vec_ids) and per probe width (nprobe ∈ ANN_RECALL_NPROBES) — the
-    approx_distinct discipline ("the sketch's contract is itself a
-    checked query") applied to vector search. Until now recall was pinned
-    repo-side (tests/test_similarity.py); this key puts the measured
-    number in the driver artifact, so an index-recipe change that tanks
-    recall fails the hash, not just a local test.
+    """Driver-checked ANN accuracy: recall@k of the SERVED index recipe
+    (_ranked_lloyd — the Lloyd-refined centroids every serving key builds
+    from since r8) against exact brute-force cosine, per query (first
+    ANN_RECALL_NQ vec_ids) and per probe width (nprobe ∈
+    ANN_RECALL_NPROBES) — the approx_distinct discipline ("the sketch's
+    contract is itself a checked query") applied to vector search. This
+    key measures exactly what ann_ivf_topk / ivf_index_probe /
+    ann_ivfpq_* serve, so an index-recipe change that tanks recall fails
+    the driver hash, not just a local test; the refinement's isolated
+    value remains pinned by the ann_recall_honest (unrefined) vs
+    ann_recall_lloyd (refined) pair on a seed-disjoint query set.
 
     One plan, no per-query loop:
 
@@ -2096,11 +2217,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       measured; production runs it per index build on a sampled query
       set, never per serve). Per-query top-k via one WindowGroupLimit —
       map-side pruned, never a global sort.
-    - IVF side: probe tiers come from exploding the shared _ivf_ranked
-      assignment (same recipe as ann_ivf_topk/_nprobe2, so this key
-      measures exactly what those keys serve); candidates are the
-      bucket equi-join, per-(query, nprobe) top-k through the same
-      window shape.
+    - IVF side: probe tiers come from exploding the served _ranked_lloyd
+      assignment; candidates are the bucket equi-join, per-(query,
+      nprobe) top-k through the same window shape.
     - recall: IVF picks left-semi exact picks, counted per (q_id,
       nprobe) over the probe grid (left join keeps recall=0 rows
       honest). n_hits/IVF_K divides identical doubles on both engines —
@@ -2114,7 +2233,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
     )
-    return _recall_frame(vecs, queries, _ivf_ranked(vecs), ANN_RECALL_NPROBES)
+    return _recall_frame(vecs, queries, _ranked_lloyd(vecs), ANN_RECALL_NPROBES)
 
 
 def _recall_frame(
@@ -2440,44 +2559,7 @@ def ann_recall_honest(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
-        seeds AS (
-            SELECT vec_id FROM (
-                SELECT vec_id,
-                       ROW_NUMBER() OVER (
-                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                       ) AS srn
-                FROM vecs
-            ) WHERE srn <= {AUTO_K_SQL}
-        ),
-        c0 AS (
-            SELECT v.vec_id AS centroid_id, v.emb AS c_emb
-            FROM vecs v JOIN seeds s ON v.vec_id = s.vec_id
-        ),
-        a1 AS (
-            SELECT vec_id, emb, centroid_id FROM (
-                SELECT v.vec_id, v.emb, c.centroid_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
-                                    c.centroid_id
-                       ) AS rn
-                FROM vecs v CROSS JOIN c0 c
-            ) WHERE rn = 1
-        ),
-        m1 AS (
-            SELECT centroid_id, pos - 1 AS pos,
-                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
-            FROM (
-                SELECT centroid_id, unnest(emb) AS val,
-                       generate_subscripts(emb, 1) AS pos
-                FROM a1
-            )
-            GROUP BY centroid_id, pos
-        ),
-        c1 AS (
-            SELECT centroid_id, list(m ORDER BY pos) AS c_emb
-            FROM m1 GROUP BY centroid_id
-        ),
+        {_lloyd_chain_sql()},
         queries AS (
             SELECT vec_id AS q_id, emb AS q_emb FROM (
                 SELECT v.vec_id, v.emb,
