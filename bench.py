@@ -84,7 +84,21 @@ EXT = [
     "ann_ivf2_index_serve",
     "ann_recall_ivf2",
     "corpus_selection_manifest",
+    "ann_index_incremental_add",
+    "range_join_banded",
 ]
+
+#: The deferrable evaluation tail (r7 verdict item: the timed ext block
+#: reached ~100 s on a jittery host against the ~1400 s round budget
+#: including stress). These keys are REPORTS over registered stages —
+#: their plans are exercised elsewhere in the block — so when the ext
+#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 240, roughly
+#: 2.5× the jittery worst case) whatever of THIS LIST hasn't run yet is
+#: skipped VISIBLY: each skipped key lands in the artifact's
+#: "ext_skipped" map instead of silently missing from ext_queries. The
+#: regression gate stays intact for everything that ran; core ext keys
+#: are never skipped.
+EXT_DEFER = ("corpus_selection_manifest", "lsh_recall_report")
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
 #: recording — the DRIVER's BENCH_r04 ext_queries at sf0.1, local[32] —
@@ -253,7 +267,14 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     ext_timings: dict[str, float] = {}
-    for name in EXT:
+    ext_skipped: dict[str, str] = {}
+    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "240"))
+    ext_t0 = time.monotonic()
+    # deferrable eval keys run LAST so a budget cut can only ever hit them
+    for name in sorted(EXT, key=lambda n: n in EXT_DEFER):
+        if name in EXT_DEFER and time.monotonic() - ext_t0 > ext_budget:
+            ext_skipped[name] = "ext_budget"
+            continue
         fn = qs[name]
         runs = []
         while len(runs) < 2:
@@ -291,6 +312,7 @@ def main() -> None:
         "ext_total_wall": round(sum(ext_timings.values()), 3),
         "ext_queries": ext_timings,
         "ext_regressions": ext_regressions,
+        "ext_skipped": ext_skipped,
         "sf": sf,
     }
 
@@ -313,6 +335,7 @@ def main() -> None:
         "ext_total_wall": full["ext_total_wall"],
         "ext_ops": len(ext_timings),
         "ext_regressions": sorted(ext_regressions),
+        "ext_skipped": sorted(ext_skipped),
         "full_artifact": "BENCH_FULL.json",
     }
     print(json.dumps(compact))
@@ -333,6 +356,12 @@ def run_scale_stress(spark) -> dict:
         "neardup_x10": scale_stress.collect,
         "relational_x10": relational_stress.collect,
         "ivf_k_scaling_x10": ext_stress.collect_k_scaling,
+        # the incremental-vs-rebuild index maintenance row (r8): the add
+        # must cost batch-shaped work, never corpus-shaped work
+        "ann_incr_ingest_x10": ext_stress.collect_incremental_ingest,
+        # many-bands range join (r8): grid equi-join vs the forced NLJ on
+        # x10 events × 20k bands — the dispatch's reason, measured
+        "range_join_bands_x10": ext_stress.collect_range_join_bands,
         # the exact-tier high-multiple row (r6): registered dispatcher at
         # ×20 — bitmap→count-join flip + mass-derived exchange width
         "exact_tier_x20": lambda s: scale_stress.collect_exact_tier(s, 20),

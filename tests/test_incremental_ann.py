@@ -1,0 +1,142 @@
+"""Incremental IVF index maintenance (plans/similarity.py): an arriving
+batch folds into the materialized index against FROZEN centroids, touching
+only the partitions that receive rows — the vector-surface twin of the
+partitioned-state merge. The cross-engine equivalence (incremental == full
+rebuild on the union with frozen centroids) is driver-checked via the
+ann_index_incremental_add oracle; these tests pin the PHYSICAL contracts
+the oracle can't see: byte-identical untouched partitions, a batch-only
+add job, and partition-pruned probes over the post-add index."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.plans.similarity import (
+    _ranked_against,
+    _vectors,
+    auto_centroids,
+    ivf_build_index_frame,
+    ivf_index_incremental_add,
+)
+
+
+def _split(spark, sf_dir):
+    vecs = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id"), F.lit(8)) == 7
+    return vecs.filter(~is_batch), vecs.filter(is_batch)
+
+
+def _file_census(root: str) -> dict[str, tuple[int, float]]:
+    """relpath -> (size, mtime) for every data file under the vectors dir."""
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.startswith("_") or n.startswith("."):
+                continue
+            p = os.path.join(dirpath, n)
+            out[os.path.relpath(p, root)] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def test_incremental_add_leaves_untouched_partitions_byte_identical(
+    spark, sf_dir, tmp_path
+):
+    base, batch = _split(spark, sf_dir)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivf_incr")
+    ivf_build_index_frame(base, path, n_centroids=k)
+    vectors = os.path.join(path, "vectors")
+    before = _file_census(vectors)
+
+    touched = ivf_index_incremental_add(spark, path, batch)
+    after = _file_census(vectors)
+
+    assert touched, "a 1/8 slice of a clustered corpus must touch some bucket"
+    # every pre-existing file survives the add bit-for-bit (append never
+    # rewrites): same path, same size, same mtime
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    # new files land ONLY inside touched partitions
+    new_files = set(after) - set(before)
+    assert new_files
+    for rel in new_files:
+        part = rel.split(os.sep, 1)[0]
+        assert part in {f"centroid_id={b}" for b in touched}, rel
+
+
+def test_incremental_add_equals_full_assignment_with_frozen_centroids(
+    spark, sf_dir, tmp_path
+):
+    """The oracle's equivalence, asserted engine-locally as well: the
+    post-add index content equals assigning the WHOLE corpus against the
+    stored (base-trained) centroids."""
+    base, batch = _split(spark, sf_dir)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivf_incr")
+    ivf_build_index_frame(base, path, n_centroids=k)
+    ivf_index_incremental_add(spark, path, batch)
+
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "vectors"))
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    want = {
+        (r["vec_id"], r["centroid_id"])
+        for r in _ranked_against(_vectors(spark, sf_dir), cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_add_job_never_scans_the_index(spark, sf_dir, tmp_path):
+    """The add's assignment plan reads the batch and the centroid-count
+    centroids table — never vectors/ (an add that re-shuffles the standing
+    index is a rebuild in disguise)."""
+    base, batch = _split(spark, sf_dir)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivf_incr")
+    ivf_build_index_frame(base, path, n_centroids=k)
+
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = _ranked_against(batch, cent_r).filter(F.col("rn") == 1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "vectors" not in plan
+    # the frozen-centroid assignment broadcasts the small side
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_probe_after_add_still_prunes_partitions(spark, sf_dir, tmp_path):
+    base, batch = _split(spark, sf_dir)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivf_incr")
+    ivf_build_index_frame(base, path, n_centroids=k)
+    touched = ivf_index_incremental_add(spark, path, batch)
+
+    from vacancy_analyser_spark.plans.similarity import IVF_K, ivf_probe_index
+
+    q = _vectors(spark, sf_dir).filter(F.col("vec_id") == 0).head()["embedding"]
+    probe = ivf_probe_index(
+        spark, os.path.join(path, "vectors"), q, [touched[0]], k=IVF_K
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "centroid_id" in pf
+    assert probe.count() <= IVF_K
+
+
+def test_registered_key_is_idempotent(spark, sf_dir):
+    """Two invocations in one session must not double-append: the second
+    run reads the fresh index instead of re-running build+add."""
+    from vacancy_analyser_spark.plans.similarity import ann_index_incremental_add
+
+    n1 = ann_index_incremental_add(spark, sf_dir).count()
+    n2 = ann_index_incremental_add(spark, sf_dir).count()
+    n_vecs = _vectors(spark, sf_dir).count()
+    assert n1 == n2 == n_vecs

@@ -281,6 +281,108 @@ def collect_k_scaling(spark) -> dict:
     }
 
 
+def collect_range_join_bands(spark) -> dict:
+    """The many-bands range-join row (range_join_banded's dispatch reason,
+    measured): |part| bands at BASE_SF against the ×REPLICAS events
+    surrogate, grid equi-join (what the probe picks) vs the forced
+    broadcast NLJ (what the old plan would have run). The NLJ evaluates
+    every band predicate per event row — O(n·m); the grid is a hash probe
+    per row — the ratio is the operator's whole case."""
+    import vacancy_analyser_spark.plans.joins as J
+
+    evt_dir = build_events(spark)
+    # the banded key loads events AND part from one sf_dir; the events
+    # surrogate needs the (dim-sized) part table once, reused across rounds
+    part_dst = os.path.join(evt_dir, "part.parquet")
+    if not os.path.exists(os.path.join(part_dst, "_SUCCESS")):
+        spark.read.parquet(os.path.join(BASE_SF, "part.parquet")).write.mode(
+            "overwrite"
+        ).parquet(part_dst)
+
+    def run_once(forced_bnlj: bool) -> float:
+        old = J.RANGE_BNLJ_MAX_BANDS
+        J.RANGE_BNLJ_MAX_BANDS = 10**9 if forced_bnlj else 0
+        try:
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                J.range_join_banded(spark, evt_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.monotonic() - t0)
+            return round(best, 3)
+        finally:
+            J.RANGE_BNLJ_MAX_BANDS = old
+
+    grid_sec = run_once(forced_bnlj=False)
+    n_bands = J.LAST_RANGE_DISPATCH.get("n_bands")
+    bnlj_sec = run_once(forced_bnlj=True)
+    return {
+        "replicas": REPLICAS,
+        "n_bands": n_bands,
+        "grid_sec": grid_sec,
+        "bnlj_sec": bnlj_sec,
+        "bnlj_vs_grid": round(bnlj_sec / grid_sec, 2) if grid_sec else None,
+    }
+
+
+def collect_incremental_ingest(spark) -> dict:
+    """The incremental-vs-rebuild cost row for the materialized IVF index
+    (ann_index_incremental_add's 100 TB claim, measured): at ×1 and
+    ×REPLICAS corpus size, build a base index (7/8 of the vectors), fold
+    the remaining 1/8 in as an arriving batch, and run the full rebuild on
+    the union for comparison. The add assigns ONLY the batch against the
+    stored centroids and appends to the touched partitions, so
+    ``add_vs_rebuild`` should sit well under the batch fraction's naive
+    share and, crucially, the ×N add must NOT grow like the ×N rebuild's
+    training pass (the add has no trainer at all)."""
+    from vacancy_analyser_spark.plans.similarity import (
+        _vectors,
+        auto_centroids,
+        ivf_build_index_frame,
+        ivf_index_incremental_add,
+    )
+
+    emb_dir = build_embeddings(spark)
+    out: dict[str, object] = {"replicas": REPLICAS, "batch_fraction": "1/8"}
+    for tag, sf in (("x1", BASE_SF), (f"x{REPLICAS}", emb_dir)):
+        vecs = _vectors(spark, sf)
+        is_batch = F.pmod(F.col("vec_id"), F.lit(8)) == 7
+        base, batch = vecs.filter(~is_batch), vecs.filter(is_batch)
+        n_base, n_batch = base.count(), batch.count()
+        k = auto_centroids(n_base)
+        path = os.path.join(STRESS_DIR, f"ivf_incr_{tag}")
+        path_rb = os.path.join(STRESS_DIR, f"ivf_rebuild_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path_rb, ignore_errors=True)
+        t0 = time.monotonic()
+        ivf_build_index_frame(base, path, n_centroids=k)
+        build_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        touched = ivf_index_incremental_add(spark, path, batch)
+        add_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        ivf_build_index_frame(vecs, path_rb, n_centroids=k)
+        rebuild_sec = time.monotonic() - t0
+        out[tag] = {
+            "n_base": n_base,
+            "n_batch": n_batch,
+            "k": k,
+            "buckets_touched": len(touched),
+            "base_build_sec": round(build_sec, 3),
+            "incr_add_sec": round(add_sec, 3),
+            "full_rebuild_sec": round(rebuild_sec, 3),
+            "add_vs_rebuild": round(add_sec / rebuild_sec, 3) if rebuild_sec else None,
+        }
+    x1 = out["x1"]["incr_add_sec"]
+    xn = out[f"x{REPLICAS}"]["incr_add_sec"]
+    # the add's cost law: ×N corpus → ×N batch here, so linear-in-batch is
+    # the target (an index-size-coupled add would grow faster)
+    out["add_xN_vs_linear"] = round(xn / (REPLICAS * x1), 2) if x1 else None
+    return out
+
+
 def main() -> None:
     import tools.scale_stress as dstress
     from vacancy_analyser_spark.plans.registry import queries

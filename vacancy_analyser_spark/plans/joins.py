@@ -155,6 +155,76 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Dispatch boundary for the interval join: up to this many bands the
+#: broadcast nested-loop (m predicate evaluations per fact row, zero
+#: shuffle) beats the grid plan's explode+equi-join constant; past it the
+#: O(n·m) scan loses to the O(n + m·cells) band-key hash join. The probe
+#: that decides is one dim-table aggregate (count + mean span).
+RANGE_BNLJ_MAX_BANDS = 1024
+#: Grid side broadcast bound: the exploded (band_id, lo, hi, band_cell)
+#: table averages ~2 cells/band at the derived width, so up to ~1M bands
+#: it stays a sane broadcast; past that the hint is dropped and the
+#: equi-join shuffles both sides on band_cell (still a hash join, never
+#: the quadratic NLJ).
+RANGE_GRID_BROADCAST_MAX_BANDS = 1_000_000
+
+#: Last range_join dispatch decision, for observability (the
+#: LAST_SPARSE_DISPATCH pattern — read by tests/harnesses right after a
+#: single-threaded dispatch, never control flow).
+LAST_RANGE_DISPATCH: dict = {}
+
+
+def range_join(fact: DataFrame, bands: DataFrame, value_col: str) -> DataFrame:
+    """Interval/containment join of a fact column into ``bands`` (band_id,
+    lo, hi half-open [lo, hi)), with the physical plan chosen from a
+    measured probe of the BAND table (one aggregate over the dim side —
+    trivial next to either plan):
+
+    - few bands (≤ RANGE_BNLJ_MAX_BANDS): broadcast nested-loop — m
+      predicate evaluations per fact row, no shuffle, linear in the fact.
+    - many bands: the band-key GRID plan. Derive a grid width from the
+      mean band span (physical-only: the width changes the candidate
+      topology, never the result — a residual lo ≤ v < hi re-check runs
+      after the equi-join). Each band explodes to the grid cells its
+      interval overlaps (~span/width + 1 ≈ 2 rows/band at the derived
+      width); each fact row maps to exactly ONE cell (floor(v/width)), so
+      the equi-join on band_cell produces each matching (row, band) pair
+      exactly once — no dedup pass. Turns O(n·m) into O(n + n·hits): a
+      hash join against a broadcast grid (or a shuffled hash join past
+      the broadcast bound), the shape that survives skewed/many bands at
+      100 TB.
+
+    Returns the joined frame (fact columns + band_id); callers aggregate.
+    Both plans are result-identical (tested, forced-regime)."""
+    stats = bands.agg(
+        F.count("*").alias("m"), F.avg(F.col("hi") - F.col("lo")).alias("span")
+    ).first()
+    m, avg_span = stats["m"], stats["span"]
+    v = F.col(value_col)
+    LAST_RANGE_DISPATCH.clear()
+    LAST_RANGE_DISPATCH.update({"n_bands": m, "avg_span": avg_span})
+    if m <= RANGE_BNLJ_MAX_BANDS:
+        LAST_RANGE_DISPATCH["plan"] = "broadcast_nlj"
+        b = F.broadcast(bands)
+        return fact.join(b, (v >= b.lo) & (v < b.hi), "inner")
+    # grid regime: width from the mean span (floor at a sane default when
+    # all spans are zero/degenerate)
+    w = float(avg_span) if avg_span and avg_span > 0 else 1.0
+    LAST_RANGE_DISPATCH.update({"plan": "grid_equi", "width": w})
+    cells = F.sequence(
+        F.floor(F.col("lo") / w).cast("long"), F.floor(F.col("hi") / w).cast("long")
+    )
+    grid = bands.withColumn("band_cell", F.explode(cells))
+    if m <= RANGE_GRID_BROADCAST_MAX_BANDS:
+        grid = F.broadcast(grid)
+    return (
+        fact.withColumn("band_cell", F.floor(v / w).cast("long"))
+        .join(grid, "band_cell")
+        .filter((v >= F.col("lo")) & (v < F.col("hi")))
+        .drop("band_cell")
+    )
+
+
 @register(
     "range_join_salary",
     oracle=f"""
@@ -172,23 +242,68 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 range/interval join — salary-band containment
-    (salary_from <= x <= salary_to over feeder_postgres.py:67-68's model).
-    The band table is tiny → broadcast nested-loop per partition, which is
-    linear in the fact. At 100 TB with *many* bands: map each event to
-    candidate band keys (floor(value/width)) and equi-join on the band key —
-    turns O(n·m) into a hash join; here m≈50 so the broadcast NLJ wins."""
+    (salary_from <= x <= salary_to over feeder_postgres.py:67-68's model),
+    through the measured range_join dispatch: here m≈50 distinct bands, so
+    the probe picks the broadcast NLJ; the many-band regime is the grid
+    equi-join, driver-checked separately as range_join_banded."""
     events = load_table(spark, sf_dir, "events")
     part = load_table(spark, sf_dir, "part")
-    bands = F.broadcast(
-        part.select(
-            F.col("p_size").alias("band_id"),
-            ((F.col("p_size") - 1) * 10.0).alias("lo"),
-            (F.col("p_size") * 10.0).alias("hi"),
-        ).distinct()
-    )
-    cond = (events.value >= bands.lo) & (events.value < bands.hi)
+    bands = part.select(
+        F.col("p_size").alias("band_id"),
+        ((F.col("p_size") - 1) * 10.0).alias("lo"),
+        (F.col("p_size") * 10.0).alias("hi"),
+    ).distinct()
     return (
-        events.join(bands, cond, "inner")
+        range_join(events, bands, "value")
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "range_join_banded",
+    oracle=f"""
+        WITH bands AS (
+            -- literals cast to DOUBLE: DuckDB parses bare 0.1 as DECIMAL
+            -- (exact tenths) while Spark computes IEEE doubles — band
+            -- edges must drift identically on both engines
+            SELECT p_partkey AS band_id,
+                   (p_partkey % 4900) * CAST(0.1 AS DOUBLE) AS lo,
+                   (p_partkey % 4900) * CAST(0.1 AS DOUBLE)
+                       + CAST(0.1 AS DOUBLE)
+                       + (p_partkey % 13) * CAST(0.05 AS DOUBLE) AS hi
+            FROM part
+        )
+        SELECT band_id, COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id
+    """,
+    tags=("J7", "ext-join"),
+)
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANY-BAND regime of the interval join, driver-checked: one band
+    per part row (|part| ≥ 2000 at the driver's sf — past
+    RANGE_BNLJ_MAX_BANDS, so the probe selects the grid equi-join; the
+    plan is asserted NLJ-free in tests/test_joins_banded.py), with
+    arbitrary overlapping intervals (lo from the key mod a 490-unit range,
+    span 0.1-0.75) so nothing about the grid plan depends on bands being
+    disjoint or uniform. The oracle is engine-blind — the same containment
+    predicate — because the grid is physical topology only: every
+    candidate passes the residual lo ≤ v < hi re-check.
+
+    At 100 TB this is the shape that holds: the fact maps to one cell per
+    row (no expansion), the band table explodes ~2× and broadcasts (or
+    hash-shuffles past ~1M bands), and the join is a hash probe instead of
+    m interval tests per row."""
+    events = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part")
+    lo = (F.col("p_partkey") % 4900) * 0.1
+    hi = (F.col("p_partkey") % 4900) * 0.1 + 0.1 + (F.col("p_partkey") % 13) * 0.05
+    bands = part.select(
+        F.col("p_partkey").alias("band_id"), lo.alias("lo"), hi.alias("hi")
+    )
+    return (
+        range_join(events, bands, "value")
         .groupBy("band_id")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )

@@ -515,13 +515,19 @@ IVF_TARGET_BUCKET = 64
 IVF_MIN_K = 4
 IVF_MAX_K = 65_536
 
-#: The same derivation in the oracles' dialect — a scalar subquery over
-#: the ``vecs`` CTE every IVF-family oracle defines, so DuckDB derives
-#: the identical k from the identical table.
-AUTO_K_SQL = (
-    f"(SELECT LEAST({IVF_MAX_K}, GREATEST({IVF_MIN_K}, "
-    f"COUNT(*) // {IVF_TARGET_BUCKET})) FROM vecs)"
-)
+def _auto_k_sql(src: str = "vecs") -> str:
+    """auto_centroids in the oracles' dialect — a scalar subquery over the
+    given CTE (the ``vecs`` relation for whole-corpus builds; the ``base``
+    relation for the incremental-add key, whose k freezes at build time),
+    so DuckDB derives the identical k from the identical table."""
+    return (
+        f"(SELECT LEAST({IVF_MAX_K}, GREATEST({IVF_MIN_K}, "
+        f"COUNT(*) // {IVF_TARGET_BUCKET})) FROM {src})"
+    )
+
+
+#: The common whole-corpus form.
+AUTO_K_SQL = _auto_k_sql()
 
 
 def auto_centroids(n: int) -> int:
@@ -588,19 +594,20 @@ def _ranked_lloyd(vecs: DataFrame, n_centroids: int | None = None) -> DataFrame:
     return _ranked_against(vecs, lloyd_centroids(vecs, n_centroids))
 
 
-def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "") -> str:
+def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "", src: str = "vecs") -> str:
     """CTE chain ``seeds → c0 → a1 → m1 → c1`` replaying lloyd_centroids
     (sample seed via md5 ranking, one kmeans_step: round-9 argmax-cosine
     assignment with centroid-id tie-break → DECIMAL(38,9)-exact
-    element-wise means) against a ``vecs`` CTE the caller provides. ONE
+    element-wise means) against the ``src`` CTE the caller provides. ONE
     definition feeds ann_recall_lloyd and every serving oracle, so the
     trainer replay cannot drift between keys. Splice after ``vecs`` with a
     leading comma; the refined centroids are the ``{prefix}c1`` relation.
     ``prefix`` namespaces the CTEs where the surrounding query already uses
     the bare names (_PQ_CTES trains the PQ codebook through its own
-    c0/a1/m1)."""
+    c0/a1/m1); ``src`` lets the incremental-add key train on the ``base``
+    slice while assigning the whole corpus."""
     if k_sql is None:
-        k_sql = AUTO_K_SQL
+        k_sql = _auto_k_sql(src)
     p = prefix
     return f"""
         {p}seeds AS (
@@ -609,12 +616,12 @@ def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "") -> str:
                        ROW_NUMBER() OVER (
                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                        ) AS srn
-                FROM vecs
+                FROM {src}
             ) WHERE srn <= {k_sql}
         ),
         {p}c0 AS (
             SELECT v.vec_id AS centroid_id, v.emb AS c_emb
-            FROM vecs v JOIN {p}seeds s ON v.vec_id = s.vec_id
+            FROM {src} v JOIN {p}seeds s ON v.vec_id = s.vec_id
         ),
         {p}a1 AS (
             SELECT vec_id, emb, centroid_id FROM (
@@ -624,7 +631,7 @@ def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "") -> str:
                            ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
                                     c.centroid_id
                        ) AS rn
-                FROM vecs v CROSS JOIN {p}c0 c
+                FROM {src} v CROSS JOIN {p}c0 c
             ) WHERE rn = 1
         ),
         {p}m1 AS (
@@ -662,9 +669,17 @@ def ivf_build_index(
 
     Callers that already derived auto-k pass it so the build doesn't
     re-count."""
+    ivf_build_index_frame(_vectors(spark, sf_dir), path, n_centroids)
+
+
+def ivf_build_index_frame(
+    vecs: DataFrame, path: str, n_centroids: int | None = None
+) -> None:
+    """ivf_build_index over an explicit (vec_id, embedding) frame — the
+    incremental-add key builds from its ``base`` slice through this."""
     import os
 
-    vecs = _vectors(spark, sf_dir)
+    spark = vecs.sparkSession
     cent = lloyd_centroids(vecs, n_centroids if n_centroids is not None
                            else auto_centroids(vecs.count()))
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
@@ -674,6 +689,46 @@ def ivf_build_index(
     )
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
         os.path.join(path, "vectors")
+    )
+
+
+def ivf_index_incremental_add(spark: SparkSession, path: str, batch: DataFrame) -> list[int]:
+    """Fold an arriving embedding batch into a materialized IVF index
+    WITHOUT retraining and WITHOUT touching existing data — the vector
+    twin of the partitioned-state merge (operators/partitioned_state.py)
+    and the answer to rebuild-on-stale being the only maintenance story:
+
+    - the batch is assigned against the STORED frozen ``centroids/`` table
+      (retraining on the union would move every centroid and invalidate
+      every existing partition — the index's identity IS its trained
+      centroids, so adds must freeze them);
+    - the assigned rows APPEND to ``vectors/`` partitioned by centroid_id:
+      only partitions that receive batch rows gain files, every other
+      partition stays byte-identical (tested), and the job shuffles the
+      BATCH, never the index.
+
+    Cost at 100 TB: one broadcast assignment over the batch plus k' ≤
+    |batch| partition appends — the ingest cost tracks the changeset, not
+    the corpus (the incremental_dedup_bucketed property, now on the vector
+    surface). Periodic full retrains remain a quality decision (centroid
+    drift as the distribution shifts), not a correctness one: probes
+    against frozen centroids stay exact over everything indexed.
+
+    Returns the touched centroid ids."""
+    import os
+
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = (
+        _ranked_against(batch, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=True)  # one assignment job feeds both uses below
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    return sorted(
+        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
     )
 
 
@@ -933,6 +988,97 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ivf_probe_index(
         spark, os.path.join(path, "vectors"), q_emb, probes, k=IVF_K, exclude_ids=(0,)
+    )
+
+
+#: The simulated arriving batch for the incremental-add key: every vec_id
+#: ≡ 7 (mod 8) — ~12.5% of the corpus, deterministic on both engines.
+INCR_BATCH_MOD = 8
+
+
+def _ivf_incr_index_path(sf_dir: str, k: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"incr_lloyd1_c{k}"
+    )
+
+
+def _incr_marker_fresh(marker: str, sf_dir: str) -> bool:
+    """True iff the add-completion marker exists and is newer than every
+    source file — the build writes vectors/_SUCCESS BEFORE the incremental
+    add runs, so _ivf_index_is_fresh alone would declare a crashed
+    build-without-add complete and serve an index missing the batch."""
+    import os
+
+    if not os.path.exists(marker):
+        return False
+    built = os.path.getmtime(marker)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [os.path.join(src, f) for f in os.listdir(src)] if os.path.isdir(src) else [src]
+    return all(os.path.getmtime(p) <= built for p in paths if os.path.exists(p))
+
+
+@register(
+    "ann_index_incremental_add",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        )
+        SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance, driver-checked end to end: build
+    the materialized IVF index from the BASE slice of the corpus (vec_id ≢
+    7 mod 8 — the standing index), then fold the remaining ~12.5% in as an
+    arriving batch via ivf_index_incremental_add — assignment against the
+    STORED frozen centroids, partition-scoped parquet APPEND that leaves
+    every untouched centroid partition byte-identical (asserted in
+    tests/test_incremental_ann.py) and shuffles only the batch.
+
+    The returned frame is the full post-add index read back from disk
+    (vec_id → centroid_id), and the oracle is the FULL-REBUILD-equivalence
+    statement: training on base and assigning everything against those
+    frozen centroids must equal the incremental result exactly — the
+    property that makes per-batch ingest sound at 100 TB, where a full
+    rebuild per embedding batch would dominate the vector surface's cost
+    (a rebuild re-shuffles the corpus; the add touches batch-sized data).
+
+    Idempotent per sf_dir: the build+add pair is one materialization,
+    gated by source-mtime freshness PLUS an add-completion marker (the
+    vectors/_SUCCESS written by the base build alone must not pass for
+    the post-add state)."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_batch)
+    batch = vecs.filter(is_batch)
+    k = auto_centroids(base.count())
+    path = _ivf_incr_index_path(sf_dir, k)
+    marker = os.path.join(path, "_INCR_SUCCESS")
+    if not (_ivf_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
+        ivf_build_index_frame(base, path, n_centroids=k)
+        ivf_index_incremental_add(spark, path, batch)
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
     )
 
 
