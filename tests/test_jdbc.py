@@ -262,3 +262,50 @@ def test_jdbc_upsert_stream_processing_time_trigger(spark, tmp_path):
         assert _wait_for([(1, 10), (2, 99), (3, 30)]), "batch 1 did not fold"
     finally:
         q.stop()
+
+
+def test_last_wins_order_col_ties_break_deterministically(spark):
+    """Tied order_col with different payloads: the winner must be a pure
+    function of the data (trailing non-key tiebreakers), not of partition
+    layout — a foreachBatch retry of the same batch must upsert the same
+    row. Assert the same winner across different input orders/layouts."""
+    from vacancy_analyser_spark.io import last_wins_per_key
+
+    rows = [(1, 100, "b"), (1, 100, "a"), (1, 99, "z"), (2, 5, "x")]
+    want = [(1, 100, "b"), (2, 5, "x")]  # ver desc, then payload desc
+    for perm in (rows, rows[::-1]):
+        for parts in (1, 4):
+            df = spark.createDataFrame(perm, "id long, ver long, payload string").repartition(parts)
+            got = sorted(
+                (r["id"], r["ver"], r["payload"])
+                for r in last_wins_per_key(df, ["id"], order_col="ver").collect()
+            )
+            assert got == want
+
+
+def test_upsert_stream_trigger_knobs_validated(spark, tmp_path):
+    """available_now=True + processing_time would silently ignore the
+    interval; available_now=False without one runs unthrottled — both
+    must raise before any stream starts."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from vacancy_analyser_spark.streaming.jdbc_sink import start_jdbc_upsert_stream
+
+    schema = T.StructType.fromDDL("id long, score long")
+    src = str(tmp_path / "vsrc")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ValueError, match="silently ignored"):
+        start_jdbc_upsert_stream(
+            stream, _url(tmp_path), "t", ["id"], str(tmp_path / "c1"),
+            properties=DRIVER, available_now=True, processing_time="1 second",
+        )
+    with pytest.raises(ValueError, match="unthrottled"):
+        start_jdbc_upsert_stream(
+            stream, _url(tmp_path), "t", ["id"], str(tmp_path / "c2"),
+            properties=DRIVER, available_now=False,
+        )

@@ -176,3 +176,29 @@ def test_merge_with_delete_semantics_empties_bucket(spark, tmp_path):
     ), "upsert in sibling bucket lost"
     # the emptied bucket's directory is gone
     assert not os.path.exists(os.path.join(path, f"{BUCKET_COL}={b7}"))
+
+
+def test_merge_that_empties_every_bucket_keeps_state_readable(spark, tmp_path):
+    """A merge_fn that deletes the ENTIRE state used to sweep every bucket
+    directory away, leaving a parquet path with no footers — the next
+    read died with 'unable to infer schema'. The fully-emptied guard
+    leaves one empty schema-bearing partition, so the state reads back as
+    the correct schema with zero rows, and a later merge repopulates it."""
+    path = str(tmp_path / "allgone")
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, v long")
+    write_state(df, path, key="id", n_buckets=N_BUCKETS)
+    ch = df.select("id", "v")
+
+    def _delete_all(old, changeset):
+        return old.join(changeset.select("id"), "id", "left_anti")
+
+    merge_changeset_partitioned(spark, path, ch, _delete_all, key="id", n_buckets=N_BUCKETS)
+
+    got = spark.read.parquet(path)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v", BUCKET_COL}
+
+    # the emptied state accepts a repopulating merge
+    ch2 = spark.createDataFrame([(5, 55)], "id long, v long")
+    merge_changeset_partitioned(spark, path, ch2, _upsert, key="id", n_buckets=N_BUCKETS)
+    assert [(r["id"], r["v"]) for r in spark.read.parquet(path).collect()] == [(5, 55)]

@@ -380,11 +380,20 @@ def test_sparse_dispatch_records_decision_and_clamp_signal(spark, monkeypatch, c
     assert rec["width"] is None and rec["clamped"] is False
 
     # shrink the budget AND the ceiling → same corpus is now "past the
-    # exact tier": width clamps to the ceiling, clamped flips, warning logs
+    # exact tier": the default dispatch now RE-TIERS to the df-capped
+    # metric (r8), logging the decision; retier=False preserves the old
+    # clamp-at-max-width behavior for the inner (post-cap) dispatch
     monkeypatch.setattr(dedup, "CAND_ROWS_PER_PARTITION", 2)
     monkeypatch.setattr(dedup, "MAX_CANDJOIN_WIDTH", 64)
     with caplog.at_level(logging.WARNING, logger="vacancy_analyser_spark.plans.dedup"):
         chosen = _sparse_plan_for(g)
+    assert isinstance(chosen, functools.partial)
+    assert chosen.func is dedup._retier_capped
+    assert any("re-tier" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="vacancy_analyser_spark.plans.dedup"):
+        chosen = _sparse_plan_for(g, retier=False)
     assert isinstance(chosen, functools.partial)
     assert chosen.keywords["shuffle_width"] == 64
     assert dedup.LAST_SPARSE_DISPATCH["clamped"] is True
@@ -411,4 +420,37 @@ def test_dispatch_label_renders_width_and_clamp(spark, monkeypatch):
     label = dispatch_label(dedup, _sparse_plan_for(g))
     assert label.startswith("_jaccard_countjoin[w=") and "!clamped" not in label
     monkeypatch.setattr(dedup, "MAX_CANDJOIN_WIDTH", 64)
-    assert dispatch_label(dedup, _sparse_plan_for(g)) == "_jaccard_countjoin[w=64!clamped]"
+    assert dispatch_label(dedup, _sparse_plan_for(g)) == "retier:df_capped"
+    assert (
+        dispatch_label(dedup, _sparse_plan_for(g, retier=False))
+        == "_jaccard_countjoin[w=64!clamped]"
+    )
+
+
+def test_clamp_retier_dispatches_to_capped_metric(spark, sf_dir, monkeypatch):
+    """Force the clamp on the real corpus: the crossing probe must dispatch
+    to the df-capped tier, record the decision, and produce EXACTLY the
+    registered capped pipeline's results (ngram_jaccard_capped) — the
+    re-tier is the capped metric, not an approximation of it."""
+    from vacancy_analyser_spark.plans import dedup
+    from vacancy_analyser_spark.plans.dedup import (
+        _doc_bigrams,
+        _sparse_plan_for,
+        ngram_jaccard_capped,
+    )
+
+    g = _doc_bigrams(spark, sf_dir).persist()
+    g.count()
+    want = sorted(map(tuple, ngram_jaccard_capped(spark, sf_dir).collect()))
+
+    monkeypatch.setattr(dedup, "CAND_ROWS_PER_PARTITION", 1)
+    monkeypatch.setattr(dedup, "MAX_CANDJOIN_WIDTH", 1)
+    # keep the per-doc skew rule from routing to PPJoin before the mass
+    # branch can fire
+    monkeypatch.setattr(dedup, "PPJOIN_CAND_PER_DOC", float("inf"))
+    got_df = _sparse_plan_for(g)(g)
+    rec = dict(dedup.LAST_SPARSE_DISPATCH)
+    assert rec["retier"] == "df_capped"
+    assert rec["clamped"] is True
+    assert rec["cap"] >= dedup.MIN_DF_CAP
+    assert sorted(map(tuple, got_df.collect())) == want

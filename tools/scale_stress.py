@@ -257,9 +257,12 @@ def _timed_noop(plan, g) -> float:
 
 def dispatch_label(dedup, chosen) -> str:
     """Render a _sparse_plan_for result: a mass-widened count-join comes
-    back as functools.partial; '!clamped' marks the re-tier regime (mass
-    wanted more than MAX_CANDJOIN_WIDTH partitions)."""
+    back as functools.partial; '!clamped' marks a clamped width (only
+    reachable with retier=False since r8 — the default clamp regime now
+    dispatches to the df-capped re-tier, rendered as 'retier:df_capped')."""
     inner = getattr(chosen, "func", chosen)
+    if inner.__name__ == "_retier_capped":
+        return "retier:df_capped"
     width = getattr(chosen, "keywords", {}).get("shuffle_width")
     clamp = "!clamped" if dedup.LAST_SPARSE_DISPATCH.get("clamped") else ""
     return inner.__name__ + (f"[w={width}{clamp}]" if width else "")

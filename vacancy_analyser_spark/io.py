@@ -196,17 +196,21 @@ def last_wins_per_key(
     (and a bootstrap append would silently keep the duplicates), so every
     upsert batch must be key-unique BEFORE it reaches the database.
 
-    Ordering: ``order_col`` DESC when given (a version / scraped-at column —
-    the reference's snapshots carry ``data_pull_date``); otherwise every
-    non-key column DESC, which is deterministic because rows that still tie
-    are exact duplicates and either one is the same row."""
+    Ordering: ``order_col`` DESC first when given (a version / scraped-at
+    column — the reference's snapshots carry ``data_pull_date``), then every
+    REMAINING non-key column DESC as tiebreakers: two rows with the same key
+    and a tied order_col but different payloads would otherwise get an
+    arbitrary row_number winner, and a foreachBatch RETRY of the same batch
+    could then upsert a different row than the first attempt — the
+    tiebreakers make the winner a pure function of the data. Rows that
+    still tie under the full ordering are exact duplicates, so either one
+    is the same row."""
     from pyspark.sql.window import Window
 
-    order_exprs = (
-        [F.col(order_col).desc_nulls_last()]
-        if order_col
-        else [F.col(c).desc_nulls_last() for c in df.columns if c not in key_cols]
-    )
+    rest = [c for c in df.columns if c not in key_cols and c != order_col]
+    order_exprs = [F.col(c).desc_nulls_last() for c in rest]
+    if order_col:
+        order_exprs = [F.col(order_col).desc_nulls_last()] + order_exprs
     if not order_exprs:  # key-only schema: rows within a key are identical
         return df.dropDuplicates(key_cols)
     w = Window.partitionBy(*key_cols).orderBy(*order_exprs)

@@ -89,7 +89,17 @@ def merge_changeset_partitioned(
     the new content of the touched buckets from the (pruned) old state and
     the changeset — upsert classification, SCD2 lifecycle, whatever the
     table's semantics are; this operator owns only the partition scoping.
-    Returns the touched bucket ids (empty changeset → no write at all)."""
+    Returns the touched bucket ids (empty changeset → no write at all).
+
+    Recovery contract for DELETE-semantics merges: the overwrite commits
+    first, then the emptied-bucket sweep runs — the two are NOT one atomic
+    step (stock parquet has no multi-partition transaction; Delta/Iceberg
+    buy exactly this). A crash in the window between them leaves the
+    emptied buckets' OLD files behind, so deleted rows reappear on the
+    next read; the merge itself is idempotent, so the documented recovery
+    is to re-run it (the re-run recomputes the same merged content against
+    the resurrected rows and sweeps again). A failed sweep raises rather
+    than returning success with ghost rows still on disk."""
     buckets = touched_buckets(changeset, key, n_buckets)
     if not buckets:
         return []
@@ -116,15 +126,48 @@ def merge_changeset_partitioned(
     emptied = [b for b in buckets if b not in present]
     if emptied:
         _delete_bucket_dirs(spark, state_path, emptied)
+        if not _bucket_dirs_remain(spark, state_path):
+            # A merge that empties EVERY bucket would leave a directory
+            # with no parquet footers — the next read fails with "unable
+            # to infer schema". Keep the path readable: one empty,
+            # schema-bearing file under a bucket-0 partition dir (reads
+            # as the correct schema with zero rows; a later merge that
+            # repopulates bucket 0 dynamic-overwrites it away).
+            (
+                merged.limit(0)
+                .drop(BUCKET_COL)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{state_path}/{BUCKET_COL}=0")
+            )
     return buckets
+
+
+def _bucket_dirs_remain(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    return any(
+        st.getPath().getName().startswith(f"{BUCKET_COL}=")
+        for st in fs.listStatus(p)
+    )
 
 
 def _delete_bucket_dirs(spark: SparkSession, path: str, buckets: list[int]) -> None:
     """Remove ``<path>/id_bucket=<b>`` for each emptied bucket via the
-    Hadoop FileSystem API (works for local paths and object stores alike)."""
+    Hadoop FileSystem API (works for local paths and object stores alike).
+    A delete that returns False with the directory still present raises:
+    silently keeping the files means deleted rows resurrect on the next
+    read, which is corruption, not a warning."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for b in buckets:
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}={b}")
         fs = p.getFileSystem(hconf)
-        fs.delete(p, True)
+        if not fs.delete(p, True) and fs.exists(p):
+            raise IOError(
+                f"emptied-bucket sweep failed to delete {path}/{BUCKET_COL}={b}; "
+                "deleted rows would resurrect on the next read"
+            )

@@ -250,10 +250,57 @@ MAX_CANDJOIN_WIDTH = 4096
 LAST_SPARSE_DISPATCH: dict = {}
 
 
+def _retier_capped(g: DataFrame, plans: tuple):
+    """The clamp regime's landing pad: df-cap the shingle table with the
+    planner's own formula (max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR) —
+    the ngram_jaccard_capped / containment_capped metric) and re-dispatch
+    the survivors through the same sparse-plan pair. The cap bounds
+    Σ df² by construction, so the re-probed mass lands back inside the
+    exchange-width budget on any real corpus; if a pathological corpus
+    still clamps after capping, the inner dispatch (retier=False) falls
+    back to the old warn-and-run-at-max-width behavior rather than
+    recursing.
+
+    NOTE this is a METRIC change, not just a plan change (exact scores
+    over capped sets — the registered capped keys' semantics), which is
+    exactly why it only fires in the clamp regime: past ~10B candidate
+    rows the exact tier's own docstring says 're-tier', and doing it
+    in-planner beats emitting a warning nobody reads at 3am. The decision
+    is recorded in LAST_SPARSE_DISPATCH (retier/cap) and logged; capped
+    results are pinned identical to the registered capped pipeline in
+    tests/test_dedup_dispatch.py. A capped table that lands in the
+    bitmap-dense regime still runs the count-join here (correct, just
+    not the popcount plan — the clamp regime's corpora are far past the
+    16k-doc bitmap ceiling anyway)."""
+    n_docs = g.select("doc_id").distinct().count()
+    cap = max(MIN_DF_CAP, n_docs // DF_CAP_DIVISOR)
+    rare = (
+        g.groupBy("bigram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("bigram")
+    )
+    gc = g.join(rare, "bigram", "left_semi").persist()
+    gc.count()
+    n_docs_c = gc.select("doc_id").distinct().count()
+    outer_cand_rows = LAST_SPARSE_DISPATCH.get("cand_rows")
+    plan = _sparse_plan_for(gc, n_docs_c, plans, retier=False)
+    LAST_SPARSE_DISPATCH.update(
+        {
+            "retier": "df_capped",
+            "cap": cap,
+            "outer_cand_rows": outer_cand_rows,
+            "clamped": True,
+        }
+    )
+    return plan(gc)
+
+
 def _sparse_plan_for(
     g: DataFrame,
     n_docs: int | None = None,
     plans: tuple = None,
+    retier: bool = True,
 ):
     """Choose the sparse-regime physical plan from a df-skew probe.
 
@@ -319,6 +366,20 @@ def _sparse_plan_for(
             LAST_SPARSE_DISPATCH["clamped"] = True
             import logging
 
+            if retier:
+                # r8 (r7 verdict item 9): a crossing probe now DISPATCHES
+                # to the df-capped tier instead of warn-and-running a plan
+                # its own mass estimate says is past the design regime —
+                # see _retier_capped for the semantics note
+                logging.getLogger(__name__).warning(
+                    "exact-tier candidate mass %.2g rows wants %d partitions "
+                    "(> %d max) — re-tiering to the df-capped metric "
+                    "(decision recorded in LAST_SPARSE_DISPATCH)",
+                    cand_rows,
+                    mass_width,
+                    MAX_CANDJOIN_WIDTH,
+                )
+                return functools.partial(_retier_capped, plans=plans)
             logging.getLogger(__name__).warning(
                 "exact-tier candidate mass %.2g rows wants %d partitions "
                 "(clamped to %d, ~%.2g rows/task) — this corpus is past the "

@@ -52,7 +52,24 @@ def start_jdbc_upsert_stream(
     In-batch key duplicates are collapsed last-wins inside ``upsert_jdbc``
     (a cold-start availableNow run folds ALL existing files into batch 0);
     ``order_col`` names the version/timestamp column that picks the winner.
+
+    The two trigger knobs are mutually exclusive by mode and validated
+    here: ``available_now=True`` with a ``processing_time`` would silently
+    ignore the interval, and ``available_now=False`` without one would
+    start an UNTHROTTLED micro-batch loop (Spark's default trigger) —
+    both are silent surprises, so both raise instead.
     """
+    if available_now and processing_time is not None:
+        raise ValueError(
+            "available_now=True drains and stops — processing_time would be "
+            "silently ignored; pass available_now=False for a resident stream"
+        )
+    if not available_now and processing_time is None:
+        raise ValueError(
+            "available_now=False requires processing_time (e.g. '60 seconds', "
+            "the reference feeder's poll interval) — omitting it would run an "
+            "unthrottled micro-batch loop"
+        )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -67,6 +84,6 @@ def start_jdbc_upsert_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    elif processing_time is not None:
+    else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
