@@ -192,7 +192,33 @@ EXT_BASELINE_R6 = {
     "corpus_selection_manifest": 4.1,
 }
 
-EXT_BASELINE = {**EXT_BASELINE_R4, **EXT_BASELINE_R5, **EXT_BASELINE_R6}
+#: r8 re-pins and new pins (quiet-host full-suite recording, 2026-08-15).
+#: Re-pinned: the IVF/IVFPQ serving family flipped to the Lloyd-refined
+#: trainer (the in-query keys pay one sample-seed + kmeans_step pass per
+#: run — ann_ivfpq_topk 3.5 → 5.0, batch 3.7 → 5.4, the recall report
+#: now measures the served Lloyd recipe at 3.1; the materialized-index
+#: keys stay flat because the trainer runs once per build). First pins:
+#: the two r8 keys.
+EXT_BASELINE_R8 = {
+    "ann_ivfpq_topk": 5.0,
+    "ann_ivfpq_batch_topk": 5.4,
+    "ann_ivfpq_index_serve": 1.3,
+    "ann_recall_report": 3.1,
+    "ann_recall_lloyd": 3.6,
+    "ann_recall_honest": 2.0,
+    "ann_recall_ivf2": 4.5,            # was 3.4 — two Lloyd trainings per run
+    "ann_ivf2_topk": 4.2,              # was 2.3 — same
+    "ann_ivf2_index_serve": 1.3,       # flat: trainer runs once per build
+    "ann_index_incremental_add": 0.3,
+    "range_join_banded": 0.8,
+}
+
+EXT_BASELINE = {
+    **EXT_BASELINE_R4,
+    **EXT_BASELINE_R5,
+    **EXT_BASELINE_R6,
+    **EXT_BASELINE_R8,
+}
 
 #: The queries that represent the engine's load-bearing paths: batch spine,
 #: fact⋈fact join, window aggs, merge, and each LLM-pipeline extension tier.

@@ -1,0 +1,102 @@
+"""Streaming embedding ingest (streaming/ann_ingest.py): micro-batches fold
+into the materialized IVF index via the frozen-centroid incremental add —
+and the fold is idempotent under replay (the foreachBatch retry contract),
+so re-delivered batches never double-insert."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from vacancy_analyser_spark.plans.similarity import (
+    _ranked_against,
+    _vectors,
+    auto_centroids,
+    ivf_build_index_frame,
+)
+from vacancy_analyser_spark.streaming.ann_ingest import start_ann_ingest_stream
+
+SCHEMA = "vec_id bigint, embedding array<double>"  # _vectors casts to double; batch files carry DOUBLE
+
+
+def _setup(spark, sf_dir, tmp_path):
+    """Base index from 3/4 of the corpus; the last quarter becomes two
+    streamed batch files."""
+    vecs = _vectors(spark, sf_dir)
+    part = F.pmod(F.col("vec_id"), F.lit(4))
+    base = vecs.filter(part < 2)
+    b1 = vecs.filter(part == 2)
+    b2 = vecs.filter(part == 3)
+    path = str(tmp_path / "ann_index")
+    ivf_build_index_frame(base, path, n_centroids=auto_centroids(base.count()))
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    return vecs, path, src
+
+
+def _index_assignment(spark, path):
+    return {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "vectors"))
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+
+
+def test_stream_folds_batches_into_index(spark, sf_dir, tmp_path):
+    vecs, path, src = _setup(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", True
+    ).parquet(src)
+    q = start_ann_ingest_stream(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    want = {
+        (r["vec_id"], r["centroid_id"])
+        for r in _ranked_against(vecs, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert _index_assignment(spark, path) == want
+
+
+def test_replayed_batches_do_not_double_insert(spark, sf_dir, tmp_path):
+    """A fresh checkpoint re-delivers EVERY batch (worst-case replay): the
+    skip_existing fold must leave the index exactly as it was."""
+    vecs, path, src = _setup(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", True
+    ).parquet(src)
+    q = start_ann_ingest_stream(stream, path, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    first = _index_assignment(spark, path)
+    n_first = spark.read.parquet(os.path.join(path, "vectors")).count()
+
+    q2 = start_ann_ingest_stream(
+        spark.readStream.schema(SCHEMA).option("recursiveFileLookup", True).parquet(src),
+        path,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert _index_assignment(spark, path) == first
+    assert spark.read.parquet(os.path.join(path, "vectors")).count() == n_first
+
+
+def test_trigger_knobs_validated(spark, tmp_path):
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    with pytest.raises(ValueError, match="silently ignored"):
+        start_ann_ingest_stream(
+            stream, str(tmp_path / "i"), str(tmp_path / "c"),
+            available_now=True, processing_time="1 second",
+        )
+    with pytest.raises(ValueError, match="unthrottled"):
+        start_ann_ingest_stream(
+            stream, str(tmp_path / "i"), str(tmp_path / "c"), available_now=False
+        )

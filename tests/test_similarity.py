@@ -653,10 +653,11 @@ def test_ivf2_index_serve_matches_in_query_and_prunes_both_levels(spark, sf_dir)
     k = auto_centroids(_vectors(spark, sf_dir).count())
     import os
 
-    assert materialization_is_fresh(
-        _ivf2_index_path(sf_dir, k, coarse_centroid_count(k)),
-        os.path.join(sf_dir, "embeddings.parquet"),
-    )
+    root = _ivf2_index_path(sf_dir, k, coarse_centroid_count(k))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    # all three stored halves fresh: quantizer tables + bucketed vectors
+    for d in ("vectors", "fine", "coarse"):
+        assert materialization_is_fresh(os.path.join(root, d), src), d
 
 
 def test_ivf2_cascade_never_rescores_and_stays_in_probed_cells(spark, sf_dir):

@@ -692,7 +692,9 @@ def ivf_build_index_frame(
     )
 
 
-def ivf_index_incremental_add(spark: SparkSession, path: str, batch: DataFrame) -> list[int]:
+def ivf_index_incremental_add(
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+) -> list[int]:
     """Fold an arriving embedding batch into a materialized IVF index
     WITHOUT retraining and WITHOUT touching existing data — the vector
     twin of the partitioned-state merge (operators/partitioned_state.py)
@@ -714,6 +716,13 @@ def ivf_index_incremental_add(spark: SparkSession, path: str, batch: DataFrame) 
     drift as the distribution shifts), not a correctness one: probes
     against frozen centroids stay exact over everything indexed.
 
+    ``skip_existing=True`` makes the add IDEMPOTENT under replay (the
+    foreachBatch retry contract — a failed micro-batch re-runs, and a
+    plain parquet append would double-insert): already-indexed vec_ids
+    are anti-joined out by reading ONLY the touched partitions (the
+    partition-pruned fraction the batch maps to, never the whole index).
+    Streaming ingest (streaming/ann_ingest.py) always sets it.
+
     Returns the touched centroid ids."""
     import os
 
@@ -722,14 +731,26 @@ def ivf_index_incremental_add(spark: SparkSession, path: str, batch: DataFrame) 
         _ranked_against(batch, cent_r)
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
-        .localCheckpoint(eager=True)  # one assignment job feeds both uses below
+        .localCheckpoint(eager=True)  # one assignment job feeds every use below
     )
+    touched = sorted(
+        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
+    )
+    if skip_existing and touched:
+        # no broadcast hint: the anti-join's build side is the touched
+        # partitions' vec_id column (column-pruned scan), whose size scales
+        # with the index fraction the batch maps to — AQE promotes it when
+        # small and keeps a shuffled join when not
+        existing = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(F.col("centroid_id").isin(touched))
+            .select("vec_id")
+        )
+        assigned = assigned.join(existing, "vec_id", "left_anti")
     assigned.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(path, "vectors")
     )
-    return sorted(
-        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
-    )
+    return touched
 
 
 def ivf_probe_index(
@@ -1069,7 +1090,13 @@ def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
     base = vecs.filter(~is_batch)
     batch = vecs.filter(is_batch)
-    k = auto_centroids(base.count())
+    n_base = base.count()
+    if n_base == 0:
+        # no standing corpus → nothing to train, nothing to index (the
+        # oracle's empty-c1 chain returns the same zero rows); writing the
+        # empty layout would leave an unreadable footerless vectors/ dir
+        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+    k = auto_centroids(n_base)
     path = _ivf_incr_index_path(sf_dir, k)
     marker = os.path.join(path, "_INCR_SUCCESS")
     if not (_ivf_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
@@ -2830,6 +2857,32 @@ def coarse_centroid_count(k: int) -> int:
     return min(IVF2_MAX_KC, max(IVF2_MIN_KC, k // IVF2_COARSE_BUCKET))
 
 
+def ivf2_centroids(vecs: DataFrame, k: int, kc: int) -> tuple[DataFrame, DataFrame]:
+    """(fine, coarse) for the two-level index, BOTH Lloyd-trained (r8):
+    fine = lloyd_centroids over the corpus; coarse = lloyd_centroids over
+    the fine centroid TABLE (centroids re-labeled as vectors — the coarse
+    quantizer summarizes the fine one, which is the quantity it prunes).
+    Returns (centroid_id, c_emb) and (coarse_id, g_emb) frames; the
+    oracles replay both trainings as two spliced _lloyd_chain_sql chains."""
+    fine = lloyd_centroids(vecs, k)
+    fine_as_vecs = fine.select(
+        F.col("centroid_id").alias("vec_id"), F.col("c_emb").alias("embedding")
+    )
+    coarse = lloyd_centroids(fine_as_vecs, kc).select(
+        F.col("centroid_id").alias("coarse_id"), F.col("c_emb").alias("g_emb")
+    )
+    return fine, coarse
+
+
+#: The coarse trainer's source CTE + chain, spliced by every ivf2 oracle:
+#: fine (c1) re-labeled as vectors, then the SAME trainer at width KC_SQL.
+_IVF2_CHAIN_SQL = f"""
+        fine AS (SELECT centroid_id, c_emb FROM c1),
+        cfv AS (SELECT centroid_id AS vec_id, c_emb AS emb FROM c1),
+        {_lloyd_chain_sql(k_sql=KC_SQL, prefix="g", src="cfv")},
+        coarse AS (SELECT centroid_id AS coarse_id, c_emb AS g_emb FROM gc1)"""
+
+
 #: The full two-level cascade replay — shared by ann_ivf2_topk (in-query)
 #: and ann_ivf2_index_serve (materialized layout), the same oracle-reuse
 #: pattern as _ivf_oracle for ivf_index_probe: identical results from
@@ -2838,14 +2891,8 @@ _IVF2_ORACLE = f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
-        fine AS (
-            SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {AUTO_K_SQL}
-        ),
-        coarse AS (
-            SELECT vec_id AS coarse_id, emb AS g_emb
-            FROM vecs WHERE vec_id < {KC_SQL}
-        ),
+        {_lloyd_chain_sql()},
+        {_IVF2_CHAIN_SQL},
         f2c AS (
             SELECT centroid_id, coarse_id FROM (
                 SELECT f.centroid_id, g.coarse_id,
@@ -2898,9 +2945,10 @@ def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade: rank the query against k_c COARSE cells (tiny), open the
     top IVF2_NPROBE_C cells, rank only THEIR fine centroids (≈nprobe_c ·
     k/k_c instead of all k), open the top IVF2_NPROBE_F fine buckets,
-    exact top-k inside. Every stage deterministic (first-k seeds at both
-    levels, round-9 argmax, id tie-breaks), so DuckDB replays the whole
-    cascade and the driver hash-checks it.
+    exact top-k inside. Every stage deterministic (the Lloyd trainer at
+    BOTH levels since r8 — fine over the corpus, coarse over the fine
+    centroid table; round-9 argmax, id tie-breaks), so DuckDB replays the
+    whole cascade, both trainings included, and the driver hash-checks it.
 
     The in-query build keeps the one-pass broadcast assignment to fine
     centroids (the thing being demonstrated is the QUERY cascade and the
@@ -2912,12 +2960,7 @@ def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     k = auto_centroids(vecs.count())
     kc = coarse_centroid_count(k)
-    fine = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    coarse = vecs.filter(F.col("vec_id") < kc).select(
-        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
-    )
+    fine, coarse = ivf2_centroids(vecs, k, kc)
     wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
     f2c = (
         fine.crossJoin(F.broadcast(coarse))
@@ -2971,46 +3014,62 @@ def _ivf2_index_path(sf_dir: str, k: int, kc: int) -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
     )
     # recipe-tagged (the _ivf_index_path identity rule): both level sizes
-    # are part of the layout; either changing must produce a new index
-    return os.path.join(warehouse, f"ivf2_{tag}", f"index_c{k}_g{kc}")
+    # AND the trainer are part of the layout; either changing must produce
+    # a new index (lloyd1 minted by the r8 trainer flip)
+    return os.path.join(warehouse, f"ivf2_{tag}", f"index_lloyd1_c{k}_g{kc}")
 
 
 def ivf2_build_index(
     spark: SparkSession, sf_dir: str, path: str, k: int, kc: int
 ) -> None:
-    """Materialize the two-level index: every vector with its fine cell
-    AND its fine cell's coarse cell, written partitionBy(coarse_id,
-    centroid_id) — the nested directory layout where a probe prunes whole
-    coarse trees before fine ones."""
+    """Materialize the two-level index:
+
+    - ``fine/``: the Lloyd-trained fine centroids WITH their coarse cell
+      (centroid_id, c_emb, coarse_id) — stored so serving ranks the query
+      against centroid-count tables instead of retraining (the one-level
+      centroids/ pattern, plus the f2c mapping folded in);
+    - ``coarse/``: the Lloyd-trained coarse quantizer (trained on the fine
+      table — see ivf2_centroids);
+    - ``vectors/``: every vector with its fine cell AND its fine cell's
+      coarse cell, written partitionBy(coarse_id, centroid_id) — the
+      nested directory layout where a probe prunes whole coarse trees
+      before fine ones.
+
+    Levels write FIRST so an interrupted build can't leave vectors/ with
+    no quantizer tables (the codebook-first rationale)."""
+    import os
+
     vecs = _vectors(spark, sf_dir)
-    fine = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    coarse = vecs.filter(F.col("vec_id") < kc).select(
-        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
-    )
+    fine, coarse = ivf2_centroids(vecs, k, kc)
+    coarse.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
+    coarse_r = spark.read.parquet(os.path.join(path, "coarse"))
     wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
     f2c = (
-        fine.crossJoin(F.broadcast(coarse))
+        fine.crossJoin(F.broadcast(coarse_r))
         .select(
             "centroid_id",
+            "c_emb",
             "coarse_id",
             F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
         )
         .withColumn("rn", F.row_number().over(wf))
         .filter(F.col("rn") == 1)
-        .select("centroid_id", "coarse_id")
+        .select("centroid_id", "c_emb", "coarse_id")
     )
+    f2c.write.mode("overwrite").parquet(os.path.join(path, "fine"))
+    fine_r = spark.read.parquet(os.path.join(path, "fine"))
     assigned = (
-        _ranked_against(vecs, fine)
+        _ranked_against(vecs, fine_r.select("centroid_id", "c_emb"))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
     )
     (
-        assigned.join(F.broadcast(f2c), "centroid_id")
+        assigned.join(
+            F.broadcast(fine_r.select("centroid_id", "coarse_id")), "centroid_id"
+        )
         .write.partitionBy("coarse_id", "centroid_id")
         .mode("overwrite")
-        .parquet(path)
+        .parquet(os.path.join(path, "vectors"))
     )
 
 
@@ -3027,7 +3086,9 @@ def ann_ivf2_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves identical results. The probe's isin() filters sit on BOTH
     partition columns: planning-time pruning opens only the probed fine
     directories inside the probed coarse trees
-    (tests/test_similarity.py asserts the PartitionFilters)."""
+    (tests/test_similarity.py asserts the PartitionFilters). Serving is
+    TRAIN-FREE: both shortlists rank the query against the STORED
+    coarse/ and fine/ tables — centroid-count rows, no corpus stage."""
     import os
 
     from ..io import materialization_is_fresh
@@ -3036,42 +3097,30 @@ def ann_ivf2_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = auto_centroids(vecs.count())
     kc = coarse_centroid_count(k)
     path = _ivf2_index_path(sf_dir, k, kc)
-    if not materialization_is_fresh(path, os.path.join(sf_dir, "embeddings.parquet")):
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not all(
+        materialization_is_fresh(os.path.join(path, d), src)
+        for d in ("vectors", "fine", "coarse")
+    ):
         ivf2_build_index(spark, sf_dir, path, k, kc)
     q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
     if q_row is None:
         return spark.createDataFrame([], "vec_id bigint, sim double")
-    fine = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    coarse = vecs.filter(F.col("vec_id") < kc).select(
-        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
-    )
+    coarse_r = spark.read.parquet(os.path.join(path, "coarse"))
+    fine_r = spark.read.parquet(os.path.join(path, "fine"))
     q = F.broadcast(vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
     # the cascade's two shortlists are control-plane scalars (≤ a few ids)
     probes_c = [
         r["coarse_id"]
-        for r in coarse.crossJoin(q)
+        for r in coarse_r.crossJoin(q)
         .select("coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s"))
         .orderBy(F.col("s").desc(), "coarse_id")
         .limit(IVF2_NPROBE_C)
         .collect()
     ]
-    wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
-    f2c = (
-        fine.crossJoin(F.broadcast(coarse))
-        .select(
-            "centroid_id",
-            "c_emb",
-            "coarse_id",
-            F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
-        )
-        .withColumn("rn", F.row_number().over(wf))
-        .filter(F.col("rn") == 1)
-    )
     probes_f = [
         r["centroid_id"]
-        for r in f2c.filter(F.col("coarse_id").isin(probes_c))
+        for r in fine_r.filter(F.col("coarse_id").isin(probes_c))
         .crossJoin(q)
         .select("centroid_id", F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s"))
         .orderBy(F.col("s").desc(), "centroid_id")
@@ -3081,7 +3130,7 @@ def ann_ivf2_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = q_row[0]
     qc = F.array(*[F.lit(float(x)) for x in q_emb])
     idx = (
-        spark.read.parquet(path)
+        spark.read.parquet(os.path.join(path, "vectors"))
         .filter(F.col("coarse_id").isin(probes_c) & F.col("centroid_id").isin(probes_f))
         .filter(F.col("vec_id") != 0)
     )
@@ -3104,14 +3153,8 @@ IVF2_RECALL_NPROBES_F = (1, 2, 3, 4)
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
-        fine AS (
-            SELECT vec_id AS centroid_id, emb AS c_emb
-            FROM vecs WHERE vec_id < {AUTO_K_SQL}
-        ),
-        coarse AS (
-            SELECT vec_id AS coarse_id, emb AS g_emb
-            FROM vecs WHERE vec_id < {KC_SQL}
-        ),
+        {_lloyd_chain_sql()},
+        {_IVF2_CHAIN_SQL},
         f2c AS (
             SELECT centroid_id, c_emb, coarse_id FROM (
                 SELECT f.centroid_id, f.c_emb, g.coarse_id,
@@ -3226,12 +3269,7 @@ def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     k = auto_centroids(vecs.count())
     kc = coarse_centroid_count(k)
-    fine = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    coarse = vecs.filter(F.col("vec_id") < kc).select(
-        F.col("vec_id").alias("coarse_id"), F.col("embedding").alias("g_emb")
-    )
+    fine, coarse = ivf2_centroids(vecs, k, kc)
     wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
     f2c = (
         fine.crossJoin(F.broadcast(coarse))
