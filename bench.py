@@ -86,6 +86,8 @@ EXT = [
     "corpus_selection_manifest",
     "ann_index_incremental_add",
     "range_join_banded",
+    "ann_recall_incremental",
+    "ann_index_drift_report",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -211,6 +213,8 @@ EXT_BASELINE_R8 = {
     "ann_ivf2_index_serve": 1.3,       # flat: trainer runs once per build
     "ann_index_incremental_add": 0.3,
     "range_join_banded": 0.8,
+    "ann_recall_incremental": 4.1,
+    "ann_index_drift_report": 2.7,
 }
 
 EXT_BASELINE = {

@@ -2476,6 +2476,189 @@ def _recall_frame(
     )
 
 
+@register(
+    "ann_recall_incremental",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM vecs WHERE vec_id < {ANN_RECALL_NQ}
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT r.vec_id AS q_id, np.nprobe, r.centroid_id
+            FROM ranked r
+            CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in ANN_RECALL_NPROBES)}]) AS nprobe) np
+            WHERE r.vec_id < {ANN_RECALL_NQ} AND r.rn <= np.nprobe
+        ),
+        cand AS (
+            SELECT p.q_id, p.nprobe, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, c.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.nprobe
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, nprobe FROM probes),
+        counts AS (
+            SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.nprobe
+        )
+        SELECT g.q_id, g.nprobe, COALESCE(c.n_hits, 0) AS n_hits,
+               CAST(COALESCE(c.n_hits, 0) AS DOUBLE) / {IVF_K} AS recall
+        FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.nprobe = c.nprobe
+    """,
+    tags=("ext-sim", "contract"),
+)
+def ann_recall_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STALENESS cost of incremental maintenance, priced: recall@k of
+    the incrementally-maintained index — centroids trained on the BASE
+    slice only (what ann_index_incremental_add serves after folding the
+    batch in against frozen centroids) — over the FULL grown corpus,
+    same query battery and probe widths as ann_recall_report. Reading the
+    two keys side by side in one artifact gives the retrain decision a
+    number: report = 'retrained on everything', incremental = 'trained
+    before the last 1/8 arrived'. A widening gap as the un-retrained
+    fraction grows is the signal ann_index_drift_report watches per
+    centroid; at this corpus's batch share the curves should be close
+    (the adds follow the same label clusters the base trained on).
+
+    Same one-plan evaluation shape as every recall key (_recall_frame);
+    the exact side is corpus × NQ — the deliberate linear cost of an
+    evaluation job, run per index build, never per serve."""
+    vecs = _vectors(spark, sf_dir)
+    base = vecs.filter(
+        F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) != INCR_BATCH_MOD - 1
+    )
+    cent = lloyd_centroids(base, auto_centroids(base.count()))
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    return _recall_frame(vecs, queries, _ranked_against(vecs, cent), ANN_RECALL_NPROBES)
+
+
+@register(
+    "ann_index_drift_report",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   round(list_cosine_similarity(v.emb, c.c_emb), 9) AS c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (
+            SELECT vec_id, centroid_id, c_sim,
+                   CAST(vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1} AS INT) AS is_add
+            FROM ranked WHERE rn = 1
+        )
+        SELECT centroid_id,
+               COUNT(*) FILTER (WHERE is_add = 0) AS n_base,
+               COUNT(*) FILTER (WHERE is_add = 1) AS n_added,
+               CASE WHEN COUNT(*) FILTER (WHERE is_add = 0) = 0 THEN NULL
+                    ELSE round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                   FILTER (WHERE is_add = 0) AS DOUBLE)
+                               / COUNT(*) FILTER (WHERE is_add = 0), 6) END
+                   AS mean_sim_base,
+               CASE WHEN COUNT(*) FILTER (WHERE is_add = 1) = 0 THEN NULL
+                    ELSE round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                   FILTER (WHERE is_add = 1) AS DOUBLE)
+                               / COUNT(*) FILTER (WHERE is_add = 1), 6) END
+                   AS mean_sim_added
+        FROM assigned
+        GROUP BY centroid_id
+    """,
+    tags=("ext-sim", "contract"),
+)
+def ann_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-centroid RETRAIN TRIGGER for incrementally-maintained
+    indexes: after folding adds in against frozen centroids, how well do
+    the added vectors still fit the cells they landed in? Per centroid:
+    base and added member counts, and the mean assignment cosine of each
+    population (decimal-exact means through the kmeans m1 pattern, so
+    both engines hash-match). A centroid whose mean_sim_added sits well
+    below its mean_sim_base is collecting vectors the base training never
+    saw — the distribution moved, and that cell is where recall leaks
+    first (ann_recall_incremental prices the aggregate effect). Growth
+    skew (n_added outpacing n_base in a few cells) is the other trigger:
+    those buckets grow past the design bucket size and probe cost drifts.
+
+    Scale shape: one broadcast assignment over the corpus (the trainer's
+    own pass), one hash aggregate carrying |centroids| rows — the report
+    is centroid-count sized and ships with every ingest job."""
+    vecs = _vectors(spark, sf_dir)
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_add)
+    cent = lloyd_centroids(base, auto_centroids(base.count()))
+    assigned = (
+        _ranked_against(vecs, cent)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "c_sim", is_add.cast("int").alias("is_add"))
+    )
+    dsim = F.col("c_sim").cast("decimal(38,9)")
+    base_n = F.count(F.when(F.col("is_add") == 0, 1))
+    add_n = F.count(F.when(F.col("is_add") == 1, 1))
+    mean_of = lambda flag, n: F.when(  # noqa: E731 — two aggregate variants of one formula
+        n == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            F.sum(F.when(F.col("is_add") == flag, dsim)).cast("double") / n, 6
+        )
+    )
+    return assigned.groupBy("centroid_id").agg(
+        base_n.alias("n_base"),
+        add_n.alias("n_added"),
+        mean_of(0, base_n).alias("mean_sim_base"),
+        mean_of(1, add_n).alias("mean_sim_added"),
+    )
+
+
 # --- Embedding/PQ quality metrics --------------------------------------------
 
 #: Outliers reported per label: the top-N vectors most distant from their
