@@ -88,6 +88,7 @@ EXT = [
     "range_join_banded",
     "ann_recall_incremental",
     "ann_index_drift_report",
+    "ann_ivfpq_incremental_add",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -215,6 +216,7 @@ EXT_BASELINE_R8 = {
     "range_join_banded": 0.8,
     "ann_recall_incremental": 4.1,
     "ann_index_drift_report": 2.7,
+    "ann_ivfpq_incremental_add": 0.6,  # serve-side read; the one-off build is ~15 s
 }
 
 EXT_BASELINE = {

@@ -140,3 +140,55 @@ def test_registered_key_is_idempotent(spark, sf_dir):
     n2 = ann_index_incremental_add(spark, sf_dir).count()
     n_vecs = _vectors(spark, sf_dir).count()
     assert n1 == n2 == n_vecs
+
+
+def test_ivfpq_incremental_add_matches_frozen_rebuild(spark, sf_dir, tmp_path):
+    """The compressed-index twin: codes from the STORED codebook, cells
+    from the STORED centroids, untouched partitions byte-identical, and
+    the result equal to encoding+assigning the union against the same
+    frozen artifacts."""
+    from vacancy_analyser_spark.plans.similarity import (
+        _pq_assign,
+        _pq_subvectors,
+        ivfpq_build_index_frame,
+        ivfpq_index_incremental_add,
+    )
+
+    base, batch = _split(spark, sf_dir)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivfpq_incr")
+    ivfpq_build_index_frame(base, path, n_centroids=k)
+    vectors = os.path.join(path, "vectors")
+    before = _file_census(vectors)
+
+    touched = ivfpq_index_incremental_add(spark, path, batch)
+    after = _file_census(vectors)
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    for rel in set(after) - set(before):
+        assert rel.split(os.sep, 1)[0] in {f"centroid_id={b}" for b in touched}, rel
+
+    got = {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "codes")
+        .collect()
+    }
+    cb_r = spark.read.parquet(os.path.join(path, "codebook"))
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    vecs = _vectors(spark, sf_dir)
+    codes_arr = (
+        _pq_assign(_pq_subvectors(vecs), cb_r)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
+        .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
+    )
+    want = {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in _ranked_against(vecs, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .join(codes_arr, "vec_id")
+        .collect()
+    }
+    assert got == want

@@ -1452,51 +1452,62 @@ def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-_PQ_CTES = f"""
-        vecs AS (
-            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        ),
-        sub AS (
+def _pq_chain_sql(src: str = "vecs", prefix: str = "") -> str:
+    """The PQ trainer+encoder CTE chain — block split of ``src``, one-step
+    Lloyd codebook from the first-PQ_K seed, argmin encode — parameterized
+    the same way as _lloyd_chain_sql so the incremental-IVFPQ oracle can
+    train on the ``base`` slice under namespaced CTEs while the default
+    rendering stays byte-identical to the long-green _PQ_CTES text (the
+    registered oracles' strings must not drift from a refactor)."""
+    p = prefix
+    return f"""{p}sub AS (
             SELECT vec_id, bl.block,
                    (emb)[bl.block * {PQ_SUB} + 1 : bl.block * {PQ_SUB} + {PQ_SUB}] AS s
-            FROM vecs, (SELECT unnest(range(0, {PQ_M})) AS block) bl
+            FROM {src}, (SELECT unnest(range(0, {PQ_M})) AS block) bl
         ),
-        c0 AS (
-            SELECT block, vec_id AS cid, s AS c_sub FROM sub WHERE vec_id < {PQ_K}
+        {p}c0 AS (
+            SELECT block, vec_id AS cid, s AS c_sub FROM {p}sub WHERE vec_id < {PQ_K}
         ),
-        a1 AS (
+        {p}a1 AS (
             SELECT vec_id, block, s, cid FROM (
-                SELECT sub.vec_id, sub.block, sub.s, c0.cid,
+                SELECT {p}sub.vec_id, {p}sub.block, {p}sub.s, {p}c0.cid,
                        ROW_NUMBER() OVER (
-                           PARTITION BY sub.vec_id, sub.block
-                           ORDER BY round({_l2sq_sql('sub.s', 'c0.c_sub')}, 9), c0.cid
+                           PARTITION BY {p}sub.vec_id, {p}sub.block
+                           ORDER BY round({_l2sq_sql(f'{p}sub.s', f'{p}c0.c_sub')}, 9), {p}c0.cid
                        ) AS rn
-                FROM sub JOIN c0 ON sub.block = c0.block
+                FROM {p}sub JOIN {p}c0 ON {p}sub.block = {p}c0.block
             ) WHERE rn = 1
         ),
-        m1 AS (
+        {p}m1 AS (
             SELECT block, cid, pos - 1 AS pos,
                    CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
             FROM (
                 SELECT block, cid, unnest(s) AS val, generate_subscripts(s, 1) AS pos
-                FROM a1
+                FROM {p}a1
             )
             GROUP BY block, cid, pos
         ),
-        cb AS (
-            SELECT block, cid, list(m ORDER BY pos) AS c_sub FROM m1 GROUP BY block, cid
+        {p}cb AS (
+            SELECT block, cid, list(m ORDER BY pos) AS c_sub FROM {p}m1 GROUP BY block, cid
         ),
-        codes AS (
+        {p}codes AS (
             SELECT vec_id, block, cid AS code, d AS qd FROM (
-                SELECT sub.vec_id, sub.block, cb.cid,
-                       round({_l2sq_sql('sub.s', 'cb.c_sub')}, 9) AS d,
+                SELECT {p}sub.vec_id, {p}sub.block, {p}cb.cid,
+                       round({_l2sq_sql(f'{p}sub.s', f'{p}cb.c_sub')}, 9) AS d,
                        ROW_NUMBER() OVER (
-                           PARTITION BY sub.vec_id, sub.block
-                           ORDER BY round({_l2sq_sql('sub.s', 'cb.c_sub')}, 9), cb.cid
+                           PARTITION BY {p}sub.vec_id, {p}sub.block
+                           ORDER BY round({_l2sq_sql(f'{p}sub.s', f'{p}cb.c_sub')}, 9), {p}cb.cid
                        ) AS rn
-                FROM sub JOIN cb ON sub.block = cb.block
+                FROM {p}sub JOIN {p}cb ON {p}sub.block = {p}cb.block
             ) WHERE rn = 1
         )"""
+
+
+_PQ_CTES = f"""
+        vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_pq_chain_sql()}"""
 
 
 @register(
@@ -1775,9 +1786,17 @@ def ivfpq_build_index(
     The codebook is written FIRST so an interrupted build can never leave
     a vectors/_SUCCESS without its codebook; freshness is checked on both
     (see _ivfpq_index_is_fresh)."""
+    ivfpq_build_index_frame(_vectors(spark, sf_dir), path, n_centroids)
+
+
+def ivfpq_build_index_frame(
+    vecs: DataFrame, path: str, n_centroids: int | None = None
+) -> None:
+    """ivfpq_build_index over an explicit (vec_id, embedding) frame — the
+    incremental-add key builds from its ``base`` slice through this."""
     import os
 
-    vecs = _vectors(spark, sf_dir)
+    spark = vecs.sparkSession
     sub = _pq_subvectors(vecs).persist()
     sub.count()
     cb = _pq_codebook(sub)
@@ -1801,6 +1820,147 @@ def ivfpq_build_index(
         "overwrite"
     ).parquet(os.path.join(path, "vectors"))
     sub.unpersist()
+
+
+def ivfpq_index_incremental_add(
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+) -> list[int]:
+    """Fold an embedding batch into a materialized IVFPQ index with BOTH
+    trained artifacts frozen: the batch's PQ codes come from the STORED
+    codebook (retraining it would silently re-mean every existing code's
+    reconstruction), its coarse assignment from the STORED centroids, and
+    the joined rows APPEND to the touched centroid partitions — the
+    ivf_index_incremental_add contract extended to the compressed index.
+    ``skip_existing`` gives the same replay idempotency (anti-join against
+    the touched partitions only). Returns the touched centroid ids."""
+    import os
+
+    cb_r = spark.read.parquet(os.path.join(path, "codebook"))
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    codes_arr = (
+        _pq_assign(_pq_subvectors(batch), cb_r)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
+        .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
+    )
+    assigned = (
+        _ranked_against(batch, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .join(codes_arr, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
+    )
+    if skip_existing and touched:
+        existing = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(F.col("centroid_id").isin(touched))
+            .select("vec_id")
+        )
+        assigned = assigned.join(existing, "vec_id", "left_anti")
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    return touched
+
+
+def _ivfpq_incr_index_path(sf_dir: str, k: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivfpq_index_path(sf_dir, k)),
+        f"incr_lloyd1_c{k}_m{PQ_M}_k{PQ_K}",
+    )
+
+
+@register(
+    "ann_ivfpq_incremental_add",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        {_pq_chain_sql(src="base", prefix="p")},
+        allsub AS (
+            SELECT vec_id, bl.block,
+                   (emb)[bl.block * {PQ_SUB} + 1 : bl.block * {PQ_SUB} + {PQ_SUB}] AS s
+            FROM vecs, (SELECT unnest(range(0, {PQ_M})) AS block) bl
+        ),
+        allcodes AS (
+            SELECT vec_id, block, cid AS code FROM (
+                SELECT allsub.vec_id, allsub.block, pcb.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY allsub.vec_id, allsub.block
+                           ORDER BY round({_l2sq_sql('allsub.s', 'pcb.c_sub')}, 9), pcb.cid
+                       ) AS rn
+                FROM allsub JOIN pcb ON allsub.block = pcb.block
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, c.block, c.code
+        FROM assigned a JOIN allcodes c ON a.vec_id = c.vec_id
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivfpq_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the COMPRESSED index, driver-checked:
+    build the IVFPQ index from the base slice (codebook + coarse
+    centroids trained there, both stored), fold the arriving ~12.5% in
+    via ivfpq_index_incremental_add — codes from the frozen codebook,
+    cells from the frozen centroids, partition-scoped append — and return
+    the full post-add index exploded to (vec_id, centroid_id, block,
+    code). The oracle is the rebuild-equivalence statement with BOTH
+    artifacts frozen: train on base, encode and assign everything against
+    those artifacts. At 100 TB this is the difference between re-encoding
+    the corpus per embedding batch and touching batch-sized bytes: the PQ
+    codes of existing vectors are immutable once written, exactly like
+    the float rows.
+
+    Same idempotency recipe as the IVF twin (source-mtime freshness + an
+    add-completion marker)."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_batch)
+    batch = vecs.filter(is_batch)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, block bigint, code bigint"
+        )
+    k = auto_centroids(n_base)
+    path = _ivfpq_incr_index_path(sf_dir, k)
+    marker = os.path.join(path, "_INCR_SUCCESS")
+    if not (_ivfpq_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
+        ivfpq_build_index_frame(base, path, n_centroids=k)
+        ivfpq_index_incremental_add(spark, path, batch)
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.posexplode("codes").alias("block", "code"),
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.col("block").cast("bigint").alias("block"),
+        F.col("code").cast("bigint").alias("code"),
+    )
 
 
 def _ivfpq_index_is_fresh(path: str, sf_dir: str) -> bool:
