@@ -89,6 +89,8 @@ EXT = [
     "ann_recall_incremental",
     "ann_index_drift_report",
     "ann_ivfpq_incremental_add",
+    "ann_ivf2_incremental_add",
+    "ann_recall_lloyd2",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -101,7 +103,7 @@ EXT = [
 #: "ext_skipped" map instead of silently missing from ext_queries. The
 #: regression gate stays intact for everything that ran; core ext keys
 #: are never skipped.
-EXT_DEFER = ("corpus_selection_manifest", "lsh_recall_report")
+EXT_DEFER = ("corpus_selection_manifest", "lsh_recall_report", "ann_recall_lloyd2")
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
 #: recording — the DRIVER's BENCH_r04 ext_queries at sf0.1, local[32] —
@@ -217,6 +219,8 @@ EXT_BASELINE_R8 = {
     "ann_recall_incremental": 4.1,
     "ann_index_drift_report": 2.7,
     "ann_ivfpq_incremental_add": 0.6,  # serve-side read; the one-off build is ~15 s
+    "ann_ivf2_incremental_add": 0.4,   # serve-side read; the one-off build is ~6 s
+    "ann_recall_lloyd2": 5.9,          # two trainer passes + eval; deferrable tail
 }
 
 EXT_BASELINE = {

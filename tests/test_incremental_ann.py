@@ -192,3 +192,55 @@ def test_ivfpq_incremental_add_matches_frozen_rebuild(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ivf2_incremental_add_appends_into_nested_layout(spark, sf_dir, tmp_path):
+    """The two-level twin: one broadcast assignment against the stored
+    fine table (its coarse_id rides along — zero coarse-level work),
+    nested-partition append, untouched directories byte-identical, and
+    the post-add content equal to assigning the union against the frozen
+    fine centroids."""
+    from vacancy_analyser_spark.plans.similarity import (
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+        ivf2_index_incremental_add,
+    )
+
+    base, batch = _split(spark, sf_dir)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivf2_incr")
+    ivf2_build_index_frame(base, path, k, coarse_centroid_count(k))
+    vectors = os.path.join(path, "vectors")
+    before = _file_census(vectors)
+
+    touched = ivf2_index_incremental_add(spark, path, batch)
+    after = _file_census(vectors)
+    for rel, meta in before.items():
+        assert after.get(rel) == meta, f"pre-existing file changed: {rel}"
+    new_files = set(after) - set(before)
+    assert new_files
+    for rel in new_files:
+        # nested layout: coarse dir / fine dir / file — the fine dir must
+        # be one of the touched cells
+        parts = rel.split(os.sep)
+        assert parts[0].startswith("coarse_id="), rel
+        assert parts[1] in {f"centroid_id={b}" for b in touched}, rel
+
+    fine_r = spark.read.parquet(os.path.join(path, "fine"))
+    got = {
+        (r["vec_id"], r["centroid_id"], r["coarse_id"])
+        for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "coarse_id")
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["centroid_id"], r["coarse_id"])
+        for r in _ranked_against(
+            _vectors(spark, sf_dir), fine_r.select("centroid_id", "c_emb")
+        )
+        .filter(F.col("rn") == 1)
+        .join(fine_r.select("centroid_id", "coarse_id"), "centroid_id")
+        .select("vec_id", "centroid_id", "coarse_id")
+        .collect()
+    }
+    assert got == want

