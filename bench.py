@@ -91,6 +91,8 @@ EXT = [
     "ann_ivfpq_incremental_add",
     "ann_ivf2_incremental_add",
     "ann_recall_lloyd2",
+    "ann_ivfpq_residual_topk",
+    "pq_residual_error_report",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -103,7 +105,12 @@ EXT = [
 #: "ext_skipped" map instead of silently missing from ext_queries. The
 #: regression gate stays intact for everything that ran; core ext keys
 #: are never skipped.
-EXT_DEFER = ("corpus_selection_manifest", "lsh_recall_report", "ann_recall_lloyd2")
+EXT_DEFER = (
+    "corpus_selection_manifest",
+    "lsh_recall_report",
+    "ann_recall_lloyd2",
+    "pq_residual_error_report",
+)
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
 #: recording — the DRIVER's BENCH_r04 ext_queries at sf0.1, local[32] —
@@ -221,6 +228,8 @@ EXT_BASELINE_R8 = {
     "ann_ivfpq_incremental_add": 0.6,  # serve-side read; the one-off build is ~15 s
     "ann_ivf2_incremental_add": 0.4,   # serve-side read; the one-off build is ~6 s
     "ann_recall_lloyd2": 5.9,          # two trainer passes + eval; deferrable tail
+    "ann_ivfpq_residual_topk": 5.5,    # lloyd + residual PQ train + per-cell ADC
+    "pq_residual_error_report": 9.0,   # trains BOTH codebooks; deferrable tail
 }
 
 EXT_BASELINE = {
