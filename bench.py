@@ -93,6 +93,8 @@ EXT = [
     "ann_recall_lloyd2",
     "ann_ivfpq_residual_topk",
     "pq_residual_error_report",
+    "token_budget_select",
+    "cluster_balanced_sample",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -230,6 +232,8 @@ EXT_BASELINE_R8 = {
     "ann_recall_lloyd2": 5.9,          # two trainer passes + eval; deferrable tail
     "ann_ivfpq_residual_topk": 5.5,    # lloyd + residual PQ train + per-cell ADC
     "pq_residual_error_report": 9.0,   # trains BOTH codebooks; deferrable tail
+    "token_budget_select": 2.0,        # scan + |langs| agg + per-lang window
+    "cluster_balanced_sample": 6.0,    # in-query lloyd training dominates
 }
 
 EXT_BASELINE = {

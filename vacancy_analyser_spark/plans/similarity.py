@@ -4228,3 +4228,82 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rerank.orderBy("l2_dist", "vec_id").limit(PQ_TOPK)
+
+
+#: Per-cell quota of the cluster-balanced sample — the knob a diversity
+#: downsample tunes against its token target (quota · n_cells ≈ sample
+#: size; auto-k keeps n_cells proportional to the corpus, so the sampled
+#: fraction is roughly constant across scales).
+CLUSTER_SAMPLE_PER_CELL = 8
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(prefix="iv")},
+        sranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN ivc1 c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM sranked WHERE rn = 1),
+        cell_sizes AS (
+            SELECT centroid_id, COUNT(*) AS cell_n FROM assigned GROUP BY centroid_id
+        )
+        SELECT a.vec_id, a.centroid_id, CAST(s.cell_n AS BIGINT) AS cell_n
+        FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY centroid_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS srn
+            FROM assigned
+        ) a JOIN cell_sizes s ON a.centroid_id = s.centroid_id
+        WHERE a.srn <= {CLUSTER_SAMPLE_PER_CELL}
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-preserving diversity downsample (the D4/SemDeDup-family
+    move, Tirumala et al. 2023): assign every embedding to its serving
+    centroid, then keep a FIXED per-cell quota chosen by deterministic
+    hash order — so the sample covers the embedding space uniformly
+    instead of frequency-proportionally, and dense regions (near-
+    duplicate clouds, boilerplate clusters) stop dominating the
+    training mix. cell_n rides along so downstream mixture planning
+    can see how aggressively each region was cut.
+
+    Plan: the assignment is the shared broadcast argmax (_ranked_against
+    — no shuffle of the vector table), then ONE shuffle keyed on
+    centroid_id for the per-cell window + the cell-size aggregate,
+    which AQE plans together. Cells are auto-k bounded, so partitions
+    stay even; md5 order makes the quota deterministic on both engines
+    (the lloyd seed-ranking trick, reused). At 100 TB this runs off the
+    materialized index layout instead: vectors/ is already partitioned
+    by centroid_id, so the window is partition-local and shuffle-free."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    assigned = (
+        _ranked_lloyd(vecs, k)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    cell_sizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("cell_n")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= CLUSTER_SAMPLE_PER_CELL)
+        .join(cell_sizes, "centroid_id")
+        .select("vec_id", "centroid_id", "cell_n")
+    )

@@ -2029,3 +2029,79 @@ def _set_manifest_oracle() -> None:
 
 
 _set_manifest_oracle()
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) AS score
+            FROM documents WHERE length(text) > 0
+        ),
+        budgets AS (
+            SELECT lang,
+                   CAST(FLOOR(CAST(0.25 AS DOUBLE) * SUM(n_tokens)) AS BIGINT) AS budget
+            FROM scored GROUP BY lang
+        ),
+        cum AS (
+            SELECT doc_id, lang, n_tokens, score,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY score DESC, doc_id
+                   ) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT c.doc_id, c.lang, c.n_tokens, round(c.score, 6) AS score, c.cum_tokens
+        FROM cum c JOIN budgets b ON c.lang = b.lang
+        WHERE c.cum_tokens <= b.budget
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware corpus selection, the greedy form every
+    pretraining run's data plan executes: per language, keep the
+    highest-quality documents (alphabetic-ratio score, the
+    quality_percentile_gate metric) until the language's running token
+    sum crosses 25% of its total token mass — a per-language budget, not
+    a global one, because a global greedy starves low-resource languages
+    exactly as a global quality threshold mis-gates them (the
+    quality_percentile_gate rationale, applied to budgets).
+
+    Plan: one scan computes tokens + score, one |langs|-keyed aggregate
+    derives the budgets (broadcast back), and the running sum is a
+    window PARTITIONED BY lang — so the sort is per-language, never
+    global, and parallelism is |langs|-bounded only within the window
+    stage (the packing caveat). At 100 TB the exact per-lang sort is
+    replaced by quantile bucketing on score (approxQuantile → gate per
+    bucket, refine only the boundary bucket) — the exact form here is
+    the oracle for that refinement, the same contract
+    quality_percentile_gate documents."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    score = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+    )
+    budgets = scored.groupBy("lang").agg(
+        F.floor(F.lit(0.25) * F.sum("n_tokens")).cast("bigint").alias("budget")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "lang")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("score", 6).alias("score"),
+            "cum_tokens",
+        )
+    )
