@@ -4282,12 +4282,15 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the assignment is the shared broadcast argmax (_ranked_against
     — no shuffle of the vector table), then ONE shuffle keyed on
-    centroid_id for the per-cell window + the cell-size aggregate,
-    which AQE plans together. Cells are auto-k bounded, so partitions
-    stay even; md5 order makes the quota deterministic on both engines
-    (the lloyd seed-ranking trick, reused). At 100 TB this runs off the
-    materialized index layout instead: vectors/ is already partitioned
-    by centroid_id, so the window is partition-local and shuffle-free."""
+    centroid_id for the per-cell window AND the cell size — cell_n is a
+    whole-partition COUNT window over the same partitioning, so both
+    ride one Exchange and the expensive assignment runs ONCE (a
+    groupBy+join would re-derive it on a second branch — plan-audited).
+    Cells are auto-k bounded, so partitions stay even; md5 order makes
+    the quota deterministic on both engines (the lloyd seed-ranking
+    trick, reused). At 100 TB this runs off the materialized index
+    layout instead: vectors/ is already partitioned by centroid_id, so
+    the window is partition-local and shuffle-free."""
     vecs = _vectors(spark, sf_dir)
     k = auto_centroids(vecs.count())
     assigned = (
@@ -4295,15 +4298,13 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id")
     )
-    cell_sizes = assigned.groupBy("centroid_id").agg(
-        F.count("*").cast("bigint").alias("cell_n")
-    )
     w = Window.partitionBy("centroid_id").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
+    cell = Window.partitionBy("centroid_id")
     return (
         assigned.withColumn("srn", F.row_number().over(w))
+        .withColumn("cell_n", F.count("*").over(cell).cast("bigint"))
         .filter(F.col("srn") <= CLUSTER_SAMPLE_PER_CELL)
-        .join(cell_sizes, "centroid_id")
         .select("vec_id", "centroid_id", "cell_n")
     )
