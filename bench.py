@@ -95,6 +95,7 @@ EXT = [
     "pq_residual_error_report",
     "token_budget_select",
     "cluster_balanced_sample",
+    "ann_recall_residual",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -112,6 +113,7 @@ EXT_DEFER = (
     "lsh_recall_report",
     "ann_recall_lloyd2",
     "pq_residual_error_report",
+    "ann_recall_residual",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -234,6 +236,7 @@ EXT_BASELINE_R8 = {
     "pq_residual_error_report": 9.0,   # trains BOTH codebooks; deferrable tail
     "token_budget_select": 2.0,        # scan + |langs| agg + per-lang window
     "cluster_balanced_sample": 6.0,    # in-query lloyd training dominates
+    "ann_recall_residual": 27.0,       # trains BOTH codebooks + 2 ADC paths; deferrable
 }
 
 EXT_BASELINE = {

@@ -742,3 +742,20 @@ def test_residual_ivfpq_serves_exact_distances(spark, sf_dir):
     assert 0 not in {r["vec_id"] for r in got}  # the query never returns itself
     for r in got:
         assert r["l2_dist"] == exact[r["vec_id"]]
+
+
+def test_residual_recall_grid_is_complete_and_bounded(spark, sf_dir):
+    """The residual-vs-plain recall comparison must keep every (query,
+    variant) cell visible (zeros included) with recall = n_hits/k."""
+    from vacancy_analyser_spark.plans.similarity import (
+        ANN_RECALL_NQ,
+        PQ_TOPK,
+        ann_recall_residual,
+    )
+
+    rows = ann_recall_residual(spark, sf_dir).collect()
+    assert len(rows) == 2 * ANN_RECALL_NQ
+    assert {r["variant"] for r in rows} == {"plain", "residual"}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= PQ_TOPK
+        assert r["recall"] == r["n_hits"] / PQ_TOPK
