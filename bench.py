@@ -96,6 +96,7 @@ EXT = [
     "token_budget_select",
     "cluster_balanced_sample",
     "ann_recall_residual",
+    "shard_manifest",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -237,6 +238,7 @@ EXT_BASELINE_R8 = {
     "token_budget_select": 2.0,        # scan + |langs| agg + per-lang window
     "cluster_balanced_sample": 6.0,    # in-query lloyd training dominates
     "ann_recall_residual": 27.0,       # trains BOTH codebooks + 2 ADC paths; deferrable
+    "shard_manifest": 2.0,             # scan-side algebra + |N_SHARDS| agg
 }
 
 EXT_BASELINE = {

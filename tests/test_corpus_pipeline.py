@@ -713,3 +713,20 @@ def test_cluster_balanced_sample_quota_and_coverage(spark, sf_dir):
     assert per_cell
     for r in per_cell:
         assert r["k"] == min(CLUSTER_SAMPLE_PER_CELL, r["cell_n"])
+
+
+def test_shard_manifest_balance_and_invariance(spark, sf_dir):
+    """Hash sharding's two promises, pinned: statistical balance (token
+    mass within 3x across shards at test scale) and repartition
+    invariance (the manifest is identical no matter how the input was
+    partitioned — the property size-balanced packing lacks)."""
+    from vacancy_analyser_spark.io import load_table
+    from vacancy_analyser_spark.plans.textops import N_SHARDS, shard_manifest
+
+    m = shard_manifest(spark, sf_dir).collect()
+    assert len(m) == N_SHARDS
+    masses = [r["total_tokens"] for r in m]
+    assert min(masses) > 0
+    assert max(masses) / min(masses) < 3.0
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in m) == docs.count()

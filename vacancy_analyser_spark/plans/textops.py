@@ -2105,3 +2105,64 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_tokens",
         )
     )
+
+
+#: Output shard count of the manifest — dataloader-facing; a power of two
+#: so downstream re-sharding (merge pairs / split halves) stays aligned.
+N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % {N_SHARDS} AS shard_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5({_NORM_SQL}), 1, 8))::BIGINT AS fp
+            FROM documents
+        )
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(fp) AS DECIMAL(38,0)) AS content_fp
+        FROM per_doc GROUP BY shard_id
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader-facing output contract of a corpus build: docs
+    hash-assigned to N_SHARDS shards (md5-prefix bucket — the
+    dataset_split_assign mechanism, so shard and split assignment share
+    one engine-portable hash family), with per-shard doc count, token
+    mass, and an ORDER-INDEPENDENT content fingerprint (sum of each
+    doc's md5-of-normalized-text prefix, the doc_fingerprint hash —
+    summed in DECIMAL(38,0) so it is exact and permutation-invariant).
+    Two runs that produce the same manifest produced the same corpus,
+    shard by shard, without re-reading a byte of text — the cheap
+    equality proof every resume/audit/replication step wants.
+
+    Why hash sharding and not size-balanced packing: at 100 TB balanced
+    packing needs a global sort or coordination; hash sharding is
+    embarrassingly parallel, deterministic under re-runs AND under
+    repartitioning, and statistically balanced (the manifest itself is
+    the verification — the test pins the max/min token-mass ratio).
+    Plan: pure scan-side column algebra + ONE |N_SHARDS|-group
+    aggregate; no shuffle of document rows, no sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % N_SHARDS
+    )
+    fp = F.conv(F.substring(F.md5(normalize_ws("text")), 1, 8), 16, 10).cast("bigint")
+    per_doc = docs.select(
+        shard.alias("shard_id"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        fp.alias("fp"),
+    )
+    return per_doc.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("fp").cast("decimal(38,0)")).alias("content_fp"),
+    )
