@@ -97,13 +97,14 @@ EXT = [
     "cluster_balanced_sample",
     "ann_recall_residual",
     "shard_manifest",
+    "semantic_tau_sweep",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
 #: reached ~100 s on a jittery host against the ~1400 s round budget
 #: including stress). These keys are REPORTS over registered stages —
 #: their plans are exercised elsewhere in the block — so when the ext
-#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 240, roughly
+#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 360, roughly
 #: 2.5× the jittery worst case) whatever of THIS LIST hasn't run yet is
 #: skipped VISIBLY: each skipped key lands in the artifact's
 #: "ext_skipped" map instead of silently missing from ext_queries. The
@@ -239,6 +240,7 @@ EXT_BASELINE_R8 = {
     "cluster_balanced_sample": 6.0,    # in-query lloyd training dominates
     "ann_recall_residual": 27.0,       # trains BOTH codebooks + 2 ADC paths; deferrable
     "shard_manifest": 2.0,             # scan-side algebra + |N_SHARDS| agg
+    "semantic_tau_sweep": 3.0,         # one semantic_dedup pass + tiny fan-out
 }
 
 EXT_BASELINE = {
@@ -322,7 +324,17 @@ def main() -> None:
 
     ext_timings: dict[str, float] = {}
     ext_skipped: dict[str, str] = {}
-    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "240"))
+    # Budget arithmetic (r8): the budget gates RAW WALL, and the non-defer
+    # block is min-of-2, so its wall is ~2x its recorded total (107 s
+    # recorded -> ~215 s wall at r8's 40 core ext keys). The original
+    # 240 s default therefore started skipping the ENTIRE defer tail once
+    # the core block grew past ~110 s recorded — silent-ish starvation of
+    # exactly the evaluation keys the tail exists to protect. 360 s keeps
+    # ~2.5x headroom over the core block plus a single-sampled tail
+    # (defer keys run ONCE: they are eval reports whose 2x regression
+    # pins absorb single-run jitter; halving their cost is what keeps
+    # them in the artifact at all).
+    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "360"))
     ext_t0 = time.monotonic()
     # deferrable eval keys run LAST so a budget cut can only ever hit them
     for name in sorted(EXT, key=lambda n: n in EXT_DEFER):
@@ -330,8 +342,9 @@ def main() -> None:
             ext_skipped[name] = "ext_budget"
             continue
         fn = qs[name]
+        n_runs = 1 if name in EXT_DEFER else 2
         runs = []
-        while len(runs) < 2:
+        while len(runs) < n_runs:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

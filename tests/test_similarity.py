@@ -759,3 +759,22 @@ def test_residual_recall_grid_is_complete_and_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= PQ_TOPK
         assert r["recall"] == r["n_hits"] / PQ_TOPK
+
+
+def test_tau_sweep_monotone_and_reconciles_with_semantic_dedup(spark, sf_dir):
+    """The curve must be monotone non-increasing in tau, and its floor row
+    must equal the registered semantic_dedup's pair count — the shared-
+    recipe reconciliation the docstring promises."""
+    from vacancy_analyser_spark.plans.similarity import (
+        SEMANTIC_TAU,
+        semantic_dedup,
+        semantic_tau_sweep,
+    )
+
+    rows = sorted(semantic_tau_sweep(spark, sf_dir).collect(), key=lambda r: r["tau"])
+    assert [r["tau"] for r in rows][0] == SEMANTIC_TAU
+    pair_counts = [r["n_pairs"] for r in rows]
+    doc_counts = [r["n_docs_implicated"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    assert pair_counts[0] == semantic_dedup(spark, sf_dir).count()

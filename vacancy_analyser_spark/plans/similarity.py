@@ -4596,3 +4596,104 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         (n_hits.cast("double") / F.lit(float(PQ_TOPK))).alias("recall"),
     )
+
+
+#: The threshold grid of the semantic-dedup tuning curve: from the corpus's
+#: pair floor (SEMANTIC_TAU) upward in 0.1 steps — the range where the
+#: removal count actually moves on this corpus. Production SemDeDup sweeps
+#: 0.90-0.999 the same way; the grid is a constant so both engines compare
+#: bit-identical double literals against the round-6 cosine.
+SEM_SWEEP_TAUS = (0.45, 0.55, 0.65, 0.75, 0.85)
+
+
+@register(
+    "semantic_tau_sweep",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        centroids AS (
+            SELECT vec_id AS centroid_id, emb AS c_emb
+            FROM vecs WHERE vec_id < {AUTO_K_SQL}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {SEMANTIC_TAU}
+        ),
+        taus AS (
+            SELECT CAST(unnest([{", ".join(str(t) for t in SEM_SWEEP_TAUS)}]) AS DOUBLE) AS tau
+        ),
+        swept AS (
+            SELECT t.tau, p.a_id, p.b_id FROM pairs p JOIN taus t ON p.sim >= t.tau
+        ),
+        pair_counts AS (
+            SELECT tau, COUNT(*) AS n_pairs FROM swept GROUP BY tau
+        ),
+        doc_counts AS (
+            SELECT tau, COUNT(DISTINCT doc) AS n_docs FROM (
+                SELECT tau, unnest([a_id, b_id]) AS doc FROM swept
+            ) GROUP BY tau
+        )
+        SELECT t.tau,
+               COALESCE(p.n_pairs, 0) AS n_pairs,
+               COALESCE(d.n_docs, 0) AS n_docs_implicated
+        FROM taus t
+        LEFT JOIN pair_counts p ON t.tau = p.tau
+        LEFT JOIN doc_counts d ON t.tau = d.tau
+    """,
+    tags=("ext-sim", "ext-dedup", "contract"),
+)
+def semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup THRESHOLD TUNING CURVE — the artifact a
+    deployment reads before committing a tau (Abbas et al. 2023 tune
+    SemDeDup exactly this way: sweep, read the removal curve, pick the
+    elbow): per threshold, the surviving near-dup pair count and the
+    number of documents implicated. Generated from ONE candidate pass at
+    the registered floor (semantic_dedup's own recipe — same clusters,
+    same round-6 exact cosine), so the sweep costs one small
+    pair-table × |taus| fan-out, never |taus| corpus passes; the floor
+    row reconciles with semantic_dedup by construction (its pair count
+    IS the tau=SEMANTIC_TAU row — kept-in-sync by the shared recipe and
+    pinned in tests).
+
+    Plan: semantic_dedup_pairs once (assignment persisted, within-cluster
+    self-join), then a broadcast |taus|-row join over the TRUE-pair table
+    (bounded by real near-dups, not candidates), one count and one
+    explode-distinct per tau, grid left-join keeps empty-threshold rows
+    visible. At 100 TB the sweep rides whatever candidate pass the dedup
+    run already does — the curve is free relative to the dedup itself."""
+    vecs = _vectors(spark, sf_dir)
+    pairs = semantic_dedup_pairs(vecs, None, SEMANTIC_TAU).select("a_id", "b_id", "sim")
+    taus = F.broadcast(
+        spark.createDataFrame([(t,) for t in SEM_SWEEP_TAUS], "tau double")
+    )
+    swept = pairs.join(taus, F.col("sim") >= F.col("tau")).select("tau", "a_id", "b_id")
+    pair_counts = swept.groupBy("tau").agg(F.count("*").alias("n_pairs"))
+    doc_counts = (
+        swept.select("tau", F.explode(F.array("a_id", "b_id")).alias("doc"))
+        .groupBy("tau")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        taus.join(F.broadcast(pair_counts), "tau", "left")
+        .join(F.broadcast(doc_counts), "tau", "left")
+        .select(
+            "tau",
+            F.coalesce(F.col("n_pairs"), zero).alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), zero).alias("n_docs_implicated"),
+        )
+    )
