@@ -234,11 +234,11 @@ EXT_BASELINE_R8 = {
     "ann_ivfpq_incremental_add": 0.6,  # serve-side read; the one-off build is ~15 s
     "ann_ivf2_incremental_add": 0.4,   # serve-side read; the one-off build is ~6 s
     "ann_recall_lloyd2": 5.9,          # two trainer passes + eval; deferrable tail
-    "ann_ivfpq_residual_topk": 5.5,    # lloyd + residual PQ train + per-cell ADC
-    "pq_residual_error_report": 9.0,   # trains BOTH codebooks; deferrable tail
+    "ann_ivfpq_residual_topk": 6.1,    # lloyd + residual PQ train + per-cell ADC
+    "pq_residual_error_report": 6.0,   # trains BOTH codebooks; deferrable tail
     "token_budget_select": 2.0,        # scan + |langs| agg + per-lang window
     "cluster_balanced_sample": 6.0,    # in-query lloyd training dominates
-    "ann_recall_residual": 27.0,       # trains BOTH codebooks + 2 ADC paths; deferrable
+    "ann_recall_residual": 8.5,        # trains BOTH codebooks + 2 ADC paths; deferrable
     "shard_manifest": 2.0,             # scan-side algebra + |N_SHARDS| agg
     "semantic_tau_sweep": 3.0,         # one semantic_dedup pass + tiny fan-out
 }
