@@ -2041,21 +2041,18 @@ _set_manifest_oracle()
                        / length(text) AS score
             FROM documents WHERE length(text) > 0
         ),
-        budgets AS (
-            SELECT lang,
-                   CAST(FLOOR(CAST(0.25 AS DOUBLE) * SUM(n_tokens)) AS BIGINT) AS budget
-            FROM scored GROUP BY lang
-        ),
         cum AS (
             SELECT doc_id, lang, n_tokens, score,
                    CAST(SUM(n_tokens) OVER (
                        PARTITION BY lang ORDER BY score DESC, doc_id
-                   ) AS BIGINT) AS cum_tokens
+                   ) AS BIGINT) AS cum_tokens,
+                   CAST(FLOOR(CAST(0.25 AS DOUBLE) * SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                   )) AS BIGINT) AS budget
             FROM scored
         )
-        SELECT c.doc_id, c.lang, c.n_tokens, round(c.score, 6) AS score, c.cum_tokens
-        FROM cum c JOIN budgets b ON c.lang = b.lang
-        WHERE c.cum_tokens <= b.budget
+        SELECT doc_id, lang, n_tokens, round(score, 6) AS score, cum_tokens
+        FROM cum WHERE cum_tokens <= budget
     """,
     tags=("ext-text", "pipeline"),
 )
@@ -2069,15 +2066,16 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as a global quality threshold mis-gates them (the
     quality_percentile_gate rationale, applied to budgets).
 
-    Plan: one scan computes tokens + score, one |langs|-keyed aggregate
-    derives the budgets (broadcast back), and the running sum is a
-    window PARTITIONED BY lang — so the sort is per-language, never
-    global, and parallelism is |langs|-bounded only within the window
-    stage (the packing caveat). At 100 TB the exact per-lang sort is
-    replaced by quantile bucketing on score (approxQuantile → gate per
-    bucket, refine only the boundary bucket) — the exact form here is
-    the oracle for that refinement, the same contract
-    quality_percentile_gate documents."""
+    Plan: ONE scan computes tokens + score, and BOTH the running sum and
+    the language budget are windows over the same lang partitioning —
+    they ride one Exchange and one sort (a groupBy+join budget would
+    scan the documents twice; plan-audited, the cluster_balanced_sample
+    lesson). The sort is per-language, never global; parallelism is
+    |langs|-bounded only within the window stage (the packing caveat).
+    At 100 TB the exact per-lang sort is replaced by quantile bucketing
+    on score (approxQuantile → gate per bucket, refine only the boundary
+    bucket) — the exact form here is the oracle for that refinement, the
+    same contract quality_percentile_gate documents."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     score = (
         F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
@@ -2089,13 +2087,14 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
         score.alias("score"),
     )
-    budgets = scored.groupBy("lang").agg(
-        F.floor(F.lit(0.25) * F.sum("n_tokens")).cast("bigint").alias("budget")
-    )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    wl = Window.partitionBy("lang")
     return (
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .join(F.broadcast(budgets), "lang")
+        .withColumn(
+            "budget",
+            F.floor(F.lit(0.25) * F.sum("n_tokens").over(wl)).cast("bigint"),
+        )
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select(
             "doc_id",
