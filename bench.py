@@ -98,6 +98,7 @@ EXT = [
     "ann_recall_residual",
     "shard_manifest",
     "semantic_tau_sweep",
+    "corpus_mix_temperature",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -240,7 +241,8 @@ EXT_BASELINE_R8 = {
     "cluster_balanced_sample": 6.0,    # in-query lloyd training dominates
     "ann_recall_residual": 8.5,        # trains BOTH codebooks + 2 ADC paths; deferrable
     "shard_manifest": 2.0,             # scan-side algebra + |N_SHARDS| agg
-    "semantic_tau_sweep": 3.0,         # one semantic_dedup pass + tiny fan-out
+    "semantic_tau_sweep": 2.3,         # one semantic_dedup pass + tiny fan-out
+    "corpus_mix_temperature": 1.5,     # |langs| agg + scalar arithmetic
 }
 
 EXT_BASELINE = {

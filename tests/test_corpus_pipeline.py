@@ -730,3 +730,18 @@ def test_shard_manifest_balance_and_invariance(spark, sf_dir):
     assert max(masses) / min(masses) < 3.0
     docs = load_table(spark, sf_dir, "documents")
     assert sum(r["n_docs"] for r in m) == docs.count()
+
+
+def test_mix_temperature_weights_normalize_and_upsample_low_resource(spark, sf_dir):
+    """Mixture math sanity: weights sum to ~1, every language draws a
+    positive target, and the temperature up-samples the low-resource end
+    (the smallest language gets the highest epoch count)."""
+    from vacancy_analyser_spark.plans.textops import corpus_mix_temperature
+
+    rows = corpus_mix_temperature(spark, sf_dir).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert all(r["target_tokens"] > 0 for r in rows)
+    by_mass = sorted(rows, key=lambda r: r["token_mass"])
+    epochs = [r["epochs"] for r in by_mass]
+    assert epochs[0] == max(epochs)
+    assert epochs[-1] == min(epochs)

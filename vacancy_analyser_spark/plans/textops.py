@@ -2165,3 +2165,86 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum(F.col("fp").cast("decimal(38,0)")).alias("content_fp"),
     )
+
+
+#: Temperature-mixture epoch budget: the fraction of the corpus's total
+#: token mass one training epoch consumes under the planned mix.
+MIX_BUDGET_FRAC = 0.3
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+        WITH mass AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS token_mass
+            FROM documents GROUP BY lang
+        ),
+        w AS (
+            SELECT lang, n_docs, token_mass,
+                   CAST(round(sqrt(CAST(token_mass AS DOUBLE)) * 1e9) AS BIGINT) AS sw
+            FROM mass
+        ),
+        tot AS (
+            SELECT CAST(SUM(sw) AS DOUBLE) / 1e9 AS sum_sqrt,
+                   CAST(SUM(token_mass) AS BIGINT) AS total_mass
+            FROM w
+        )
+        SELECT w.lang, w.n_docs, w.token_mass,
+               round((CAST(w.sw AS DOUBLE) / 1e9) / t.sum_sqrt, 6) AS weight,
+               CAST(FLOOR(round((CAST(w.sw AS DOUBLE) / 1e9) / t.sum_sqrt, 6)
+                          * FLOOR(CAST({MIX_BUDGET_FRAC} AS DOUBLE) * t.total_mass))
+                    AS BIGINT) AS target_tokens,
+               round(round((CAST(w.sw AS DOUBLE) / 1e9) / t.sum_sqrt, 6)
+                     * FLOOR(CAST({MIX_BUDGET_FRAC} AS DOUBLE) * t.total_mass)
+                     / w.token_mass, 6) AS epochs
+        FROM w CROSS JOIN tot t
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture planning (the XLM-R/mT5 move: sample
+    language i with weight ∝ mass_i^α, α<1, so high-resource languages
+    stop drowning the mix): per language, its token mass, its α=0.5
+    mixture weight, the token target that weight implies under a
+    MIX_BUDGET_FRAC-of-corpus epoch budget, and the implied EPOCHS over
+    the language's own data — the >1.0 rows are exactly the low-resource
+    languages the temperature up-samples (the repetition count a data
+    plan must justify against memorization risk).
+
+    α is pinned at 0.5 deliberately: IEEE-754 mandates correctly-rounded
+    sqrt, so both engines produce bit-identical weights, while pow(x,
+    0.7) carries no such guarantee (libm vs StrictMath last-bit drift
+    would flake the driver hash). The sqrt values cross the cross-lang
+    sum through the fixed-point form (round·1e9 → BIGINT), keeping the
+    normalizer order-independent; every emitted double is divided from
+    identical inputs and rounded to 6.
+
+    Plan: one |langs|-group aggregate from the scan, then dimension-sized
+    arithmetic against one broadcast scalar row — at 100 TB this is the
+    scan-and-aggregate the corpus stats job already runs, with the
+    mixture table falling out for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).cast("bigint").alias("token_mass"),
+    )
+    w = mass.withColumn(
+        "sw", F.round(F.sqrt(F.col("token_mass").cast("double")) * F.lit(1e9)).cast("bigint")
+    )
+    tot = F.broadcast(
+        w.agg(
+            (F.sum("sw").cast("double") / F.lit(1e9)).alias("sum_sqrt"),
+            F.sum("token_mass").cast("bigint").alias("total_mass"),
+        )
+    )
+    weight = F.round((F.col("sw").cast("double") / F.lit(1e9)) / F.col("sum_sqrt"), 6)
+    budget = F.floor(F.lit(MIX_BUDGET_FRAC) * F.col("total_mass"))
+    return w.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        "token_mass",
+        weight.alias("weight"),
+        F.floor(weight * budget).cast("bigint").alias("target_tokens"),
+        F.round(weight * budget / F.col("token_mass"), 6).alias("epochs"),
+    )
