@@ -3981,15 +3981,22 @@ def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _residual_frame(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _residual_frame(
+    vecs: DataFrame, cents: DataFrame, ranked: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, centroid_id, embedding = emb − c_emb of the assigned cell):
     round-9 argmax-cosine assignment against ``cents`` (the shared
     _ranked_against contract), then an element-wise zip_with subtraction —
     exact double arithmetic on decimal-derived centroid values, so both
-    engines produce bit-identical residuals."""
+    engines produce bit-identical residuals. Callers that already ran the
+    assignment pass the (persisted) ``ranked`` frame so the broadcast
+    cross join over the corpus runs ONCE per key, not once per consumer
+    (plan-audited: the serving key's first draft paid three assignment
+    passes)."""
+    if ranked is None:
+        ranked = _ranked_against(vecs, cents)
     assigned = (
-        _ranked_against(vecs, cents)
-        .filter(F.col("rn") == 1)
+        ranked.filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
     )
     return assigned.join(F.broadcast(cents), "centroid_id").select(
@@ -4167,9 +4174,19 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = auto_centroids(vecs.count())
     cents = lloyd_centroids(vecs, k).persist()
     cents.count()  # assignment, subtraction, and the query LUTs read it
-    ranked = _ranked_against(vecs, cents)
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
-    res = _residual_frame(vecs, cents)
+    # ONE assignment pass feeds everything downstream: keep the rn=1 rows
+    # (every vector's cell) plus the query's full ranking (its probe
+    # tiers), persist that n+k-row frame, and derive assigned / residuals
+    # / probes from it — the first draft re-ran the broadcast cross join
+    # per consumer (plan-audited: three passes).
+    pre = (
+        _ranked_against(vecs, cents)
+        .filter((F.col("rn") == 1) | (F.col("vec_id") == 0))
+        .persist()
+    )
+    pre.count()
+    assigned = pre.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    res = _residual_frame(vecs, cents, ranked=pre)
     sub = _pq_subvectors(res.select("vec_id", "embedding")).persist()
     sub.count()  # codebook training + encode both read the split
     cb = _pq_codebook(sub).persist()
@@ -4179,7 +4196,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "block", "code")
         .join(assigned, "vec_id")
     )
-    q_probes = ranked.filter(
+    q_probes = pre.filter(
         (F.col("vec_id") == 0) & (F.col("rn") <= IVFPQ_NPROBE)
     ).select("centroid_id")
     q_emb = vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
@@ -4454,8 +4471,15 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = auto_centroids(vecs.count())
     cents = lloyd_centroids(vecs, k).persist()
     cents.count()
-    ranked = _ranked_against(vecs, cents)
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    # one persisted assignment pass (rn=1 rows + the query batch's probe
+    # tiers) feeds assigned / probes / residuals — see the serving key.
+    pre = (
+        _ranked_against(vecs, cents)
+        .filter((F.col("rn") == 1) | (F.col("vec_id") < ANN_RECALL_NQ))
+        .persist()
+    )
+    pre.count()
+    assigned = pre.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
     queries = F.broadcast(
         vecs.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -4477,7 +4501,7 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     q_probes = F.broadcast(
-        ranked.filter(
+        pre.filter(
             (F.col("vec_id") < ANN_RECALL_NQ) & (F.col("rn") <= IVFPQ_NPROBE)
         ).select(F.col("vec_id").alias("q_id"), "centroid_id")
     )
@@ -4534,7 +4558,7 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl_p = _shortlist(codes_p, dt_p, on_cell=False)
 
     # residual variant: one LUT per (query, probed cell)
-    res = _residual_frame(vecs, cents)
+    res = _residual_frame(vecs, cents, ranked=pre)
     sub_r = _pq_subvectors(res.select("vec_id", "embedding")).persist()
     sub_r.count()
     cb_r = _pq_codebook(sub_r).persist()
