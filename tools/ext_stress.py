@@ -196,6 +196,12 @@ DOC_EXT_QUERIES = (
     # r6: DSIR selection — two corpus passes + vocab-sized broadcast,
     # should hold ~linear like the other model-broadcast keys
     "dsir_importance_resample",
+    # r8: selection/sharding ops — per-lang-window (budget select),
+    # scan+|N_SHARDS| agg (manifest), |langs| agg + scalar arithmetic
+    # (mixture) — all expected ~linear; measured, not assumed
+    "token_budget_select",
+    "shard_manifest",
+    "corpus_mix_temperature",
 )
 
 
