@@ -99,6 +99,7 @@ EXT = [
     "shard_manifest",
     "semantic_tau_sweep",
     "corpus_mix_temperature",
+    "quality_gate_bucketed",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -243,6 +244,7 @@ EXT_BASELINE_R8 = {
     "shard_manifest": 2.0,             # scan-side algebra + |N_SHARDS| agg
     "semantic_tau_sweep": 2.3,         # one semantic_dedup pass + tiny fan-out
     "corpus_mix_temperature": 1.5,     # |langs| agg + scalar arithmetic
+    "quality_gate_bucketed": 1.5,      # one GK-sketch agg + verification join
 }
 
 EXT_BASELINE = {

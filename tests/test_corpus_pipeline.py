@@ -745,3 +745,15 @@ def test_mix_temperature_weights_normalize_and_upsample_low_resource(spark, sf_d
     epochs = [r["epochs"] for r in by_mass]
     assert epochs[0] == max(epochs)
     assert epochs[-1] == min(epochs)
+
+
+def test_quality_gate_bucketed_contract_holds(spark, sf_dir):
+    """The sketch-threshold contract must hold for every language (the
+    oracle pins literal TRUE, so any violation is also a driver-hash
+    failure — this is the fast local trip-wire)."""
+    from vacancy_analyser_spark.plans.textops import quality_gate_bucketed
+
+    rows = quality_gate_bucketed(spark, sf_dir).collect()
+    assert rows
+    assert all(r["gate_ok"] for r in rows)
+    assert all(r["n"] > 0 for r in rows)

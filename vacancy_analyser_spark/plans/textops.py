@@ -778,8 +778,9 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied scores deterministic on both engines. Same |langs|-bounded
     parallelism caveat as packing — at 100 TB replace the exact
     percent_rank with approxQuantile per lang (one aggregate, no global
-    sort) and gate on the quantile value; the exact form is the oracle for
-    that approximation."""
+    sort) and gate on the quantile value; that refinement is REGISTERED
+    as quality_gate_bucketed (rank-guarantee contract), and this exact
+    form remains its ground truth."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     score = (
         F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
@@ -2074,8 +2075,9 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|-bounded only within the window stage (the packing caveat).
     At 100 TB the exact per-lang sort is replaced by quantile bucketing
     on score (approxQuantile → gate per bucket, refine only the boundary
-    bucket) — the exact form here is the oracle for that refinement, the
-    same contract quality_percentile_gate documents."""
+    bucket) — the sketch-threshold half of that plan is registered as
+    quality_gate_bucketed; the exact form here remains its ground
+    truth, the same contract quality_percentile_gate documents."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     score = (
         F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
@@ -2248,3 +2250,65 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(weight * budget).cast("bigint").alias("target_tokens"),
         F.round(weight * budget / F.col("token_mass"), 6).alias("epochs"),
     )
+
+
+#: Sketch accuracy of the bucketed quality gate — the same knob
+#: approx_quantile_contract pins (rank error ≤ n/accuracy per summary).
+QG_ACC = 1000
+
+
+@register(
+    "quality_gate_bucketed",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n, TRUE AS gate_ok
+        FROM documents WHERE length(text) > 0
+        GROUP BY lang
+    """,
+    tags=("ext-text", "contract"),
+)
+def quality_gate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the per-language quality gate, REGISTERED — both
+    quality_percentile_gate and token_budget_select defer to "replace the
+    exact per-lang sort with approxQuantile" in prose; this key is that
+    plan, held to the approx_quantile_contract standard: ONE aggregate
+    computes each language's approximate bottom-decile score threshold
+    (percentile_approx, GK summaries — no per-lang sort anywhere), and
+    the emitted boolean states that the threshold's admissible rank
+    interval [count(<q)+1, count(≤q)] intersects the guarantee window
+    ceil(0.1·n) ± (2n/acc + 1). DuckDB's quantile machinery differs from
+    Spark's, so the THRESHOLD can't hash-match engines — the CONTRACT
+    can: the oracle emits the same per-lang counts and literal TRUE, and
+    a Spark upgrade (or merge-order sensitivity) that broke the sketch's
+    guarantee flips the boolean and fails the driver hash.
+
+    Plan: scan → one |langs|-group aggregate carrying (n, sketch) → one
+    verification join computing the rank interval. At 100 TB you ship
+    ONLY the first aggregate and gate `score >= q` inside the same scan
+    next pass — the verification join is the eval harness, exactly the
+    approx_distinct / approx_quantile_contract division of labor. The
+    2ε+1 slack is the merged-summaries bound those keys document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    score = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    scored = docs.select("lang", score.alias("score"))
+    stats = scored.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("score", 0.1, QG_ACC).alias("q"),
+    )
+    ranked = (
+        scored.join(F.broadcast(stats), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("score") < F.col("q")).cast("long")).alias("lo"),
+            F.sum((F.col("score") <= F.col("q")).cast("long")).alias("hi"),
+        )
+    )
+    eps = F.lit(2.0) * F.col("n").cast("double") / F.lit(float(QG_ACC)) + F.lit(1.0)
+    target = F.ceil(F.lit(0.1) * F.col("n").cast("double")).cast("double")
+    ok = ((F.col("lo") + 1).cast("double") <= target + eps) & (
+        F.col("hi").cast("double") >= target - eps
+    )
+    return ranked.select("lang", "n", ok.alias("gate_ok"))
