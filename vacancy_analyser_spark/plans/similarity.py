@@ -4704,7 +4704,14 @@ def semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     taus = F.broadcast(
         spark.createDataFrame([(t,) for t in SEM_SWEEP_TAUS], "tau double")
     )
-    swept = pairs.join(taus, F.col("sim") >= F.col("tau")).select("tau", "a_id", "b_id")
+    # persist: the pair/doc aggregates are two consumers, and without the
+    # cache each would re-run the within-cluster self-join (the expensive
+    # stage) — the swept table is |true pairs|·|taus| rows, tiny.
+    swept = (
+        pairs.join(taus, F.col("sim") >= F.col("tau"))
+        .select("tau", "a_id", "b_id")
+        .persist()
+    )
     pair_counts = swept.groupBy("tau").agg(F.count("*").alias("n_pairs"))
     doc_counts = (
         swept.select("tau", F.explode(F.array("a_id", "b_id")).alias("doc"))
