@@ -2181,6 +2181,7 @@ MIX_BUDGET_FRAC = 0.3
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS token_mass
             FROM documents GROUP BY lang
+            HAVING SUM(len({_TOKS_SQL})) > 0
         ),
         w AS (
             SELECT lang, n_docs, token_mass,
@@ -2227,9 +2228,16 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-and-aggregate the corpus stats job already runs, with the
     mixture table falling out for free."""
     docs = load_table(spark, sf_dir, "documents")
-    mass = docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens("text")).cast("bigint")).cast("bigint").alias("token_mass"),
+    mass = (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens("text")).cast("bigint")).cast("bigint").alias("token_mass"),
+        )
+        # a language whose every text is empty has zero mass — its epochs
+        # division would be 0/0 (NaN vs NULL across engines, a hash-flake
+        # class); a zero-mass language has no mixture row by definition
+        .filter(F.col("token_mass") > 0)
     )
     w = mass.withColumn(
         "sw", F.round(F.sqrt(F.col("token_mass").cast("double")) * F.lit(1e9)).cast("bigint")
