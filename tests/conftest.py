@@ -22,3 +22,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf01_dir() -> str:
+    """The driver's check scale (sf0.01), derived as a sibling of the
+    configured testdata dir so the suite ports to any testdata root;
+    skips (not errors) where only one SF was generated."""
+    d = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(d):
+        pytest.skip(f"driver-scale testdata not present: {d}")
+    return d

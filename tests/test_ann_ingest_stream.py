@@ -100,3 +100,48 @@ def test_trigger_knobs_validated(spark, tmp_path):
         start_ann_ingest_stream(
             stream, str(tmp_path / "i"), str(tmp_path / "c"), available_now=False
         )
+
+
+def test_stream_leaves_untouched_partitions_byte_identical(spark, sf_dir, tmp_path):
+    """Across triggers the fold must be partition-scoped: after b1 is
+    folded, folding b2 may only ADD files under partitions b2 maps to —
+    every data file present after b1 stays byte-identical (same path,
+    same bytes) after b2. A rewrite of an existing partition file would
+    mean the add shuffled or rewrote index data it never touched."""
+    import hashlib
+
+    vecs, path, src = _setup(spark, sf_dir, tmp_path)
+
+    def _datafile_digests():
+        out = {}
+        vdir = os.path.join(path, "vectors")
+        for root, _dirs, files in os.walk(vdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, vdir)] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    # fold b1 alone (its own source dir), snapshot, then fold b2
+    q1 = start_ann_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(os.path.join(src, "b1")),
+        path,
+        str(tmp_path / "ckpt_b1"),
+    )
+    q1.awaitTermination(120)
+    after_b1 = _datafile_digests()
+
+    q2 = start_ann_ingest_stream(
+        spark.readStream.schema(SCHEMA).parquet(os.path.join(src, "b2")),
+        path,
+        str(tmp_path / "ckpt_b2"),
+    )
+    q2.awaitTermination(120)
+    after_b2 = _datafile_digests()
+
+    missing = set(after_b1) - set(after_b2)
+    changed = {f for f in set(after_b1) & set(after_b2) if after_b1[f] != after_b2[f]}
+    assert not missing and not changed, (missing, changed)
+    assert set(after_b2) - set(after_b1)  # b2 did land somewhere

@@ -320,6 +320,45 @@ def test_tfidf_capped_inactive_equals_exact(spark, sf_dir, monkeypatch):
     assert bound != exact
 
 
+def test_tfidf_dispatch_mass_probe_and_forced_cap(spark, sf_dir, monkeypatch):
+    """The r9 mass dispatch (the tfidf twin of dedup._retier_capped):
+
+    - at shipped SF the probe stays inside the session width — stock plan,
+      LAST_TFIDF_DISPATCH records the mass, no cap, no explicit width;
+    - a session-width crossing keeps the SAME metric at an explicit
+      exchange width (result-identical — planner rule, not semantics);
+    - a MAX_CANDJOIN_WIDTH crossing dispatches to the df_top-capped
+      metric, pinned identical to tfidf_cosine_capped's registered
+      pipeline, with the decision recorded."""
+    import vacancy_analyser_spark.plans.dedup as dedup_mod
+    from vacancy_analyser_spark.plans import textops as TX
+
+    exact = sorted(map(tuple, TX.tfidf_cosine_pairs(spark, sf_dir).collect()))
+    rec = dict(TX.LAST_TFIDF_DISPATCH)
+    assert rec["cand_rows"] > 0 and rec["capped"] is False and rec["width"] is None
+
+    # force the mid regime: a per-partition budget small enough that the
+    # probe wants more than the session's 8 shuffle partitions but still
+    # a sane absolute width (an unclamped width = cand_rows would ask the
+    # scheduler for tens of thousands of tasks)
+    monkeypatch.setattr(dedup_mod, "CAND_ROWS_PER_PARTITION", max(1, rec["cand_rows"] // 64))
+    monkeypatch.setattr(dedup_mod, "MAX_CANDJOIN_WIDTH", 10**9)
+    widened = sorted(map(tuple, TX.tfidf_cosine_pairs(spark, sf_dir).collect()))
+    assert TX.LAST_TFIDF_DISPATCH["width"] is not None
+    assert TX.LAST_TFIDF_DISPATCH["width"] <= 70
+    assert TX.LAST_TFIDF_DISPATCH["capped"] is False
+    assert widened == exact  # planner rule, not a semantic switch
+
+    # force the clamp regime: mass budget exhausted → capped metric
+    monkeypatch.setattr(dedup_mod, "MAX_CANDJOIN_WIDTH", 0)
+    capped_via_dispatch = sorted(
+        map(tuple, TX.tfidf_cosine_pairs(spark, sf_dir).collect())
+    )
+    assert TX.LAST_TFIDF_DISPATCH["capped"] is True
+    pinned = sorted(map(tuple, TX.tfidf_cosine_capped(spark, sf_dir).collect()))
+    assert capped_via_dispatch == pinned
+
+
 def test_boilerplate_filter_consistent_with_share_query(spark, sf_dir):
     """The API stage must drop exactly the docs the registered share query
     scores above the threshold (same spans, same floor)."""

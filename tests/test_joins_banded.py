@@ -38,10 +38,10 @@ def test_grid_regime_matches_bnlj_and_drops_nlj(spark, sf_dir, monkeypatch):
     assert "BroadcastHashJoin" in plan  # the grid side broadcasts
 
 
-def test_banded_key_selects_grid_at_driver_scale(spark, monkeypatch):
+def test_banded_key_selects_grid_at_driver_scale(spark, sf01_dir):
     """At the driver's check scale (sf0.01, |part| = 2000 bands) the probe
     must pick the grid plan on its own — no forcing."""
-    df = J.range_join_banded(spark, "/root/testdata/sf0.01")
+    df = J.range_join_banded(spark, sf01_dir)
     assert J.LAST_RANGE_DISPATCH["plan"] == "grid_equi"
     assert J.LAST_RANGE_DISPATCH["n_bands"] == 2000
     plan = df._jdf.queryExecution().executedPlan().toString()

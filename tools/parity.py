@@ -45,7 +45,16 @@ def _norm_value(v) -> str:
             return "∅"
         return repr(v)  # full precision — engines must match bitwise
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # The external driver's value hasher rejects decimal-typed output
+        # columns (r8: shard_manifest produced value-identical rows yet a
+        # red driver hash). This harness must be at least as strict as the
+        # driver, so a Decimal reaching a final output cell is a FAILURE
+        # here too — cast to BIGINT (counts/fingerprints) or DOUBLE
+        # (ratios) on BOTH the Spark and oracle sides before emitting.
+        raise TypeError(
+            "decimal-typed output cell: the driver hash rejects Decimal; "
+            "cast to BIGINT or DOUBLE on both engines"
+        )
     if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, (pd.Timestamp, _dt.datetime)):

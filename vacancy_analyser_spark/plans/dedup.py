@@ -293,7 +293,15 @@ def _retier_capped(g: DataFrame, plans: tuple):
             "clamped": True,
         }
     )
-    return plan(gc)
+    out = plan(gc)
+    # Release the capped-table cache now that the probes (the consumers
+    # that needed it materialized) have run. The returned plan recomputes
+    # the cheap semi-join from the caller's still-cached raw table when
+    # the result is materialized — a bounded recompute, versus leaking a
+    # cached full shingle table per clamp dispatch for the session (which
+    # stress loops that force the clamp repeatedly would accumulate).
+    gc.unpersist()
+    return out
 
 
 def _sparse_plan_for(
@@ -1401,8 +1409,16 @@ def containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc, (n_vocab, n_docs_c, buckets) = _capped_shingles(spark, sf_dir)
     if _dense_regime(n_vocab, n_docs_c):
         return _containment_bitmap(gc, n_vocab, buckets)
+    # retier=False: this table is ALREADY df-capped to the registered
+    # capped metric; letting _retier_capped re-derive a new cap from the
+    # capped table's (smaller) doc count would silently change the metric
+    # away from the oracle. A post-cap clamp falls back to warn-and-run
+    # at max exchange width instead.
     return _sparse_plan_for(
-        gc, n_docs_c, plans=(_containment_countjoin, _containment_ppjoin)
+        gc,
+        n_docs_c,
+        plans=(_containment_countjoin, _containment_ppjoin),
+        retier=False,
     )(gc)
 
 
@@ -1796,7 +1812,10 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc, (n_vocab, n_docs_c, buckets) = _capped_shingles(spark, sf_dir)
     if _dense_regime(n_vocab, n_docs_c):
         return _jaccard_bitmap(gc, n_vocab, buckets)
-    return _sparse_plan_for(gc, n_docs_c)(gc)
+    # retier=False: same rationale as containment_capped — the table is
+    # already the registered capped metric; a second in-planner cap would
+    # drift it from the oracle. Post-cap clamp → warn-and-run.
+    return _sparse_plan_for(gc, n_docs_c, retier=False)(gc)
 
 
 @register(

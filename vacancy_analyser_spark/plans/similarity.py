@@ -2827,6 +2827,155 @@ def ann_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Retrain-decision thresholds (ann_retrain_decision). GAP_T: a cell whose
+#: added population's mean assignment cosine sits more than this below its
+#: base population's is collecting vectors the base training never saw —
+#: at the shipped corpus this flags the worst drift cells (measured gaps
+#: span 0.006–0.14 at sf0.01; the 0.07 line splits the two leaking cells
+#: from the four healthy ones), the per-cell localization of the recall
+#: gap ann_recall_incremental prices in aggregate. GROWTH_X: a cell that
+#: absorbed more than GROWTH_X× its PROPORTIONAL share of the adds (the
+#: batch is 1/(INCR_BATCH_MOD−1) of the base, so proportional means
+#: n_added ≈ n_base/(MOD−1)) is outgrowing its design bucket size —
+#: probe cost drifts even if fit doesn't. INDEX_GAP_T: the whole-index
+#: verdict flips when the adds-weighted mean gap crosses it — "retrain
+#: everything" vs "retrain cells".
+RETRAIN_GAP_T = 0.07
+RETRAIN_GROWTH_X = 2
+RETRAIN_INDEX_GAP_T = 0.05
+
+
+@register(
+    "ann_retrain_decision",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   round(list_cosine_similarity(v.emb, c.c_emb), 9) AS c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (
+            SELECT vec_id, centroid_id, c_sim,
+                   CAST(vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1} AS INT) AS is_add
+            FROM ranked WHERE rn = 1
+        ),
+        rep AS (
+            SELECT centroid_id,
+                   COUNT(*) FILTER (WHERE is_add = 0) AS n_base,
+                   COUNT(*) FILTER (WHERE is_add = 1) AS n_added,
+                   CASE WHEN COUNT(*) FILTER (WHERE is_add = 0) = 0
+                             OR COUNT(*) FILTER (WHERE is_add = 1) = 0 THEN NULL
+                        ELSE round(
+                            round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 0) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 0), 6)
+                          - round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 1) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 1), 6), 6) END
+                       AS sim_gap
+            FROM assigned
+            GROUP BY centroid_id
+        ),
+        dec AS (
+            SELECT centroid_id, n_base, n_added, sim_gap,
+                   CASE WHEN n_base = 0 THEN NULL
+                        ELSE round(CAST(n_added AS DOUBLE) / n_base, 6) END AS growth,
+                   ROW_NUMBER() OVER (
+                       ORDER BY sim_gap DESC NULLS LAST, centroid_id
+                   ) AS gap_rank,
+                   COALESCE(sim_gap > {RETRAIN_GAP_T}, FALSE) AS drift_flag,
+                   n_added * {INCR_BATCH_MOD - 1} > {RETRAIN_GROWTH_X} * n_base
+                       AS growth_flag
+            FROM rep
+        )
+        SELECT centroid_id, n_base, n_added, sim_gap, growth, gap_rank,
+               drift_flag, growth_flag,
+               (drift_flag OR growth_flag) AS cell_retrain,
+               round(CAST(SUM(CASE WHEN sim_gap IS NULL THEN 0
+                                   ELSE CAST(round(sim_gap * 1e6) AS BIGINT) * n_added
+                              END) OVER () AS DOUBLE) / 1e6
+                     / SUM(CASE WHEN sim_gap IS NULL THEN 0 ELSE n_added END)
+                           OVER (), 6) AS index_mean_gap,
+               round(CAST(SUM(CASE WHEN sim_gap IS NULL THEN 0
+                                   ELSE CAST(round(sim_gap * 1e6) AS BIGINT) * n_added
+                              END) OVER () AS DOUBLE) / 1e6
+                     / SUM(CASE WHEN sim_gap IS NULL THEN 0 ELSE n_added END)
+                           OVER (), 6) > {RETRAIN_INDEX_GAP_T} AS index_retrain
+        FROM dec
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator every ingest job runs LAST (r8 verdict item 5): the
+    drift report's per-centroid stats composed into the retrain DECISION
+    — which cells cross the threshold, and whether the whole index does.
+    Per centroid: member counts, the base-vs-added fit gap (sim_gap),
+    growth relative to the cell's proportional share of the adds, the
+    gap rank, the three verdict booleans (drift_flag / growth_flag /
+    cell_retrain), and the index-level verdict (adds-weighted mean gap
+    vs RETRAIN_INDEX_GAP_T — identical on every row by construction).
+    The ingredients are exactly ann_index_drift_report's aggregates;
+    what this key adds is one rank window and the threshold algebra —
+    the line between "report someone must read at 3am" and "decision a
+    scheduler consumes".
+
+    Hash discipline: the gap is a subtraction of two already-rounded
+    doubles re-rounded to 6; growth is an int/int double division; the
+    growth flag is PURE INTEGER arithmetic (n_added·(MOD−1) > X·n_base —
+    no division to drift); the index mean goes through the fixed-point
+    form (round(gap·1e6)·n_added summed as BIGINT) so the adds-weighted
+    mean is order-independent.
+
+    Scale shape: the drift aggregate's |centroids|-row output plus one
+    whole-frame window over centroid-count rows — the decision costs
+    nothing beyond the report it reads."""
+    rep = ann_index_drift_report(spark, sf_dir)
+    gap = F.round(F.col("mean_sim_base") - F.col("mean_sim_added"), 6)
+    dec = rep.select(
+        "centroid_id",
+        "n_base",
+        "n_added",
+        gap.alias("sim_gap"),
+        F.when(
+            F.col("n_base") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(F.col("n_added").cast("double") / F.col("n_base"), 6)
+        ).alias("growth"),
+    )
+    w_rank = Window.orderBy(F.col("sim_gap").desc_nulls_last(), "centroid_id")
+    dec = dec.withColumn("gap_rank", F.row_number().over(w_rank)).withColumn(
+        "drift_flag",
+        F.coalesce(F.col("sim_gap") > RETRAIN_GAP_T, F.lit(False)),
+    ).withColumn(
+        "growth_flag",
+        F.col("n_added") * (INCR_BATCH_MOD - 1) > RETRAIN_GROWTH_X * F.col("n_base"),
+    ).withColumn(
+        "cell_retrain", F.col("drift_flag") | F.col("growth_flag")
+    )
+    w_all = Window.partitionBy()  # centroid-count rows — bounded by design
+    fx = F.when(F.col("sim_gap").isNull(), F.lit(0).cast("bigint")).otherwise(
+        F.round(F.col("sim_gap") * 1e6).cast("bigint") * F.col("n_added")
+    )
+    den = F.when(F.col("sim_gap").isNull(), F.lit(0)).otherwise(F.col("n_added"))
+    index_mean = F.round(
+        F.sum(fx).over(w_all).cast("double") / 1e6 / F.sum(den).over(w_all), 6
+    )
+    return dec.withColumn("index_mean_gap", index_mean).withColumn(
+        "index_retrain", F.col("index_mean_gap") > RETRAIN_INDEX_GAP_T
+    )
+
+
 # --- Embedding/PQ quality metrics --------------------------------------------
 
 #: Outliers reported per label: the top-N vectors most distant from their

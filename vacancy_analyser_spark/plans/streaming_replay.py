@@ -454,3 +454,98 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, ckpt, src, output_mode="complete")
+
+
+def _ann_ingest_oracle() -> str:
+    """Full-rebuild-equivalence oracle for the streaming ingest: train the
+    Lloyd chain on the FIRST batch only (the standing index the stream
+    folds into), assign EVERY vector against those frozen centroids. The
+    same statement ann_index_incremental_add pins for the one-shot batch
+    add (similarity.py), re-derived at this key's base slice (vec_id % 3
+    = 0) — the stream's three-trigger fold must land exactly there."""
+    from .similarity import _lloyd_chain_sql
+
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (SELECT vec_id, emb FROM vecs WHERE vec_id % 3 = 0),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        )
+        SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "ann_ingest_replay",
+    oracle=_ann_ingest_oracle(),
+    tags=("ext-streaming", "ext-sim", "replay"),
+)
+def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN-ingest loop (streaming/ann_ingest.py — foreachBatch
+    over the frozen-centroid incremental add, skip_existing idempotency)
+    driven over the embeddings table as a three-batch file stream, the
+    last streaming surface without a replay key (r8 verdict item 4).
+
+    Fixture: batch 0 (vec_id % 3 = 0) builds the standing index via
+    ivf_build_index_frame — the trainer runs ONCE, before the stream, as
+    in production. All THREE batches then replay through the stream, so
+    the fold must (a) anti-join batch 0 back out (the at-least-once
+    redelivery case, exercised on the driver's own check, not just in
+    pytest) and (b) append batches 1-2 against the STORED centroids with
+    no retraining. The returned frame is the final on-disk index
+    (vec_id → centroid_id); the oracle is the full-rebuild-equivalence
+    statement re-derived at this slice: Lloyd-train on batch 0, assign
+    everything against those frozen centroids. Untouched-partition
+    byte-identity across triggers is asserted in
+    tests/test_ann_ingest_stream.py.
+
+    Scale shape: per trigger, one broadcast assignment over the BATCH
+    plus partition-scoped appends — ingest cost tracks the changeset,
+    never the corpus; the trainer is outside the steady-state loop."""
+    from ..plans.similarity import (
+        _vectors,
+        auto_centroids,
+        ivf_build_index_frame,
+    )
+    from ..streaming.ann_ingest import start_ann_ingest_stream
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    base = vecs.filter((F.col("vec_id") % 3) == 0)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+    root = tempfile.mkdtemp(prefix="ann_ingest_replay_")
+    index = os.path.join(root, "index")
+    src = os.path.join(root, "arrivals")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        ivf_build_index_frame(base, index, n_centroids=auto_centroids(n_base))
+        _write_batches(vecs, "vec_id", src)
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ann_ingest_stream(stream, index, ckpt, available_now=True)
+        _await(q)
+        # localize the driver-sized assignment (two ints per vector) so
+        # the index/fixture dirs can be cleaned before returning
+        rows = (
+            spark.read.parquet(os.path.join(index, "vectors"))
+            .select(
+                "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
+            )
+            .collect()
+        )
+    finally:
+        _cleanup(root)
+    return spark.createDataFrame(rows, "vec_id bigint, centroid_id bigint")

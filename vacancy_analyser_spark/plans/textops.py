@@ -362,6 +362,14 @@ TFIDF_VEC_K = 10
 #: this shared-vocabulary corpus — measured before choosing).
 TFIDF_SIM_T = 0.7
 
+#: The last decision the tfidf-cosine planner made, for observability —
+#: the tfidf twin of dedup.LAST_SPARSE_DISPATCH (same caveats: a
+#: last-writer-wins diagnostic record, never control flow). Keys:
+#: cand_rows (Σ dt(dt−1)/2 over the top-K vector table), width
+#: (explicit exchange width, None = stock), capped (the probe crossed
+#: the exchange-width budget and the capped metric was dispatched).
+LAST_TFIDF_DISPATCH: dict = {}
+
 
 _TFIDF_VEC0_CTES = f"""toks AS (
             SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
@@ -440,11 +448,20 @@ def _tfidf_vec0(
     )
 
 
-def _cosine_pairs_from(vec: DataFrame) -> DataFrame:
+def _cosine_pairs_from(vec: DataFrame, shuffle_width: int | None = None) -> DataFrame:
     """Pairs with cosine ≥ TFIDF_SIM_T over a (doc_id, term, score) vector
     table — the ONE implementation of the fixed-point dot/norm arithmetic
     (term-bucketed candidates; unhinted doc-scaled norm joins, AQE-sized;
-    mirrors _TFIDF_PAIRS_SQL)."""
+    mirrors _TFIDF_PAIRS_SQL).
+
+    ``shuffle_width`` is the corpus-mass knob, same mechanics as
+    dedup._countjoin_pairs: both self-join aliases read ONE
+    term-repartitioned cache so the join runs exchange-free at the chosen
+    width, and the dot aggregate gets an explicit (a_id, b_id)
+    repartition that REPLACES its default-width exchange. None = the
+    stock plan, byte-identical to before."""
+    if shuffle_width:
+        vec = vec.repartition(shuffle_width, "term")
     vec = vec.persist()
     vec.count()  # norms + both candidate-join sides read it
 
@@ -455,8 +472,15 @@ def _cosine_pairs_from(vec: DataFrame) -> DataFrame:
 
     nrm = vec.groupBy("doc_id").agg(F.sqrt(fxsum(F.col("score") * F.col("score"))).alias("nrm"))
     a, b = vec.alias("a"), vec.alias("b")
+    cand = a.join(
+        b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if shuffle_width:
+        cand = cand.repartition(
+            shuffle_width, F.col("a.doc_id"), F.col("b.doc_id")
+        )
     dot = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        cand
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(fxsum(F.col("a.score") * F.col("b.score")).alias("dp"))
     )
@@ -496,8 +520,100 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — is bit-identical across engines. One token pass feeds tf; df
     aggregates from tf; everything downstream is aggregate-sized. The
     vector builder and the pair arithmetic are shared with
-    tfidf_cosine_capped (one definition each, Spark and SQL)."""
-    return _cosine_pairs_from(_tfidf_vec0(spark, sf_dir))
+    tfidf_cosine_capped (one definition each, Spark and SQL).
+
+    r9: the candidate join sits behind the SAME measured-mass dispatch
+    discipline as the shingle family (dedup._sparse_plan_for /
+    _retier_capped): one aggregate over the cached vector table probes
+    Σ dt(dt−1)/2 — the EXACT candidate row count the self-join will
+    generate — before either plan runs. Inside the session's exchange
+    budget → the stock plan (byte-identical, the driver-checked metric);
+    crossing the session width → the same plan at an explicit mass-∝
+    width; crossing MAX_CANDJOIN_WIDTH (~10B candidate rows — a merely-
+    hot topical term at df_top ~1% of 10⁹ docs already generates 10¹⁰
+    pairs) → the df_top-capped metric (tfidf_cosine_capped's registered
+    pipeline, logged + recorded in LAST_TFIDF_DISPATCH; same
+    semantics-change-at-the-design-boundary rationale as
+    dedup._retier_capped). The ×10 stress row that motivated this
+    (1.62× vs linear, r8) ran the stock plan at starved width."""
+    return _tfidf_pairs_dispatch(spark, sf_dir)
+
+
+def _tfidf_pairs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-then-dispatch for the tfidf-cosine candidate join — the
+    tfidf mirror of dedup._sparse_plan_for's corpus-mass branch. The
+    constants are REUSED from dedup (CAND_ROWS_PER_PARTITION,
+    MAX_CANDJOIN_WIDTH): a candidate row here is the same ~24 bytes of
+    (a_id, b_id, partial sum) through the same sort/hash machinery, so
+    the spill boundary is the same."""
+    import logging
+    import math
+
+    from .dedup import CAND_ROWS_PER_PARTITION, MAX_CANDJOIN_WIDTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    vec0 = _tfidf_vec0(spark, sf_dir, docs=docs).persist()
+    vec0.count()  # the probe + every dispatch target read it
+    cand_rows = (
+        vec0.groupBy("term")
+        .agg(F.count("*").alias("dt"))
+        .agg(F.sum(F.col("dt") * (F.col("dt") - 1) / 2).alias("m"))
+        .collect()[0]["m"]
+        or 0
+    )
+    LAST_TFIDF_DISPATCH.clear()
+    LAST_TFIDF_DISPATCH.update(
+        {"cand_rows": cand_rows, "width": None, "capped": False}
+    )
+    mass_width = math.ceil(cand_rows / CAND_ROWS_PER_PARTITION)
+    if mass_width > MAX_CANDJOIN_WIDTH:
+        # past the exchange-width budget: dispatch to the df_top-capped
+        # metric — the registered tfidf_cosine_capped pipeline, results
+        # pinned identical in tests/test_text_lm.py's forced-cap test
+        LAST_TFIDF_DISPATCH.update({"capped": True})
+        logging.getLogger(__name__).warning(
+            "tfidf-cosine candidate mass %.2g rows wants %d partitions "
+            "(> %d max) — dispatching to the df_top-capped metric "
+            "(decision recorded in LAST_TFIDF_DISPATCH)",
+            cand_rows,
+            mass_width,
+            MAX_CANDJOIN_WIDTH,
+        )
+        return _cosine_pairs_from(_capped_vec_from(vec0, n))
+    try:
+        session_width = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (ValueError, TypeError):
+        session_width = 200
+    if mass_width > session_width:
+        # same clamp as dedup's dispatch: the capped-tier branch above
+        # already handled mass past MAX width, but a forced/probe-skewed
+        # path must never ask the scheduler for an unbounded partition
+        # count
+        width = min(MAX_CANDJOIN_WIDTH, mass_width)
+        LAST_TFIDF_DISPATCH["width"] = width
+        return _cosine_pairs_from(vec0, shuffle_width=width)
+    return _cosine_pairs_from(vec0)
+
+
+def _capped_vec_from(vec0: DataFrame, n: DataFrame) -> DataFrame:
+    """The df_top cap applied to a top-K vector table — the shared back
+    half of tfidf_cosine_capped and the mass dispatch (ONE definition of
+    the capped metric's vector table; the plan-shape rationale — window
+    census, repartition to undo the term layout — lives on
+    tfidf_cosine_capped's docstring)."""
+    return (
+        vec0.withColumn("dt", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("dt")
+            <= F.greatest(F.lit(2), F.floor(F.col("n_docs") / TFIDF_DF_CAP_DIVISOR))
+        )
+        .select("doc_id", "term", "score")
+        .repartition("doc_id")
+    )
 
 
 @register(
@@ -1830,17 +1946,7 @@ def tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").alias("n_docs"))
     vec0 = _tfidf_vec0(spark, sf_dir, docs=docs)
-    capped = (
-        vec0.withColumn("dt", F.count("*").over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(n))
-        .filter(
-            F.col("dt")
-            <= F.greatest(F.lit(2), F.floor(F.col("n_docs") / TFIDF_DF_CAP_DIVISOR))
-        )
-        .select("doc_id", "term", "score")
-        .repartition("doc_id")
-    )
-    return _cosine_pairs_from(capped)
+    return _cosine_pairs_from(_capped_vec_from(vec0, n))
 
 
 #: DSIR selection size: the top-N documents by importance weight — at the
@@ -2125,7 +2231,7 @@ N_SHARDS = 16
         )
         SELECT shard_id, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(SUM(fp) AS DECIMAL(38,0)) AS content_fp
+               CAST(SUM(fp) AS BIGINT) AS content_fp
         FROM per_doc GROUP BY shard_id
     """,
     tags=("ext-text", "pipeline"),
@@ -2137,7 +2243,12 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one engine-portable hash family), with per-shard doc count, token
     mass, and an ORDER-INDEPENDENT content fingerprint (sum of each
     doc's md5-of-normalized-text prefix, the doc_fingerprint hash —
-    summed in DECIMAL(38,0) so it is exact and permutation-invariant).
+    summed as BIGINT: each fp < 2^32 so the per-shard sum fits int64
+    up to ~2^31 docs/shard, far past every shipped SF; at true 100 TB
+    scale split the fingerprint into hi/lo 16-bit halves summed
+    separately, or sum mod 2^62 — both stay engine-hashable, which
+    DECIMAL(38,0) is not: decimal output columns are the one type the
+    driver's value hasher rejects, and the registry bans them).
     Two runs that produce the same manifest produced the same corpus,
     shard by shard, without re-reading a byte of text — the cheap
     equality proof every resume/audit/replication step wants.
@@ -2165,7 +2276,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.sum(F.col("fp").cast("decimal(38,0)")).alias("content_fp"),
+        F.sum("fp").alias("content_fp"),
     )
 
 
@@ -2320,3 +2431,136 @@ def quality_gate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").cast("double") >= target - eps
     )
     return ranked.select("lang", "n", ok.alias("gate_ok"))
+
+
+@register(
+    "corpus_build_manifest",
+    oracle=None,  # set below — needs the keep-list CTEs from dedup.py
+    tags=("ext-corpus", "pipeline"),
+)
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's LAST MILE in one table — what ships into training,
+    in which shard, at what epoch factor (r8 verdict item 6). Rows are
+    (shard_id, lang): the SELECTED documents (keep-list 'kept' ∩ DSIR
+    top-N — corpus_selection_manifest's n_selected population) hash-
+    assigned to shard_manifest's N_SHARDS buckets, carrying per-cell doc
+    count, token mass, the order-independent BIGINT content fingerprint
+    (the shard_manifest audit primitive over exactly the shipped docs),
+    and the language's epoch_factor from the temperature mixture plan
+    (corpus_mix_temperature's epochs — the repetition factor the
+    dataloader applies per language). This is the table a dataloader
+    consumes: shard → files, epoch_factor → sampling repeat, fingerprint
+    → resume/replication equality proof.
+
+    Composition, not re-derivation: the Spark side literally calls the
+    three registered stages (corpus_keep_list, dsir_importance_resample,
+    corpus_mix_temperature) and the oracle splices their exact CTE
+    chains (keep-list + DSIR + mx_-prefixed mixture) into one statement,
+    so the driver hash proves the composed build computes what the
+    stages compute alone — the corpus_selection_manifest discipline,
+    extended through sharding and mixture.
+
+    Scale shape: each stage keeps its own story; the composition adds
+    id-keyed semi-join-shaped joins, scan-side shard/fp column algebra
+    on the (small) selected set, one (shard, lang) aggregate, and a
+    broadcast join against the |langs|-row mixture table. Nothing here
+    outgrows the stages themselves at 100 TB."""
+    from .dedup import corpus_keep_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = corpus_keep_list(spark, sf_dir).filter(
+        F.col("verdict") == "kept"
+    ).select("doc_id")
+    dsir = dsir_importance_resample(spark, sf_dir).select("doc_id")
+    mix = corpus_mix_temperature(spark, sf_dir).select(
+        "lang", F.col("epochs").alias("epoch_factor")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % N_SHARDS
+    )
+    fp = F.conv(F.substring(F.md5(normalize_ws("text")), 1, 8), 16, 10).cast("bigint")
+    selected = (
+        docs.join(kept, "doc_id", "left_semi")
+        .join(dsir, "doc_id", "left_semi")
+        .select(
+            shard.alias("shard_id"),
+            "lang",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+            fp.alias("fp"),
+        )
+    )
+    return (
+        selected.groupBy("shard_id", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("fp").alias("content_fp"),
+        )
+        .join(F.broadcast(mix), "lang")
+        .select(
+            "shard_id", "lang", "n_docs", "total_tokens", "content_fp",
+            "epoch_factor",
+        )
+    )
+
+
+def _set_build_manifest_oracle() -> None:
+    import dataclasses
+
+    from .dedup import _KEEP_LIST_CTES
+    from .registry import _REGISTRY
+
+    oracle = f"""
+        WITH RECURSIVE {_KEEP_LIST_CTES},
+        {_DSIR_CTES},
+        mx_mass AS (
+            SELECT lang, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS token_mass
+            FROM documents GROUP BY lang
+            HAVING SUM(len({_TOKS_SQL})) > 0
+        ),
+        mx_w AS (
+            SELECT lang, token_mass,
+                   CAST(round(sqrt(CAST(token_mass AS DOUBLE)) * 1e9) AS BIGINT) AS sw
+            FROM mx_mass
+        ),
+        mx_tot AS (
+            SELECT CAST(SUM(sw) AS DOUBLE) / 1e9 AS sum_sqrt,
+                   CAST(SUM(token_mass) AS BIGINT) AS total_mass
+            FROM mx_w
+        ),
+        mx AS (
+            SELECT w.lang,
+                   round(round((CAST(w.sw AS DOUBLE) / 1e9) / t.sum_sqrt, 6)
+                         * FLOOR(CAST({MIX_BUDGET_FRAC} AS DOUBLE) * t.total_mass)
+                         / w.token_mass, 6) AS epoch_factor
+            FROM mx_w w CROSS JOIN mx_tot t
+        ),
+        sel_docs AS (
+            SELECT d.doc_id, d.lang,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % {N_SHARDS} AS shard_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5({_NORM_SQL}), 1, 8))::BIGINT AS fp
+            FROM documents d
+            WHERE EXISTS (SELECT 1 FROM verdicts v
+                          WHERE v.doc_id = d.doc_id AND v.verdict = 'kept')
+              AND EXISTS (SELECT 1 FROM dsir_sel s WHERE s.doc_id = d.doc_id)
+        )
+        SELECT g.shard_id, g.lang, g.n_docs, g.total_tokens, g.content_fp,
+               mx.epoch_factor
+        FROM (
+            SELECT shard_id, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(fp) AS BIGINT) AS content_fp
+            FROM sel_docs GROUP BY shard_id, lang
+        ) g JOIN mx USING (lang)
+    """
+    _REGISTRY["corpus_build_manifest"] = dataclasses.replace(
+        _REGISTRY["corpus_build_manifest"], oracle=oracle
+    )
+
+
+_set_build_manifest_oracle()
