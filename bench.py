@@ -141,6 +141,8 @@ COLD_KEYS = (
     "ann_retrain_decision",
     "corpus_build_manifest",
     "ann_ingest_replay",
+    "shard_manifest_diff",
+    "ann_index_delete",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -796,3 +796,22 @@ def test_quality_gate_bucketed_contract_holds(spark, sf_dir):
     assert rows
     assert all(r["gate_ok"] for r in rows)
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_shard_fingerprint_additivity(spark, sf_dir):
+    """The property shard_manifest_diff sells: the sum-based content
+    fingerprint is additive, so fp_base + fp_delta must equal
+    shard_manifest's content_fp shard-for-shard (and the doc counts must
+    reconcile the same way) — incremental audit needs to read only the
+    batch."""
+    from vacancy_analyser_spark.plans.textops import shard_manifest, shard_manifest_diff
+
+    full = {
+        r["shard_id"]: (r["n_docs"], r["content_fp"])
+        for r in shard_manifest(spark, sf_dir).collect()
+    }
+    diff = {
+        r["shard_id"]: (r["n_docs_base"] + r["n_docs_added"], r["fp_base"] + r["fp_delta"])
+        for r in shard_manifest_diff(spark, sf_dir).collect()
+    }
+    assert diff == full

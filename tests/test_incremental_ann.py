@@ -244,3 +244,75 @@ def test_ivf2_incremental_add_appends_into_nested_layout(spark, sf_dir, tmp_path
         .collect()
     }
     assert got == want
+
+
+def test_index_delete_partition_scoped_and_exact(spark, sf_dir, tmp_path):
+    """ivf_index_delete's three contracts:
+    - untouched centroid partitions stay byte-identical (same files, same
+      size/mtime);
+    - the surviving index equals the frozen-centroid assignment minus
+      exactly the deleted ids;
+    - re-deleting the same ids is a no-op (no touched partitions, no file
+      churn)."""
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    path = str(tmp_path / "ivf_del")
+    ivf_build_index_frame(vecs, path, n_centroids=k)
+    vectors = os.path.join(path, "vectors")
+    before = _file_census(vectors)
+    want_all = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(vectors).select("vec_id", "centroid_id").collect()
+    }
+
+    dels = vecs.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 5).select("vec_id")
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    assert del_ids
+    touched = ivf_index_delete(spark, path, dels)
+    assert touched
+
+    after = _file_census(vectors)
+    touched_prefixes = tuple(f"centroid_id={c}" for c in touched)
+    for rel, meta in before.items():
+        if not rel.startswith(touched_prefixes):
+            assert after.get(rel) == meta, f"untouched file changed: {rel}"
+
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(vectors).select("vec_id", "centroid_id").collect()
+    }
+    assert got == {(v, c) for v, c in want_all if v not in del_ids}
+
+    census_1 = _file_census(vectors)
+    assert ivf_index_delete(spark, path, dels) == []
+    assert _file_census(vectors) == census_1
+
+
+def test_index_delete_sweeps_fully_emptied_partition(spark, tmp_path):
+    """A centroid bucket whose EVERY member is deleted must disappear from
+    disk — dynamic overwrite alone writes nothing for it and would leave
+    the dead rows serving."""
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    # two well-separated clusters; centroids = one seed in each
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(6)] + [
+        (10 + i, [0.0, 1.0, float(i % 3) * 0.01]) for i in range(3)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_sweep")
+    ivf_build_index_frame(vecs, path, n_centroids=2)
+    vectors = os.path.join(path, "vectors")
+    by_cent: dict = {}
+    for r in spark.read.parquet(vectors).select("vec_id", "centroid_id").collect():
+        by_cent.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+    assert len(by_cent) == 2
+    # delete every member of one bucket
+    victim_cent, victim_ids = next(iter(sorted(by_cent.items())))
+    dels = spark.createDataFrame([(v,) for v in victim_ids], "vec_id long")
+    touched = ivf_index_delete(spark, path, dels)
+    assert victim_cent in touched
+    assert not os.path.exists(os.path.join(vectors, f"centroid_id={victim_cent}"))
+    left = {r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()}
+    assert left == set().union(*(s for c, s in by_cent.items() if c != victim_cent))

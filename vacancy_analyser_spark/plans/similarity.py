@@ -761,6 +761,148 @@ def ivf_index_incremental_add(
     return touched
 
 
+def ivf_index_delete(
+    spark: SparkSession, path: str, delete_ids: DataFrame
+) -> list[int]:
+    """Remove vectors from a materialized IVF index by id — the lifecycle
+    op incremental_add is missing (takedown / right-to-be-forgotten: at
+    100 TB you are handed vec_ids, not embeddings, and a full index
+    rebuild per deletion request is exactly the cost model adds were
+    built to avoid). Partition-scoped like the add:
+
+    - LOCATE: one column-pruned scan semi-joined against the (broadcast)
+      id list finds which centroid partitions hold victims — the only
+      full-index read, and it reads two columns. An id→centroid lookup
+      table would remove even that at true scale; the probe-side layout
+      already supports it (the assignment IS that table).
+    - REWRITE: only the touched partitions are rewritten (per-write
+      dynamic partitionOverwriteMode — untouched partitions stay
+      byte-identical, tested), from a changeset-sized localCheckpoint
+      (breaks lineage to the files being replaced, the same trick the
+      add uses for its read-then-append).
+    - SWEEP: a partition whose EVERY row was deleted produces no output
+      under dynamic overwrite and would silently keep serving its dead
+      rows — those directories are removed explicitly, raising on a
+      failed delete (the partitioned_state sweep discipline,
+      operators/partitioned_state.py).
+
+    Centroids stay FROZEN through deletes (same invariant as the add:
+    the index's identity is its trained centroids; deletions thin cells,
+    they don't move them — ann_retrain_decision prices when thinning
+    warrants a retrain). Idempotent: re-deleting the same ids finds no
+    victims and writes nothing. Returns the touched centroid ids."""
+    import os
+    import shutil
+
+    vec_dir = os.path.join(path, "vectors")
+    idx = spark.read.parquet(vec_dir)
+    victims = idx.join(F.broadcast(delete_ids), "vec_id", "left_semi")
+    touched = sorted(
+        r["c"] for r in victims.select(F.col("centroid_id").alias("c")).distinct().collect()
+    )
+    if not touched:
+        return []
+    remaining = (
+        idx.filter(F.col("centroid_id").isin(touched))
+        .join(F.broadcast(delete_ids), "vec_id", "left_anti")
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=True)
+    )
+    survivors = {
+        r["c"]
+        for r in remaining.select(F.col("centroid_id").alias("c")).distinct().collect()
+    }
+    if survivors:
+        remaining.filter(F.col("centroid_id").isin(sorted(survivors))).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "centroid_id"
+        ).parquet(vec_dir)
+    for c in touched:
+        if c in survivors:
+            continue
+        dead = os.path.join(vec_dir, f"centroid_id={c}")
+        shutil.rmtree(dead)
+        if os.path.exists(dead):  # pragma: no cover — fs contract violated
+            raise IOError(f"failed to remove fully-deleted partition {dead}")
+    return touched
+
+
+#: The simulated takedown set for the delete key: vec_id ≡ 5 (mod 16) —
+#: ~6% of the corpus, disjoint mod-class from the add key's batch so the
+#: two lifecycle keys never share a slice.
+DEL_MOD = 16
+DEL_REM = 5
+
+
+def _ivf_del_index_path(sf_dir: str, k: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"del_lloyd1_c{k}"
+    )
+
+
+@register(
+    "ann_index_delete",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(src="vecs")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        )
+        SELECT vec_id, centroid_id FROM ranked
+        WHERE rn = 1 AND vec_id % {DEL_MOD} <> {DEL_REM}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion, driver-checked end to end: build the materialized
+    IVF index over the FULL corpus, then remove the takedown set (vec_id
+    ≡ 5 mod 16) via ivf_index_delete — partition-scoped rewrite of only
+    the touched centroid directories, frozen centroids, empty-partition
+    sweep. The returned frame is the post-delete index read back from
+    disk; the oracle is the deletion-equivalence statement: the full
+    build's assignment minus the deleted ids, exactly — which holds
+    precisely BECAUSE deletes freeze centroids (a retrain-on-delete
+    would move every assignment and the equivalence would be false).
+
+    Idempotent per sf_dir via the same freshness + completion-marker
+    gate as the add key (_DEL_SUCCESS: the build's own _SUCCESS must not
+    pass for the post-delete state)."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+    k = auto_centroids(n)
+    path = _ivf_del_index_path(sf_dir, k)
+    marker = os.path.join(path, "_DEL_SUCCESS")
+    if not (_ivf_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
+        ivf_build_index_frame(vecs, path, n_centroids=k)
+        ivf_index_delete(
+            spark,
+            path,
+            vecs.filter(
+                F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM
+            ).select("vec_id"),
+        )
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
+    )
+
+
 def ivf_probe_index(
     spark: SparkSession,
     path: str,

@@ -2564,3 +2564,87 @@ def _set_build_manifest_oracle() -> None:
 
 
 _set_build_manifest_oracle()
+
+
+#: The arriving-batch convention for the manifest diff — the similarity
+#: family's INCR_BATCH_MOD (vec_id ≡ 7 mod 8 is the batch), applied to
+#: doc_id so the corpus and vector surfaces simulate the SAME ingest.
+DIFF_BATCH_MOD = 8
+
+
+@register(
+    "shard_manifest_diff",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % {N_SHARDS} AS shard_id,
+                   CAST(doc_id % {DIFF_BATCH_MOD} = {DIFF_BATCH_MOD - 1} AS INT)
+                       AS is_added,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5({_NORM_SQL}), 1, 8))::BIGINT AS fp
+            FROM documents
+        )
+        SELECT shard_id,
+               COUNT(*) FILTER (WHERE is_added = 0) AS n_docs_base,
+               COUNT(*) FILTER (WHERE is_added = 1) AS n_docs_added,
+               CAST(COALESCE(SUM(n_tokens) FILTER (WHERE is_added = 1), 0)
+                    AS BIGINT) AS tokens_added,
+               CAST(COALESCE(SUM(fp) FILTER (WHERE is_added = 0), 0)
+                    AS BIGINT) AS fp_base,
+               CAST(COALESCE(SUM(fp) FILTER (WHERE is_added = 1), 0)
+                    AS BIGINT) AS fp_delta
+        FROM per_doc GROUP BY shard_id
+    """,
+    tags=("ext-text", "pipeline"),
+)
+def shard_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-over-build shard audit — what changed between the standing
+    corpus build and the build after an ingest batch landed (batch =
+    doc_id ≡ 7 mod DIFF_BATCH_MOD, the similarity family's arriving-batch
+    convention on the document surface). Per shard: base/added doc
+    counts, the added token mass, and the fingerprint algebra that makes
+    the audit O(batch) instead of O(corpus): shard_manifest's content
+    fingerprint is a SUM, so it is ADDITIVE — fp(after) − fp(before) is
+    exactly the fingerprint of the added documents. A resume/audit job
+    therefore verifies an incremental build by fingerprinting ONLY the
+    batch and checking fp_base + fp_delta against the new manifest; no
+    re-read of shipped shards, ever. (The same additivity gives free
+    DELETION auditing — a removed doc subtracts its fp — which
+    content-hash or order-sensitive fingerprints cannot do.)
+
+    Plan shape: identical to shard_manifest — pure scan-side column
+    algebra plus ONE |N_SHARDS|-group conditional aggregate; the diff
+    costs one extra flag column over the manifest it extends. Both
+    emitted fps are BIGINT (the r9 decimal rule: each fp < 2^32, sums
+    fit int64 at every shipped SF; hi/lo split at true 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % N_SHARDS
+    )
+    fp = F.conv(F.substring(F.md5(normalize_ws("text")), 1, 8), 16, 10).cast("bigint")
+    is_added = (
+        F.pmod(F.col("doc_id"), F.lit(DIFF_BATCH_MOD)) == DIFF_BATCH_MOD - 1
+    ).cast("int")
+    per_doc = docs.select(
+        shard.alias("shard_id"),
+        is_added.alias("is_added"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        fp.alias("fp"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return per_doc.groupBy("shard_id").agg(
+        F.count(F.when(F.col("is_added") == 0, 1)).alias("n_docs_base"),
+        F.count(F.when(F.col("is_added") == 1, 1)).alias("n_docs_added"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_added") == 1, F.col("n_tokens"))), zero
+        ).cast("bigint").alias("tokens_added"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_added") == 0, F.col("fp"))), zero
+        ).cast("bigint").alias("fp_base"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_added") == 1, F.col("fp"))), zero
+        ).cast("bigint").alias("fp_delta"),
+    )
