@@ -802,10 +802,13 @@ def ivf_index_delete(
     )
     if not touched:
         return []
+    # no projection: the rewrite is layout-agnostic (the IVFPQ vectors
+    # table carries its codes column through unchanged), so one delete
+    # implementation serves every flat centroid_id-partitioned index;
+    # the two-level layout is the same recipe with nested partition keys
     remaining = (
         idx.filter(F.col("centroid_id").isin(touched))
         .join(F.broadcast(delete_ids), "vec_id", "left_anti")
-        .select("vec_id", "embedding", "centroid_id")
         .localCheckpoint(eager=True)
     )
     survivors = {
@@ -2099,6 +2102,99 @@ def ann_ivfpq_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (_ivfpq_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
         ivfpq_build_index_frame(base, path, n_centroids=k)
         ivfpq_index_incremental_add(spark, path, batch)
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.posexplode("codes").alias("block", "code"),
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.col("block").cast("bigint").alias("block"),
+        F.col("code").cast("bigint").alias("code"),
+    )
+
+
+def _ivfpq_del_index_path(sf_dir: str, k: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivfpq_index_path(sf_dir, k)),
+        f"del_lloyd1_c{k}_m{PQ_M}_k{PQ_K}",
+    )
+
+
+@register(
+    "ann_ivfpq_index_delete",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(src="vecs")},
+        {_pq_chain_sql(src="vecs", prefix="p")},
+        allsub AS (
+            SELECT vec_id, bl.block,
+                   (emb)[bl.block * {PQ_SUB} + 1 : bl.block * {PQ_SUB} + {PQ_SUB}] AS s
+            FROM vecs, (SELECT unnest(range(0, {PQ_M})) AS block) bl
+        ),
+        allcodes AS (
+            SELECT vec_id, block, cid AS code FROM (
+                SELECT allsub.vec_id, allsub.block, pcb.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY allsub.vec_id, allsub.block
+                           ORDER BY round({_l2sq_sql('allsub.s', 'pcb.c_sub')}, 9), pcb.cid
+                       ) AS rn
+                FROM allsub JOIN pcb ON allsub.block = pcb.block
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, c.block, c.code
+        FROM assigned a JOIN allcodes c ON a.vec_id = c.vec_id
+        WHERE a.vec_id % {DEL_MOD} <> {DEL_REM}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the COMPRESSED index, driver-checked: build the full
+    IVFPQ index, delete the same mod-class takedown set as
+    ann_index_delete through the SAME layout-agnostic ivf_index_delete
+    (the codes column rides the partition rewrite unchanged — one delete
+    implementation serves both flat layouts), and return the post-delete
+    index exploded to (vec_id, centroid_id, block, code). Both trained
+    artifacts (codebook + coarse centroids) stay frozen through deletes,
+    so the oracle is the full train/encode/assign chain minus the
+    deleted ids — the deletion-equivalence twin of the add key's
+    rebuild equivalence."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, block bigint, code bigint"
+        )
+    k = auto_centroids(n)
+    path = _ivfpq_del_index_path(sf_dir, k)
+    marker = os.path.join(path, "_DEL_SUCCESS")
+    if not (_ivfpq_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
+        ivfpq_build_index_frame(vecs, path, n_centroids=k)
+        ivf_index_delete(
+            spark,
+            path,
+            vecs.filter(
+                F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM
+            ).select("vec_id"),
+        )
         open(marker, "w").close()
     idx = spark.read.parquet(os.path.join(path, "vectors"))
     return idx.select(
