@@ -145,3 +145,44 @@ def test_stream_leaves_untouched_partitions_byte_identical(spark, sf_dir, tmp_pa
     changed = {f for f in set(after_b1) & set(after_b2) if after_b1[f] != after_b2[f]}
     assert not missing and not changed, (missing, changed)
     assert set(after_b2) - set(after_b1)  # b2 did land somewhere
+
+
+def test_delete_stream_folds_batches_and_is_replay_safe(spark, sf_dir, tmp_path):
+    """The takedown stream: two micro-batches of vec_ids delete from the
+    index; the surviving assignment equals the full assignment minus the
+    union of the streamed ids, and replaying the whole stream against a
+    fresh checkpoint (worst-case redelivery) changes nothing — deletion
+    is idempotent by construction."""
+    from vacancy_analyser_spark.streaming.ann_ingest import start_ann_delete_stream
+
+    vecs = _vectors(spark, sf_dir)
+    path = str(tmp_path / "ann_del_index")
+    ivf_build_index_frame(vecs, path, n_centroids=auto_centroids(vecs.count()))
+    want_all = _index_assignment(spark, path)
+
+    dels = vecs.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 5).select("vec_id")
+    d1 = dels.filter(F.col("vec_id") % 2 == 0)
+    d2 = dels.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "takedowns")
+    os.makedirs(src)
+    d1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    d2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    assert del_ids
+
+    stream = spark.readStream.schema("vec_id bigint").option(
+        "recursiveFileLookup", True
+    ).parquet(src)
+    q = start_ann_delete_stream(stream, path, str(tmp_path / "ckpt_d1"))
+    q.awaitTermination(120)
+    got = _index_assignment(spark, path)
+    assert got == {(v, c) for v, c in want_all if v not in del_ids}
+
+    # full redelivery on a fresh checkpoint: no-op
+    q2 = start_ann_delete_stream(
+        spark.readStream.schema("vec_id bigint").option("recursiveFileLookup", True).parquet(src),
+        path,
+        str(tmp_path / "ckpt_d2"),
+    )
+    q2.awaitTermination(120)
+    assert _index_assignment(spark, path) == got

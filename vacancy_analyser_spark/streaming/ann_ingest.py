@@ -63,3 +63,51 @@ def start_ann_ingest_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_ann_delete_stream(
+    deletions: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """The takedown twin of start_ann_ingest_stream: a stream of vec_ids
+    to remove (right-to-be-forgotten requests arrive as a queue, not a
+    batch job) folds into the materialized index via
+    plans.similarity.ivf_index_delete — per micro-batch one column-pruned
+    locate scan, partition-scoped rewrite of the touched cells, frozen
+    centroids throughout.
+
+    Deletion is idempotent BY CONSTRUCTION (re-deleting an absent id
+    finds no victims and writes nothing), so foreachBatch retries and
+    at-least-once delivery are safe without any skip_existing machinery.
+    Same trigger contract as the ingest stream."""
+    if available_now and processing_time is not None:
+        raise ValueError(
+            "available_now=True drains and stops — processing_time would be "
+            "silently ignored; pass available_now=False for a resident stream"
+        )
+    if not available_now and processing_time is None:
+        raise ValueError(
+            "available_now=False requires processing_time — omitting it would "
+            "run an unthrottled micro-batch loop"
+        )
+
+    from ..plans.similarity import ivf_index_delete
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_delete(
+            batch_df.sparkSession, index_path, batch_df.select("vec_id")
+        )
+
+    writer = deletions.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
