@@ -144,6 +144,7 @@ COLD_KEYS = (
     "shard_manifest_diff",
     "ann_index_delete",
     "ann_ivfpq_index_delete",
+    "ann_ivf2_index_delete",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

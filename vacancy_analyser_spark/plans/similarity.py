@@ -762,8 +762,11 @@ def ivf_index_incremental_add(
 
 
 def ivf_index_delete(
-    spark: SparkSession, path: str, delete_ids: DataFrame
-) -> list[int]:
+    spark: SparkSession,
+    path: str,
+    delete_ids: DataFrame,
+    partition_cols: tuple[str, ...] = ("centroid_id",),
+) -> list:
     """Remove vectors from a materialized IVF index by id — the lifecycle
     op incremental_add is missing (takedown / right-to-be-forgotten: at
     100 TB you are handed vec_ids, not embeddings, and a full index
@@ -790,7 +793,12 @@ def ivf_index_delete(
     the index's identity is its trained centroids; deletions thin cells,
     they don't move them — ann_retrain_decision prices when thinning
     warrants a retrain). Idempotent: re-deleting the same ids finds no
-    victims and writes nothing. Returns the touched centroid ids."""
+    victims and writes nothing. ``partition_cols`` names the layout's
+    partition key — ("centroid_id",) for flat IVF/IVFPQ,
+    ("coarse_id", "centroid_id") for the nested two-level layout (empty
+    parent trees are pruned after a leaf sweep). Returns the touched
+    centroid ids (key tuples for multi-column layouts)."""
+    import functools as ft
     import os
     import shutil
 
@@ -798,36 +806,67 @@ def ivf_index_delete(
     idx = spark.read.parquet(vec_dir)
     victims = idx.join(F.broadcast(delete_ids), "vec_id", "left_semi")
     touched = sorted(
-        r["c"] for r in victims.select(F.col("centroid_id").alias("c")).distinct().collect()
+        tuple(r[c] for c in partition_cols)
+        for r in victims.select(*partition_cols).distinct().collect()
     )
     if not touched:
         return []
+
+    def _keys_filter(keys):
+        # OR-of-AND literals on the partition columns — planning-time
+        # partition pruning (a semi-join would locate the same rows but
+        # open every directory); changeset-sized by construction
+        return ft.reduce(
+            lambda a, b: a | b,
+            [
+                ft.reduce(
+                    lambda x, y: x & y,
+                    [F.col(c) == F.lit(v) for c, v in zip(partition_cols, key)],
+                )
+                for key in keys
+            ],
+        )
+
     # no projection: the rewrite is layout-agnostic (the IVFPQ vectors
-    # table carries its codes column through unchanged), so one delete
-    # implementation serves every flat centroid_id-partitioned index;
-    # the two-level layout is the same recipe with nested partition keys
+    # table carries its codes column through unchanged; the two-level
+    # layout passes partition_cols=("coarse_id", "centroid_id")), so one
+    # delete implementation serves every partitioned index layout
     remaining = (
-        idx.filter(F.col("centroid_id").isin(touched))
+        idx.filter(_keys_filter(touched))
         .join(F.broadcast(delete_ids), "vec_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     survivors = {
-        r["c"]
-        for r in remaining.select(F.col("centroid_id").alias("c")).distinct().collect()
+        tuple(r[c] for c in partition_cols)
+        for r in remaining.select(*partition_cols).distinct().collect()
     }
     if survivors:
-        remaining.filter(F.col("centroid_id").isin(sorted(survivors))).write.mode(
+        remaining.filter(_keys_filter(sorted(survivors))).write.mode(
             "overwrite"
         ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "centroid_id"
+            *partition_cols
         ).parquet(vec_dir)
-    for c in touched:
-        if c in survivors:
+    for key in touched:
+        if key in survivors:
             continue
-        dead = os.path.join(vec_dir, f"centroid_id={c}")
+        dead = os.path.join(
+            vec_dir, *(f"{c}={v}" for c, v in zip(partition_cols, key))
+        )
         shutil.rmtree(dead)
         if os.path.exists(dead):  # pragma: no cover — fs contract violated
             raise IOError(f"failed to remove fully-deleted partition {dead}")
+        # a nested layout can leave an empty parent tree behind a swept
+        # leaf — prune upward so listings never show hollow directories
+        parent = os.path.dirname(dead)
+        while (
+            os.path.realpath(parent) != os.path.realpath(vec_dir)
+            and os.path.isdir(parent)
+            and not os.listdir(parent)
+        ):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+    if len(partition_cols) == 1:
+        return [k[0] for k in touched]
     return touched
 
 
@@ -4055,6 +4094,98 @@ def ann_ivf2_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not fresh:
         ivf2_build_index_frame(base, path, k, kc)
         ivf2_index_incremental_add(spark, path, batch)
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("coarse_id").cast("bigint").alias("coarse_id"),
+    )
+
+
+def _ivf2_del_index_path(sf_dir: str, k: int, kc: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivf2_index_path(sf_dir, k, kc)), f"del_lloyd1_c{k}_g{kc}"
+    )
+
+
+@register(
+    "ann_ivf2_index_delete",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(src="vecs")},
+        {_ivf2_chain_sql(src="vecs")},
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned a JOIN f2c f ON a.centroid_id = f.centroid_id
+        WHERE a.vec_id % {DEL_MOD} <> {DEL_REM}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivf2_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the TWO-LEVEL index — completing the deletion matrix
+    the way ann_ivf2_incremental_add completed the add matrix: every
+    materialized vector layout the engine serves (flat IVF, IVFPQ,
+    two-level IVF) now has an id-keyed delete, so takedown is a
+    changeset-cost operation everywhere, never a rebuild. The nested
+    layout exercises the delete's multi-column path: victims located
+    under (coarse_id, centroid_id) keys, only those nested directories
+    rewritten, fully-emptied leaves swept WITH their emptied parent
+    trees. Both quantizer levels stay frozen; the oracle is the full
+    two-level train/assign chain minus the deleted ids."""
+    import os
+
+    from ..io import materialization_is_fresh
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, coarse_id bigint"
+        )
+    k = auto_centroids(n)
+    kc = coarse_centroid_count(k)
+    path = _ivf2_del_index_path(sf_dir, k, kc)
+    marker = os.path.join(path, "_DEL_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = all(
+        materialization_is_fresh(os.path.join(path, d), src)
+        for d in ("vectors", "fine", "coarse")
+    ) and _incr_marker_fresh(marker, sf_dir)
+    if not fresh:
+        ivf2_build_index_frame(vecs, path, k, kc)
+        ivf_index_delete(
+            spark,
+            path,
+            vecs.filter(
+                F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM
+            ).select("vec_id"),
+            partition_cols=("coarse_id", "centroid_id"),
+        )
         open(marker, "w").close()
     idx = spark.read.parquet(os.path.join(path, "vectors"))
     return idx.select(
