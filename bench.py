@@ -145,6 +145,7 @@ COLD_KEYS = (
     "ann_index_delete",
     "ann_ivfpq_index_delete",
     "ann_ivf2_index_delete",
+    "ann_autoprobe_topk",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -3104,6 +3104,176 @@ def ann_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Auto-nprobe: the probe-width ladder the knob chooses from, and the
+#: mean-recall floor the chosen width must clear on the evaluation
+#: battery. The selection arithmetic is INTEGER (total hits vs
+#: ceil(target·|queries|·k)) so the choice hash-matches across engines;
+#: 0.5 sits between the pinned lloyd curve's nprobe=1 and nprobe=2 means
+#: at the shipped SFs, so the knob exercises a real decision, not a
+#: constant.
+AUTOPROBE_GRID = (1, 2, 4)
+AUTOPROBE_TARGET = 0.5
+
+
+@register(
+    "ann_autoprobe_topk",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql()},
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM vecs WHERE vec_id < {ANN_RECALL_NQ}
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT q.q_id, np.nprobe, r.centroid_id
+            FROM ranked r
+            JOIN queries q ON r.vec_id = q.q_id
+            CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in AUTOPROBE_GRID)}]) AS nprobe) np
+            WHERE r.rn <= np.nprobe
+        ),
+        cand AS (
+            SELECT p.q_id, p.nprobe, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, nprobe, vec_id FROM (
+                SELECT c.q_id, c.nprobe, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.nprobe
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, nprobe FROM probes),
+        counts AS (
+            SELECT t.q_id, t.nprobe, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.nprobe
+        ),
+        hitsum AS (
+            SELECT g.nprobe, SUM(COALESCE(c.n_hits, 0)) AS hits, COUNT(*) AS nq
+            FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.nprobe = c.nprobe
+            GROUP BY g.nprobe
+        ),
+        chosen AS (
+            SELECT CAST(COALESCE(
+                MIN(CASE WHEN hits >= CEIL({AUTOPROBE_TARGET} * nq * {IVF_K})
+                         THEN nprobe END),
+                MAX(nprobe)) AS INT) AS np
+            FROM hitsum
+        ),
+        q0 AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0),
+        probes0 AS (
+            SELECT r.centroid_id FROM ranked r CROSS JOIN chosen
+            WHERE r.vec_id = 0 AND r.rn <= chosen.np
+        )
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.emb, q0.q_emb), 6) AS sim,
+               chosen.np AS nprobe_used
+        FROM assigned a
+        JOIN probes0 p ON a.centroid_id = p.centroid_id
+        CROSS JOIN q0 CROSS JOIN chosen
+        WHERE a.vec_id <> 0
+        ORDER BY sim DESC, a.vec_id
+        LIMIT {IVF_K}
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def ann_autoprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-aware serving: the nprobe knob chosen BY the engine from
+    measured recall instead of hand-set (the r8 roadmap's top candidate).
+    One plan: evaluate the serving index's recall over the standard
+    query battery at every ladder width (the _recall_frame machinery the
+    pinned curves use), pick the SMALLEST nprobe whose total hits clear
+    ceil(target·|queries|·k) — integer arithmetic, no float mean to
+    drift — falling back to the ladder's max when no width clears, then
+    serve the query at that width. The emitted nprobe_used column makes
+    the decision itself driver-hash-checked, not just the neighbors.
+
+    This is the operator that turns the recall REPORTS into a serving
+    CONTRACT: 'give me ≥ target recall at minimum probe cost'. At scale
+    the evaluation half runs per index build (its cost is the brute-force
+    baseline, by design); the serve half is the ordinary pruned probe —
+    a production system caches the chosen width in the index metadata
+    exactly like the stored centroids.
+
+    Scale shape: evaluation = one broadcast query batch × corpus pass +
+    the probe-grid join; decision = a |ladder|-row aggregate; serve =
+    broadcast probe list against the assignment. Nothing new shuffles."""
+    import math
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame([], "vec_id bigint, sim double, nprobe_used int")
+    k = auto_centroids(n)
+    ranked = _ranked_lloyd(vecs, k)
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    rec = _recall_frame(vecs, queries, ranked, AUTOPROBE_GRID)
+    hitsum = rec.groupBy("nprobe").agg(
+        F.sum("n_hits").alias("hits"), F.count("*").alias("nq")
+    )
+    need = F.ceil(F.lit(AUTOPROBE_TARGET) * F.col("nq") * F.lit(IVF_K))
+    chosen = hitsum.agg(
+        F.coalesce(
+            F.min(F.when(F.col("hits") >= need, F.col("nprobe"))),
+            F.max("nprobe"),
+        )
+        .cast("int")
+        .alias("np")
+    )
+    q0 = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    probes0 = (
+        ranked.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(chosen))
+        .filter(F.col("rn") <= F.col("np"))
+        .select("centroid_id", "np")
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        assigned.join(F.broadcast(probes0), "centroid_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(q0)
+        .select("vec_id", sim.alias("sim"), F.col("np").alias("nprobe_used"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(IVF_K)
+    )
+
+
 #: Retrain-decision thresholds (ann_retrain_decision). GAP_T: a cell whose
 #: added population's mean assignment cosine sits more than this below its
 #: base population's is collecting vectors the base training never saw —
