@@ -146,6 +146,7 @@ COLD_KEYS = (
     "ann_ivfpq_index_delete",
     "ann_ivf2_index_delete",
     "ann_autoprobe_topk",
+    "ann_cell_split_retrain",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

@@ -3423,6 +3423,230 @@ def ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_cell_split_retrain",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   round(list_cosine_similarity(v.emb, c.c_emb), 9) AS c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (
+            SELECT vec_id, emb, centroid_id, c_sim,
+                   CAST(vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1} AS INT) AS is_add
+            FROM ranked WHERE rn = 1
+        ),
+        rep AS (
+            SELECT centroid_id,
+                   COUNT(*) FILTER (WHERE is_add = 0) AS n_base,
+                   COUNT(*) FILTER (WHERE is_add = 1) AS n_added,
+                   CASE WHEN COUNT(*) FILTER (WHERE is_add = 0) = 0
+                             OR COUNT(*) FILTER (WHERE is_add = 1) = 0 THEN NULL
+                        ELSE round(
+                            round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 0) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 0), 6)
+                          - round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 1) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 1), 6), 6) END
+                       AS sim_gap
+            FROM assigned GROUP BY centroid_id
+        ),
+        flagged AS (
+            SELECT centroid_id FROM rep
+            WHERE COALESCE(sim_gap > {RETRAIN_GAP_T}, FALSE)
+               OR n_added * {INCR_BATCH_MOD - 1} > {RETRAIN_GROWTH_X} * n_base
+        ),
+        members AS (
+            SELECT a.vec_id, a.emb, a.centroid_id
+            FROM assigned a JOIN flagged f USING (centroid_id)
+        ),
+        s2 AS (
+            SELECT centroid_id, vec_id, srn - 1 AS sub_id FROM (
+                SELECT centroid_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY centroid_id
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS srn
+                FROM members
+            ) WHERE srn <= 2
+        ),
+        sc0 AS (
+            SELECT s2.centroid_id, s2.sub_id, m.emb AS s_emb
+            FROM s2 JOIN members m
+              ON s2.vec_id = m.vec_id AND s2.centroid_id = m.centroid_id
+        ),
+        sa1 AS (
+            SELECT vec_id, centroid_id, sub_id, emb FROM (
+                SELECT m.vec_id, m.centroid_id, c.sub_id, m.emb,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY m.centroid_id, m.vec_id
+                           ORDER BY round(list_cosine_similarity(m.emb, c.s_emb), 9) DESC,
+                                    c.sub_id
+                       ) AS rn
+                FROM members m JOIN sc0 c ON m.centroid_id = c.centroid_id
+            ) WHERE rn = 1
+        ),
+        sm1 AS (
+            SELECT centroid_id, sub_id, pos - 1 AS pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+            FROM (
+                SELECT centroid_id, sub_id, unnest(emb) AS val,
+                       generate_subscripts(emb, 1) AS pos
+                FROM sa1
+            )
+            GROUP BY centroid_id, sub_id, pos
+        ),
+        sc1 AS (
+            SELECT centroid_id, sub_id, list(m ORDER BY pos) AS s_emb
+            FROM sm1 GROUP BY centroid_id, sub_id
+        ),
+        split_final AS (
+            SELECT vec_id, centroid_id, sub_id FROM (
+                SELECT m.vec_id, m.centroid_id, c.sub_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY m.centroid_id, m.vec_id
+                           ORDER BY round(list_cosine_similarity(m.emb, c.s_emb), 9) DESC,
+                                    c.sub_id
+                       ) AS rn
+                FROM members m JOIN sc1 c ON m.centroid_id = c.centroid_id
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.centroid_id,
+               CAST(COALESCE(sf.sub_id, 0) AS INT) AS sub_id,
+               (fl.centroid_id IS NOT NULL) AS was_split
+        FROM assigned a
+        LEFT JOIN flagged fl ON a.centroid_id = fl.centroid_id
+        LEFT JOIN split_final sf
+          ON a.vec_id = sf.vec_id AND a.centroid_id = sf.centroid_id
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def ann_cell_split_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain decision's ACTION half — selective cell splitting, the
+    maintenance move FAISS-style systems make when a cell degrades: every
+    cell ann_retrain_decision flags is re-clustered LOCALLY into two
+    sub-cells (per-cell deterministic md5 sample seed + one Lloyd step —
+    the serving trainer's exact recipe scoped to the cell's members),
+    while every healthy cell's assignment is byte-for-byte untouched.
+    Output is the full post-maintenance assignment (vec_id, centroid_id,
+    sub_id, was_split): flagged cells carry their members' sub-cell, the
+    rest sub_id 0 — the layout a serving probe reads as (centroid_id,
+    sub_id) nested partitions after the split materializes.
+
+    Why this beats a global retrain at 100 TB: the drift report says
+    WHICH cells degraded; re-clustering only those touches the flagged
+    fraction of the corpus (here 2 of 6 cells at the driver scale), and
+    every unflagged cell's partition — and any PQ codes or cached probes
+    over it — stays valid. A global retrain moves every centroid and
+    invalidates the entire layout for a problem localized to a few cells.
+
+    Scale shape: decision = the drift aggregate (|centroids| rows);
+    split = the flagged members re-ranked against 2·|flagged| broadcast
+    sub-seeds plus one decimal-exact mean over (cell, sub, dim) groups —
+    all changeset-fraction-sized; the unflagged corpus is never
+    reshuffled (left joins against centroid-count frames)."""
+    vecs = _vectors(spark, sf_dir)
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_add)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, sub_id int, was_split boolean"
+        )
+    cent = lloyd_centroids(base, auto_centroids(n_base))
+    assigned = (
+        _ranked_against(vecs, cent)
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "embedding", "centroid_id", "c_sim",
+            is_add.cast("int").alias("is_add"),
+        )
+        .persist()
+    )
+    assigned.count()  # decision + members + final stitch all read it
+    dsim = F.col("c_sim").cast("decimal(38,9)")
+    base_n = F.count(F.when(F.col("is_add") == 0, 1))
+    add_n = F.count(F.when(F.col("is_add") == 1, 1))
+    mean_of = lambda flag, cnt: F.when(  # noqa: E731 — the drift report's formula
+        cnt == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(F.sum(F.when(F.col("is_add") == flag, dsim)).cast("double") / cnt, 6)
+    )
+    rep = assigned.groupBy("centroid_id").agg(
+        base_n.alias("n_base"),
+        add_n.alias("n_added"),
+        F.round(mean_of(0, base_n) - mean_of(1, add_n), 6).alias("sim_gap"),
+    )
+    flagged = rep.filter(
+        F.coalesce(F.col("sim_gap") > RETRAIN_GAP_T, F.lit(False))
+        | (F.col("n_added") * (INCR_BATCH_MOD - 1) > RETRAIN_GROWTH_X * F.col("n_base"))
+    ).select("centroid_id")
+    members = assigned.join(F.broadcast(flagged), "centroid_id", "left_semi").select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    w_seed = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    sc0 = (
+        members.withColumn("srn", F.row_number().over(w_seed))
+        .filter(F.col("srn") <= 2)
+        .select(
+            "centroid_id",
+            (F.col("srn") - 1).cast("int").alias("sub_id"),
+            F.col("embedding").alias("s_emb"),
+        )
+    )
+    sim9 = F.round(cosine(F.col("embedding"), F.col("s_emb")), 9)
+    w_cell = Window.partitionBy("centroid_id", "vec_id").orderBy(
+        F.col("s_sim").desc(), F.col("sub_id")
+    )
+
+    def _argmax_sub(seed_frame: DataFrame) -> DataFrame:
+        return (
+            members.join(F.broadcast(seed_frame), "centroid_id")
+            .select("vec_id", "centroid_id", "embedding", "sub_id", sim9.alias("s_sim"))
+            .withColumn("rn", F.row_number().over(w_cell))
+            .filter(F.col("rn") == 1)
+        )
+
+    sa1 = _argmax_sub(sc0).select("vec_id", "centroid_id", "sub_id", "embedding")
+    sc1 = (
+        sa1.select("centroid_id", "sub_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("centroid_id", "sub_id", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count("*")).alias("m")
+        )
+        .groupBy("centroid_id", "sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("centroid_id", "sub_id", F.transform("pm", lambda s: s["m"]).alias("s_emb"))
+    )
+    split_final = _argmax_sub(sc1).select("vec_id", "centroid_id", "sub_id")
+    flagged_mark = flagged.withColumn("was_split", F.lit(True))
+    return (
+        assigned.join(F.broadcast(flagged_mark), "centroid_id", "left")
+        .join(split_final, ["vec_id", "centroid_id"], "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("sub_id"), F.lit(0)).cast("int").alias("sub_id"),
+            F.coalesce(F.col("was_split"), F.lit(False)).alias("was_split"),
+        )
+    )
+
+
 # --- Embedding/PQ quality metrics --------------------------------------------
 
 #: Outliers reported per label: the top-N vectors most distant from their
