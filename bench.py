@@ -147,6 +147,7 @@ COLD_KEYS = (
     "ann_ivf2_index_delete",
     "ann_autoprobe_topk",
     "ann_cell_split_retrain",
+    "ann_split_index_serve",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

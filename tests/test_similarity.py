@@ -778,3 +778,37 @@ def test_tau_sweep_monotone_and_reconciles_with_semantic_dedup(spark, sf_dir):
     assert pair_counts == sorted(pair_counts, reverse=True)
     assert doc_counts == sorted(doc_counts, reverse=True)
     assert pair_counts[0] == semantic_dedup(spark, sf_dir).count()
+
+
+def test_split_index_serve_prunes_both_levels_and_is_consistent(spark, sf_dir):
+    """Serving through the materialized split layout: (a) the probe's
+    filters land in PartitionFilters on BOTH partition columns
+    (centroid_id AND sub_id) — exactly one (cell, sub-cell) directory is
+    opened; (b) the served neighbors live in the probed cell per the
+    split assignment; (c) a split cell's probe reads a strict subset of
+    the cell (the read-side payoff)."""
+    import re
+
+    from vacancy_analyser_spark.plans.similarity import (
+        ann_cell_split_retrain,
+        ann_split_index_serve,
+    )
+
+    serve = ann_split_index_serve(spark, sf_dir)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid_id" in p and "sub_id" in p for p in pfs)
+
+    got = [r["vec_id"] for r in serve.collect()]
+    assert got
+    assign = {
+        r["vec_id"]: (r["centroid_id"], r["sub_id"], r["was_split"])
+        for r in ann_cell_split_retrain(spark, sf_dir).collect()
+    }
+    cells = {assign[v][:2] for v in got}
+    assert len(cells) == 1  # one (cell, sub-cell) directory served everything
+    (cell, sub), = cells
+    if assign[got[0]][2]:  # the probed cell was split
+        whole_cell = [v for v, (c, _s, _w) in assign.items() if c == cell]
+        sub_cell = [v for v, (c, s, _w) in assign.items() if c == cell and s == sub]
+        assert len(sub_cell) < len(whole_cell)

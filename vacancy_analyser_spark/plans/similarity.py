@@ -3423,10 +3423,11 @@ def ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_cell_split_retrain",
-    oracle=f"""
-        WITH vecs AS (
+#: The selective-split CTE chain (decision -> flagged -> per-cell 2-means
+#: -> split_final), shared verbatim by ann_cell_split_retrain and the
+#: materialized split-index serve oracle so the two cannot drift. Spliced
+#: as ``WITH {_SPLIT_CTES}``; exposes vecs/assigned/flagged/sc1/split_final.
+_SPLIT_CTES = f"""vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
         base AS (
@@ -3523,7 +3524,13 @@ def ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ) AS rn
                 FROM members m JOIN sc1 c ON m.centroid_id = c.centroid_id
             ) WHERE rn = 1
-        )
+        )"""
+
+
+@register(
+    "ann_cell_split_retrain",
+    oracle=f"""
+        WITH {_SPLIT_CTES}
         SELECT a.vec_id, a.centroid_id,
                CAST(COALESCE(sf.sub_id, 0) AS INT) AS sub_id,
                (fl.centroid_id IS NOT NULL) AS was_split
@@ -3558,14 +3565,38 @@ def ann_cell_split_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-seeds plus one decimal-exact mean over (cell, sub, dim) groups —
     all changeset-fraction-sized; the unflagged corpus is never
     reshuffled (left joins against centroid-count frames)."""
+    state = _split_state(spark, sf_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, sub_id int, was_split boolean"
+        )
+    _cent, assigned, flagged, _sc1, split_final = state
+    flagged_mark = flagged.withColumn("was_split", F.lit(True))
+    return (
+        assigned.join(F.broadcast(flagged_mark), "centroid_id", "left")
+        .join(split_final, ["vec_id", "centroid_id"], "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("sub_id"), F.lit(0)).cast("int").alias("sub_id"),
+            F.coalesce(F.col("was_split"), F.lit(False)).alias("was_split"),
+        )
+    )
+
+
+def _split_state(spark: SparkSession, sf_dir: str):
+    """The selective-split computation shared by ann_cell_split_retrain
+    and the materialized split-index build: (cent base-trained centroids,
+    assigned, flagged, sc1 refined sub-centroids, split_final
+    sub-assignment), or None on an empty corpus. ``assigned`` is
+    persisted (decision + members + the callers' stitches all read
+    it)."""
     vecs = _vectors(spark, sf_dir)
     is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
     base = vecs.filter(~is_add)
     n_base = base.count()
     if n_base == 0:
-        return spark.createDataFrame(
-            [], "vec_id bigint, centroid_id bigint, sub_id int, was_split boolean"
-        )
+        return None
     cent = lloyd_centroids(base, auto_centroids(n_base))
     assigned = (
         _ranked_against(vecs, cent)
@@ -3634,16 +3665,159 @@ def ann_cell_split_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("centroid_id", "sub_id", F.transform("pm", lambda s: s["m"]).alias("s_emb"))
     )
     split_final = _argmax_sub(sc1).select("vec_id", "centroid_id", "sub_id")
-    flagged_mark = flagged.withColumn("was_split", F.lit(True))
-    return (
-        assigned.join(F.broadcast(flagged_mark), "centroid_id", "left")
-        .join(split_final, ["vec_id", "centroid_id"], "left")
+    return cent, assigned, flagged, sc1, split_final
+
+
+def _split_index_path(sf_dir: str, k: int) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"split_lloyd1_c{k}"
+    )
+
+
+def split_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the post-split layout ann_cell_split_retrain computes:
+
+    - ``centroids/``: the base-trained coarse centroids (probe level 1);
+    - ``sub_centroids/``: the refined per-cell sub-centroids of the split
+      cells only (probe level 2 — empty-of-a-cell means the cell was
+      healthy and serves whole);
+    - ``vectors/``: every vector written partitionBy(centroid_id, sub_id)
+      — healthy cells land in sub_id=0, split cells in their sub-cell —
+      so a probe prunes to ONE (cell, sub-cell) directory.
+
+    Quantizer tables write FIRST (the codebook-first rationale)."""
+    import os
+
+    state = _split_state(spark, sf_dir)
+    if state is None:
+        raise ValueError("empty corpus: nothing to index")
+    cent, assigned, _flagged, sc1, split_final = state
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    sc1.write.mode("overwrite").parquet(os.path.join(path, "sub_centroids"))
+    post = (
+        assigned.join(split_final, ["vec_id", "centroid_id"], "left")
         .select(
             "vec_id",
+            "embedding",
             "centroid_id",
             F.coalesce(F.col("sub_id"), F.lit(0)).cast("int").alias("sub_id"),
-            F.coalesce(F.col("was_split"), F.lit(False)).alias("was_split"),
         )
+    )
+    post.write.partitionBy("centroid_id", "sub_id").mode("overwrite").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+@register(
+    "ann_split_index_serve",
+    oracle=f"""
+        WITH {_SPLIT_CTES},
+        q0 AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0),
+        cstar AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn = 1),
+        subrank AS (
+            SELECT c.sub_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY round(list_cosine_similarity(q0.q_emb, c.s_emb), 9) DESC,
+                                c.sub_id
+                   ) AS rn
+            FROM sc1 c JOIN cstar ON c.centroid_id = cstar.centroid_id
+            CROSS JOIN q0
+        ),
+        substar AS (
+            SELECT COALESCE((SELECT sub_id FROM subrank WHERE rn = 1), 0) AS sub_id
+        ),
+        post AS (
+            SELECT a.vec_id, a.centroid_id, COALESCE(sf.sub_id, 0) AS sub_id
+            FROM assigned a
+            LEFT JOIN split_final sf
+              ON a.vec_id = sf.vec_id AND a.centroid_id = sf.centroid_id
+        )
+        SELECT p.vec_id,
+               round(list_cosine_similarity(v.emb, q0.q_emb), 6) AS sim
+        FROM post p
+        JOIN vecs v ON p.vec_id = v.vec_id
+        CROSS JOIN q0 CROSS JOIN cstar CROSS JOIN substar
+        WHERE p.centroid_id = cstar.centroid_id
+          AND p.sub_id = substar.sub_id
+          AND p.vec_id <> 0
+        ORDER BY sim DESC, p.vec_id
+        LIMIT {IVF_K}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_split_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving THROUGH the split (the round's lifecycle, closed at the
+    probe): split_build_index materializes ann_cell_split_retrain's
+    layout — vectors partitioned by (centroid_id, sub_id), the base
+    centroids and the split cells' refined sub-centroids stored beside
+    them — and the probe cascades: rank the query against the stored
+    coarse table, then (iff its cell was split) against that cell's two
+    stored sub-centroids, then read exactly ONE (cell, sub-cell)
+    directory via planning-time pruning on BOTH partition columns. A
+    split cell therefore costs a probe HALF the bucket it used to scan
+    — the read-side payoff the split exists to buy — while healthy
+    cells serve whole, unchanged.
+
+    Train-free serving like every *_index_serve key: the probe touches
+    centroid-count tables plus one pruned directory; the oracle replays
+    the full split chain and states the served result equals the
+    in-memory cascade exactly."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame([], "vec_id bigint, sim double")
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    k = auto_centroids(vecs.filter(~is_add).count())
+    path = _split_index_path(sf_dir, k)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    from ..io import materialization_is_fresh
+
+    if not all(
+        materialization_is_fresh(os.path.join(path, d), src)
+        for d in ("vectors", "centroids", "sub_centroids")
+    ):
+        split_build_index(spark, sf_dir, path)
+    q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    if q_row is None:
+        return spark.createDataFrame([], "vec_id bigint, sim double")
+    q_emb = list(q_row[0])
+    q_frame = vecs.filter(F.col("vec_id") == 0)
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    c_star = (
+        _ranked_against(q_frame, cent_r)
+        .filter(F.col("rn") <= 1)
+        .select("centroid_id")
+        .collect()[0]["centroid_id"]
+    )
+    # level 2: only the probed cell's sub-centroids are read (two rows at
+    # most — a split cell has exactly two sub-cells, a healthy cell none)
+    sub_r = spark.read.parquet(os.path.join(path, "sub_centroids")).filter(
+        F.col("centroid_id") == c_star
+    )
+    sub_rows = (
+        _ranked_against(
+            q_frame,
+            sub_r.select(F.col("sub_id").alias("centroid_id"), F.col("s_emb").alias("c_emb")),
+        )
+        .filter(F.col("rn") <= 1)
+        .select("centroid_id")
+        .collect()
+    )
+    s_star = sub_rows[0]["centroid_id"] if sub_rows else 0
+    idx = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        (F.col("centroid_id") == c_star) & (F.col("sub_id") == s_star)
+    )
+    q = F.array(*[F.lit(float(x)) for x in q_emb])
+    sim = F.round(cosine(F.col("embedding").cast("array<double>"), q), 6)
+    return (
+        idx.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(IVF_K)
     )
 
 
