@@ -1,0 +1,96 @@
+"""id→centroid lookup beside the IVF index (operators/ann_lookup.py): the
+locate step of deletion as a bucket-pruned point read instead of an index
+scan, maintained partition-scoped through adds and deletes."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.operators.ann_lookup import (
+    build_lookup,
+    locate,
+    refresh_lookup_buckets,
+)
+from vacancy_analyser_spark.plans.similarity import (
+    _vectors,
+    auto_centroids,
+    ivf_build_index_frame,
+    ivf_index_delete,
+    ivf_index_incremental_add,
+)
+
+
+def _scan_locate(spark, path, id_set):
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return {
+        (r["vec_id"], r["centroid_id"])
+        for r in idx.select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")).collect()
+        if r["vec_id"] in id_set
+    }
+
+
+def test_locate_matches_scan_and_prunes_buckets(spark, sf_dir, tmp_path):
+    vecs = _vectors(spark, sf_dir)
+    path = str(tmp_path / "ivf_lk")
+    ivf_build_index_frame(vecs, path, n_centroids=auto_centroids(vecs.count()))
+    build_lookup(spark, path)
+
+    ids = vecs.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 5).select("vec_id")
+    id_set = {r["vec_id"] for r in ids.collect()}
+    got_df = locate(spark, path, ids)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in p for p in pfs)  # bucket pruning is planning-time
+    got = {(r["vec_id"], r["centroid_id"]) for r in got_df.collect()}
+    assert got == _scan_locate(spark, path, id_set)
+
+
+def test_refresh_tracks_add_and_delete_changesets(spark, sf_dir, tmp_path):
+    """After an add and a delete, refreshing ONLY the changed ids' buckets
+    brings the lookup back to scan truth; buckets no id of which changed
+    stay byte-identical on disk."""
+    import hashlib
+
+    vecs = _vectors(spark, sf_dir)
+    part = F.pmod(F.col("vec_id"), F.lit(8))
+    base = vecs.filter(part != 7)
+    batch = vecs.filter(part == 7)
+    path = str(tmp_path / "ivf_lk2")
+    ivf_build_index_frame(base, path, n_centroids=auto_centroids(base.count()))
+    lookup_dir = build_lookup(spark, path)
+
+    def _digests():
+        out = {}
+        for root, _d, files in os.walk(lookup_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, lookup_dir)] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = _digests()
+    ivf_index_incremental_add(spark, path, batch)
+    dels = base.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 4).select("vec_id")
+    ivf_index_delete(spark, path, dels)
+    changed = batch.select("vec_id").union(dels)
+    refreshed = refresh_lookup_buckets(spark, path, changed)
+    assert refreshed
+
+    all_ids = {r["vec_id"] for r in vecs.select("vec_id").collect()}
+    want = _scan_locate(spark, path, all_ids)
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(lookup_dir).select("vec_id", "centroid_id").collect()
+    }
+    assert got == want  # lookup == scan truth after partition-scoped refresh
+
+    after = _digests()
+    refreshed_prefixes = tuple(f"bucket={b}" for b in refreshed)
+    for rel, meta in before.items():
+        if not rel.startswith(refreshed_prefixes):
+            assert after.get(rel) == meta, f"untouched bucket changed: {rel}"
