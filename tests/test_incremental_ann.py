@@ -316,3 +316,103 @@ def test_index_delete_sweeps_fully_emptied_partition(spark, tmp_path):
     assert not os.path.exists(os.path.join(vectors, f"centroid_id={victim_cent}"))
     left = {r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()}
     assert left == set().union(*(s for c, s in by_cent.items() if c != victim_cent))
+
+
+def test_index_delete_sweeps_through_scheme_qualified_path(spark, tmp_path):
+    """The empty-partition sweep must run through the Hadoop FileSystem
+    API, not os.path/shutil: the index lives wherever its path string
+    points (HDFS/S3A/file:). A ``file:``-scheme URI is the portable proxy
+    the test environment can exercise — a POSIX sweep would try to stat a
+    literal './file:/...' path and either raise or silently leave the
+    dead partition serving."""
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(6)] + [
+        (10 + i, [0.0, 1.0, float(i % 3) * 0.01]) for i in range(3)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = tmp_path / "ivf_sweep_uri"
+    path = f"file:{local}"
+    ivf_build_index_frame(vecs, path, n_centroids=2)
+    by_cent: dict = {}
+    vectors_uri = f"{path}/vectors"
+    for r in spark.read.parquet(vectors_uri).select("vec_id", "centroid_id").collect():
+        by_cent.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+    victim_cent, victim_ids = next(iter(sorted(by_cent.items())))
+    dels = spark.createDataFrame([(v,) for v in victim_ids], "vec_id long")
+    touched = ivf_index_delete(spark, path, dels)
+    assert victim_cent in touched
+    # verified on the real local directory behind the URI
+    assert not (local / "vectors" / f"centroid_id={victim_cent}").exists()
+    left = {r["vec_id"] for r in spark.read.parquet(vectors_uri).select("vec_id").collect()}
+    assert left == set().union(*(s for c, s in by_cent.items() if c != victim_cent))
+
+
+def test_nested_delete_prunes_empty_parents_via_uri(spark, tmp_path):
+    """Two-level layout through a file:-scheme URI: sweeping the last leaf
+    under a coarse_id parent must also remove the hollow parent directory,
+    all through the Hadoop FS API."""
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    rows = [
+        (1, 0, 10, [1.0, 0.0]),
+        (2, 0, 10, [1.0, 0.1]),
+        (3, 1, 20, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, coarse_id int, centroid_id int, embedding array<double>"
+    )
+    local = tmp_path / "ivf2_sweep_uri"
+    path = f"file:{local}"
+    df.write.partitionBy("coarse_id", "centroid_id").parquet(f"{path}/vectors")
+    dels = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    touched = ivf_index_delete(
+        spark, path, dels, partition_cols=("coarse_id", "centroid_id")
+    )
+    assert touched == [(0, 10)]
+    assert not (local / "vectors" / "coarse_id=0").exists()
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/vectors").select("vec_id").collect()
+    }
+    assert left == {3}
+
+
+def test_lookup_refresh_sweeps_through_scheme_qualified_path(spark, tmp_path):
+    """refresh_lookup_buckets' emptied-bucket sweep must work against a
+    scheme-qualified index path too (same substrate contract as the
+    vectors sweep)."""
+    from vacancy_analyser_spark.operators.ann_lookup import (
+        N_LOOKUP_BUCKETS,
+        build_lookup,
+        refresh_lookup_buckets,
+    )
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(6)] + [
+        (10 + i, [0.0, 1.0, float(i % 3) * 0.01]) for i in range(3)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    local = tmp_path / "ivf_lookup_uri"
+    path = f"file:{local}"
+    ivf_build_index_frame(vecs, path, n_centroids=2)
+    build_lookup(spark, path)
+    # delete one full cluster; any lookup bucket ONLY its ids hash into
+    # must be swept from disk, shared buckets must survive
+    bucket_expr = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_LOOKUP_BUCKETS))
+    dels = vecs.filter(F.col("vec_id") < 10).select("vec_id")
+    del_buckets = {r[0] for r in dels.select(bucket_expr).distinct().collect()}
+    keep_buckets = {
+        r[0]
+        for r in vecs.filter(F.col("vec_id") >= 10)
+        .select(bucket_expr)
+        .distinct()
+        .collect()
+    }
+    assert del_buckets - keep_buckets, "fixture must empty at least one bucket"
+    ivf_index_delete(spark, path, dels)
+    refreshed = refresh_lookup_buckets(spark, path, dels)
+    assert set(refreshed) == del_buckets
+    lookup_local = local / "lookup"
+    for b in del_buckets:
+        assert (lookup_local / f"bucket={b}").exists() == (b in keep_buckets)

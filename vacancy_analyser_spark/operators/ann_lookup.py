@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsutil
+
 #: Bucket count for the lookup layout: enough that a batch of takedown ids
 #: touches a small fraction of buckets, few enough that tiny corpora don't
 #: fragment into empty directories.
@@ -107,8 +109,6 @@ def refresh_lookup_buckets(
         .filter(F.col("bucket").isin(buckets))
         .localCheckpoint(eager=True)
     )
-    import shutil
-
     lookup_dir = os.path.join(index_path, "lookup")
     fresh_buckets = {
         r["bucket"] for r in fresh.select("bucket").distinct().collect()
@@ -122,9 +122,7 @@ def refresh_lookup_buckets(
         if b in fresh_buckets:
             continue
         # every id in this bucket left the index — sweep the dead directory
-        dead = os.path.join(lookup_dir, f"bucket={b}")
-        if os.path.isdir(dead):
-            shutil.rmtree(dead)
-            if os.path.exists(dead):  # pragma: no cover — fs contract violated
-                raise IOError(f"failed to remove emptied lookup bucket {dead}")
+        # through the Hadoop FS API (the lookup lives beside the index,
+        # wherever index_path points: HDFS/S3A/file:)
+        fsutil.delete_dir(spark, f"{lookup_dir}/bucket={b}", if_exists=True)
     return buckets

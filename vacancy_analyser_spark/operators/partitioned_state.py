@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsutil
+
 BUCKET_COL = "id_bucket"
 N_STATE_BUCKETS = 32
 
@@ -144,30 +146,15 @@ def merge_changeset_partitioned(
 
 
 def _bucket_dirs_remain(spark: SparkSession, path: str) -> bool:
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return False
     return any(
-        st.getPath().getName().startswith(f"{BUCKET_COL}=")
-        for st in fs.listStatus(p)
+        name.startswith(f"{BUCKET_COL}=") for name in fsutil.child_names(spark, path)
     )
 
 
 def _delete_bucket_dirs(spark: SparkSession, path: str, buckets: list[int]) -> None:
     """Remove ``<path>/id_bucket=<b>`` for each emptied bucket via the
-    Hadoop FileSystem API (works for local paths and object stores alike).
-    A delete that returns False with the directory still present raises:
-    silently keeping the files means deleted rows resurrect on the next
-    read, which is corruption, not a warning."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    shared Hadoop FileSystem sweep (operators/fsutil.py — works for local
+    paths and object stores alike, raises rather than silently keeping
+    files whose rows would resurrect on the next read)."""
     for b in buckets:
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}={b}")
-        fs = p.getFileSystem(hconf)
-        if not fs.delete(p, True) and fs.exists(p):
-            raise IOError(
-                f"emptied-bucket sweep failed to delete {path}/{BUCKET_COL}={b}; "
-                "deleted rows would resurrect on the next read"
-            )
+        fsutil.delete_dir(spark, f"{path}/{BUCKET_COL}={b}")

@@ -761,6 +761,13 @@ def ivf_index_incremental_add(
     return touched
 
 
+#: Largest takedown batch the delete path will broadcast: 1M bigint ids is
+#: ~8 MB of payload (tens of MB as an in-memory hashed relation) — safely
+#: under executor broadcast budgets. Bigger batches fall back to a shuffled
+#: join, which is the right plan for them anyway.
+DELETE_BROADCAST_MAX_IDS = 1_000_000
+
+
 def ivf_index_delete(
     spark: SparkSession,
     path: str,
@@ -773,11 +780,15 @@ def ivf_index_delete(
     rebuild per deletion request is exactly the cost model adds were
     built to avoid). Partition-scoped like the add:
 
-    - LOCATE: one column-pruned scan semi-joined against the (broadcast)
-      id list finds which centroid partitions hold victims — the only
-      full-index read, and it reads two columns. An id→centroid lookup
-      table would remove even that at true scale; the probe-side layout
-      already supports it (the assignment IS that table).
+    - LOCATE: one column-pruned scan semi-joined against the id list
+      finds which centroid partitions hold victims — the only full-index
+      read, and it reads two columns. The id list is broadcast only while
+      it is provably small (a bounded limit+count probe, not an assumed
+      hint): takedown batches from start_ann_delete_stream are unbounded,
+      and an oversized forced broadcast is a driver OOM. An id→centroid
+      lookup table would remove even that scan at true scale; the
+      probe-side layout already supports it (the assignment IS that
+      table).
     - REWRITE: only the touched partitions are rewritten (per-write
       dynamic partitionOverwriteMode — untouched partitions stay
       byte-identical, tested), from a changeset-sized localCheckpoint
@@ -785,9 +796,11 @@ def ivf_index_delete(
       add uses for its read-then-append).
     - SWEEP: a partition whose EVERY row was deleted produces no output
       under dynamic overwrite and would silently keep serving its dead
-      rows — those directories are removed explicitly, raising on a
-      failed delete (the partitioned_state sweep discipline,
-      operators/partitioned_state.py).
+      rows — those directories are removed explicitly through the Hadoop
+      FileSystem API (operators/fsutil.py — the index lives wherever
+      ``path`` points, HDFS/S3A/file:, so a POSIX sweep is the wrong
+      substrate), raising on a failed delete (the partitioned_state
+      sweep discipline).
 
     Centroids stay FROZEN through deletes (same invariant as the add:
     the index's identity is its trained centroids; deletions thin cells,
@@ -800,11 +813,17 @@ def ivf_index_delete(
     centroid ids (key tuples for multi-column layouts)."""
     import functools as ft
     import os
-    import shutil
+
+    from ..operators import fsutil
 
     vec_dir = os.path.join(path, "vectors")
     idx = spark.read.parquet(vec_dir)
-    victims = idx.join(F.broadcast(delete_ids), "vec_id", "left_semi")
+    # Broadcast the id list only when a bounded probe proves it small:
+    # limit(N+1).count() scans at most N+1 rows, so the probe's cost is
+    # capped regardless of how large a takedown batch arrives.
+    if delete_ids.limit(DELETE_BROADCAST_MAX_IDS + 1).count() <= DELETE_BROADCAST_MAX_IDS:
+        delete_ids = F.broadcast(delete_ids)
+    victims = idx.join(delete_ids, "vec_id", "left_semi")
     touched = sorted(
         tuple(r[c] for c in partition_cols)
         for r in victims.select(*partition_cols).distinct().collect()
@@ -833,7 +852,7 @@ def ivf_index_delete(
     # delete implementation serves every partitioned index layout
     remaining = (
         idx.filter(_keys_filter(touched))
-        .join(F.broadcast(delete_ids), "vec_id", "left_anti")
+        .join(delete_ids, "vec_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     survivors = {
@@ -849,22 +868,13 @@ def ivf_index_delete(
     for key in touched:
         if key in survivors:
             continue
-        dead = os.path.join(
-            vec_dir, *(f"{c}={v}" for c, v in zip(partition_cols, key))
+        dead = "/".join(
+            [vec_dir, *(f"{c}={v}" for c, v in zip(partition_cols, key))]
         )
-        shutil.rmtree(dead)
-        if os.path.exists(dead):  # pragma: no cover — fs contract violated
-            raise IOError(f"failed to remove fully-deleted partition {dead}")
+        fsutil.delete_dir(spark, dead)
         # a nested layout can leave an empty parent tree behind a swept
         # leaf — prune upward so listings never show hollow directories
-        parent = os.path.dirname(dead)
-        while (
-            os.path.realpath(parent) != os.path.realpath(vec_dir)
-            and os.path.isdir(parent)
-            and not os.listdir(parent)
-        ):
-            os.rmdir(parent)
-            parent = os.path.dirname(parent)
+        fsutil.prune_empty_parents(spark, dead, vec_dir)
     if len(partition_cols) == 1:
         return [k[0] for k in touched]
     return touched
