@@ -84,6 +84,18 @@ def locate(spark: SparkSession, index_path: str, ids: DataFrame) -> DataFrame:
     )
 
 
+def compact_lookup(spark: SparkSession, index_path: str) -> list[dict]:
+    """Consolidate small files the bucket refreshes accumulate — the
+    lookup is rewritten bucket-wise on every add/delete, so a streaming
+    deployment fragments it exactly like the vectors table. Same shared
+    compaction op, keyed on the lookup's bucket column."""
+    from .compaction import compact_partitions
+
+    return compact_partitions(
+        spark, os.path.join(index_path, "lookup"), ("bucket",)
+    )
+
+
 def refresh_lookup_buckets(
     spark: SparkSession, index_path: str, changed_ids: DataFrame
 ) -> list[int]:

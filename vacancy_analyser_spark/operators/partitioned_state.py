@@ -145,6 +145,16 @@ def merge_changeset_partitioned(
     return buckets
 
 
+def compact_state(spark: SparkSession, path: str) -> list[dict]:
+    """Consolidate small files repeated bucket-scoped merges accumulate
+    in the state store (each merge dynamic-overwrites its touched buckets
+    with however many tasks held rows). Shared compaction op, keyed on
+    the state bucket column."""
+    from .compaction import compact_partitions
+
+    return compact_partitions(spark, path, (BUCKET_COL,))
+
+
 def _bucket_dirs_remain(spark: SparkSession, path: str) -> bool:
     return any(
         name.startswith(f"{BUCKET_COL}=") for name in fsutil.child_names(spark, path)

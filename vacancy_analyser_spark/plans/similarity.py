@@ -1311,6 +1311,78 @@ def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_index_compact",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        )
+        SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third index lifecycle op, driver-checked end to end: build the
+    IVF index from the base slice (vec_id ≢ 7 mod 8), fragment it with
+    TWO incremental adds (the batch split mod 16 → every touched centroid
+    partition gains two append files on top of the build's), then run
+    compact_partitions (operators/compaction.py) — fragmented partitions
+    are rewritten into right-sized files (maxRecordsPerFile=50000,
+    reference parity feeder_hadoop.py:20), healthy ones stay
+    byte-identical (asserted in tests/test_compaction.py, along with the
+    file-census shrink the oracle can't see).
+
+    The returned frame is the post-compact index read back from disk; the
+    oracle is the SAME full-rebuild-equivalence statement as the add key —
+    compaction must be a pure physical reorganization, changing file
+    boundaries and nothing else. A compact that dropped or duplicated one
+    row hash-mismatches here.
+
+    Idempotent per sf_dir via the usual freshness + completion marker."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_batch)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+    k = auto_centroids(n_base)
+    path = os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"compact_lloyd1_c{k}"
+    )
+    marker = os.path.join(path, "_COMPACT_SUCCESS")
+    if not (_ivf_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
+        from ..operators.compaction import compact_partitions
+
+        ivf_build_index_frame(base, path, n_centroids=k)
+        half = F.pmod(F.col("vec_id"), F.lit(2 * INCR_BATCH_MOD))
+        batch = vecs.filter(is_batch)
+        ivf_index_incremental_add(spark, path, batch.filter(half == INCR_BATCH_MOD - 1))
+        ivf_index_incremental_add(
+            spark, path, batch.filter(half == 2 * INCR_BATCH_MOD - 1)
+        )
+        compact_partitions(spark, os.path.join(path, "vectors"))
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
+    )
+
+
 @register("ann_ivf_topk_nprobe2", oracle=_ivf_oracle(2), tags=("ext-sim",))
 def ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall/cost trade-off's tuning knob, driver-checked at width 2:
