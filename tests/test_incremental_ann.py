@@ -416,3 +416,104 @@ def test_lookup_refresh_sweeps_through_scheme_qualified_path(spark, tmp_path):
     lookup_local = local / "lookup"
     for b in del_buckets:
         assert (lookup_local / f"bucket={b}").exists() == (b in keep_buckets)
+
+
+def _mk_split_layout(spark, path):
+    """Hand-built split layout: cell 0 is split (two sub-centroids),
+    cell 1 is healthy (no sub_centroids rows, vectors in sub_id=0)."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, c_emb array<double>"
+    )
+    subs = spark.createDataFrame(
+        [(0, 0, [0.9, 0.3]), (0, 1, [0.9, -0.3])],
+        "centroid_id int, sub_id int, s_emb array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.2], 0, 0),
+            (2, [1.0, -0.2], 0, 1),
+            (3, [0.1, 1.0], 1, 0),
+        ],
+        "vec_id long, embedding array<double>, centroid_id int, sub_id int",
+    )
+    cents.write.parquet(os.path.join(path, "centroids"))
+    subs.write.parquet(os.path.join(path, "sub_centroids"))
+    vecs.write.partitionBy("centroid_id", "sub_id").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def test_split_add_two_stage_assignment_and_byte_identity(spark, tmp_path):
+    """split_index_incremental_add assigns through BOTH frozen quantizer
+    levels (split cell → its nearest sub-cell, healthy cell → sub_id=0)
+    and appends only into touched (centroid_id, sub_id) partitions."""
+    from vacancy_analyser_spark.plans.similarity import split_index_incremental_add
+
+    path = str(tmp_path / "split_idx")
+    _mk_split_layout(spark, path)
+    vectors = os.path.join(path, "vectors")
+    before = _file_census(vectors)
+
+    batch = spark.createDataFrame(
+        [(100, [1.0, 0.25])], "vec_id long, embedding array<double>"
+    )
+    touched = split_index_incremental_add(spark, path, batch)
+    assert touched == [(0, 0)]
+
+    after = _file_census(vectors)
+    for rel, meta in before.items():
+        if not rel.startswith(os.path.join("centroid_id=0", "sub_id=0")):
+            assert after.get(rel) == meta, f"untouched file changed: {rel}"
+    got = {
+        (r["vec_id"], r["centroid_id"], r["sub_id"])
+        for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "sub_id")
+        .collect()
+    }
+    assert (100, 0, 0) in got and len(got) == 4
+
+    # healthy-cell batch lands in sub_id=0; opposite sub-cell reachable
+    touched = split_index_incremental_add(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(101, [0.0, 0.9]), (102, [1.0, -0.25])],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    assert touched == [(0, 1), (1, 0)]
+
+
+def test_split_add_skip_existing_is_idempotent(spark, tmp_path):
+    from vacancy_analyser_spark.plans.similarity import split_index_incremental_add
+
+    path = str(tmp_path / "split_idx2")
+    _mk_split_layout(spark, path)
+    vectors = os.path.join(path, "vectors")
+    batch = spark.createDataFrame(
+        [(100, [1.0, 0.25])], "vec_id long, embedding array<double>"
+    )
+    split_index_incremental_add(spark, path, batch, skip_existing=True)
+    n_1 = spark.read.parquet(vectors).count()
+    split_index_incremental_add(spark, path, batch, skip_existing=True)
+    assert spark.read.parquet(vectors).count() == n_1
+
+
+def test_split_layout_delete_sweeps_emptied_sub_leaf(spark, tmp_path):
+    """The generic delete on partition_cols=(centroid_id, sub_id): empty
+    a sub-leaf → its directory is swept; the parent cell dir survives
+    while its other sub-leaf has rows."""
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    path = str(tmp_path / "split_idx3")
+    _mk_split_layout(spark, path)
+    vectors = os.path.join(path, "vectors")
+    dels = spark.createDataFrame([(2,)], "vec_id long")
+    touched = ivf_index_delete(
+        spark, path, dels, partition_cols=("centroid_id", "sub_id")
+    )
+    assert touched == [(0, 1)]
+    assert not os.path.exists(os.path.join(vectors, "centroid_id=0", "sub_id=1"))
+    assert os.path.exists(os.path.join(vectors, "centroid_id=0", "sub_id=0"))
+    left = {r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()}
+    assert left == {1, 3}

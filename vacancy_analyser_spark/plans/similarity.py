@@ -3505,12 +3505,20 @@ def ann_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: The selective-split CTE chain (decision -> flagged -> per-cell 2-means
-#: -> split_final), shared verbatim by ann_cell_split_retrain and the
-#: materialized split-index serve oracle so the two cannot drift. Spliced
-#: as ``WITH {_SPLIT_CTES}``; exposes vecs/assigned/flagged/sc1/split_final.
-_SPLIT_CTES = f"""vecs AS (
+def _split_ctes(where: str = "TRUE") -> str:
+    """The selective-split CTE chain (decision -> flagged -> per-cell
+    2-means -> split_final), shared verbatim by ann_cell_split_retrain,
+    the materialized split-index serve oracle, and the split-layout
+    add/delete oracles so none can drift. Spliced as
+    ``WITH {_split_ctes()}``; exposes vecs0 (the UNFILTERED corpus, for
+    callers that hold a slice out of the build) plus
+    vecs/assigned/flagged/sc1/split_final over the ``where``-filtered
+    corpus."""
+    return f"""vecs0 AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        vecs AS (
+            SELECT vec_id, emb FROM vecs0 WHERE {where}
         ),
         base AS (
             SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
@@ -3612,7 +3620,7 @@ _SPLIT_CTES = f"""vecs AS (
 @register(
     "ann_cell_split_retrain",
     oracle=f"""
-        WITH {_SPLIT_CTES}
+        WITH {_split_ctes()}
         SELECT a.vec_id, a.centroid_id,
                CAST(COALESCE(sf.sub_id, 0) AS INT) AS sub_id,
                (fl.centroid_id IS NOT NULL) AS was_split
@@ -3666,14 +3674,18 @@ def ann_cell_split_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _split_state(spark: SparkSession, sf_dir: str):
+def _split_state(spark: SparkSession, sf_dir: str, vec_pred=None):
     """The selective-split computation shared by ann_cell_split_retrain
     and the materialized split-index build: (cent base-trained centroids,
     assigned, flagged, sc1 refined sub-centroids, split_final
     sub-assignment), or None on an empty corpus. ``assigned`` is
     persisted (decision + members + the callers' stitches all read
-    it)."""
+    it). ``vec_pred`` (a Column predicate) restricts the corpus the
+    state is computed over — the split-layout add key holds a slice out
+    of the build this way (oracle twin: _split_ctes(where=...))."""
     vecs = _vectors(spark, sf_dir)
+    if vec_pred is not None:
+        vecs = vecs.filter(vec_pred)
     is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
     base = vecs.filter(~is_add)
     n_base = base.count()
@@ -3758,7 +3770,7 @@ def _split_index_path(sf_dir: str, k: int) -> str:
     )
 
 
-def split_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def split_build_index(spark: SparkSession, sf_dir: str, path: str, vec_pred=None) -> None:
     """Materialize the post-split layout ann_cell_split_retrain computes:
 
     - ``centroids/``: the base-trained coarse centroids (probe level 1);
@@ -3769,10 +3781,11 @@ def split_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
       — healthy cells land in sub_id=0, split cells in their sub-cell —
       so a probe prunes to ONE (cell, sub-cell) directory.
 
-    Quantizer tables write FIRST (the codebook-first rationale)."""
+    Quantizer tables write FIRST (the codebook-first rationale).
+    ``vec_pred`` restricts the indexed corpus (see _split_state)."""
     import os
 
-    state = _split_state(spark, sf_dir)
+    state = _split_state(spark, sf_dir, vec_pred)
     if state is None:
         raise ValueError("empty corpus: nothing to index")
     cent, assigned, _flagged, sc1, split_final = state
@@ -3795,7 +3808,7 @@ def split_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 @register(
     "ann_split_index_serve",
     oracle=f"""
-        WITH {_SPLIT_CTES},
+        WITH {_split_ctes()},
         q0 AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0),
         cstar AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn = 1),
         subrank AS (
@@ -3900,6 +3913,248 @@ def ann_split_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(IVF_K)
+    )
+
+
+def split_index_incremental_add(
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+) -> list[tuple]:
+    """Fold an arriving embedding batch into the materialized SPLIT
+    layout — the add path ann_cell_split_retrain's output was missing
+    (without it the split index is build-once/serve-only and every batch
+    after a split forces a rebuild). Two-stage assignment against BOTH
+    stored frozen quantizer levels:
+
+    - stage 1: nearest stored coarse centroid (``centroids/`` — same
+      frozen-quantizer invariant as every add here);
+    - stage 2: iff that cell was split (has rows in ``sub_centroids/``),
+      nearest of its two stored sub-centroids — tie-broken exactly like
+      the serve cascade (s_sim desc, sub_id); healthy cells take
+      sub_id=0.
+
+    The assigned batch APPENDS into ``vectors/`` partitioned by
+    (centroid_id, sub_id): only partitions receiving batch rows gain
+    files, everything else stays byte-identical (tested), and the job
+    shuffles the BATCH, never the index. ``skip_existing`` replays
+    idempotently by anti-joining the touched partitions' vec_ids (the
+    foreachBatch retry contract, same as the flat add). Returns the
+    touched (centroid_id, sub_id) keys."""
+    import os
+
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    sub_r = spark.read.parquet(os.path.join(path, "sub_centroids"))
+    a1 = (
+        _ranked_against(batch, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    s_sim = F.round(cosine(F.col("embedding"), F.col("s_emb")), 9)
+    w_vec = Window.partitionBy("vec_id").orderBy(
+        F.col("s_sim").desc_nulls_last(), F.col("sub_id")
+    )
+    assigned = (
+        a1.join(F.broadcast(sub_r), "centroid_id", "left")
+        .select("vec_id", "embedding", "centroid_id", "sub_id", s_sim.alias("s_sim"))
+        .withColumn("rn2", F.row_number().over(w_vec))
+        .filter(F.col("rn2") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.coalesce(F.col("sub_id"), F.lit(0)).cast("int").alias("sub_id"),
+        )
+        .localCheckpoint(eager=True)  # one assignment job feeds every use below
+    )
+    touched = sorted(
+        (r["centroid_id"], r["sub_id"])
+        for r in assigned.select("centroid_id", "sub_id").distinct().collect()
+    )
+    if skip_existing and touched:
+        from ..operators.compaction import keys_filter
+
+        existing = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(keys_filter(("centroid_id", "sub_id"), touched))
+            .select("vec_id")
+        )
+        assigned = assigned.join(existing, "vec_id", "left_anti")
+    assigned.write.mode("append").partitionBy("centroid_id", "sub_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    return touched
+
+
+#: The split-add key's holdout slice: vec_id ≡ 11 (mod 16) — disjoint
+#: from the split state's internal base/add classes (7, 15 mod 16) and
+#: from the delete keys' takedown class (5 mod 16).
+SPLIT_ADD_MOD = 16
+SPLIT_ADD_REM = 11
+
+#: Two-stage batch assignment against the frozen split quantizers — the
+#: SQL twin of split_index_incremental_add, spliced after _split_ctes().
+_SPLIT_BATCH_ASSIGN_SQL = f"""
+        b1 AS (
+            SELECT vec_id, emb, centroid_id FROM (
+                SELECT v.vec_id, v.emb, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                    c.centroid_id
+                       ) AS rn
+                FROM vecs0 v CROSS JOIN c1 c
+                WHERE v.vec_id % {SPLIT_ADD_MOD} = {SPLIT_ADD_REM}
+            ) WHERE rn = 1
+        ),
+        b2 AS (
+            SELECT vec_id, sub_id FROM (
+                SELECT b.vec_id, s.sub_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY round(list_cosine_similarity(b.emb, s.s_emb), 9) DESC,
+                                    s.sub_id
+                       ) AS rn
+                FROM b1 b JOIN sc1 s ON b.centroid_id = s.centroid_id
+            ) WHERE rn = 1
+        ),
+        badd AS (
+            SELECT b.vec_id, b.centroid_id,
+                   CAST(COALESCE(b2.sub_id, 0) AS BIGINT) AS sub_id
+            FROM b1 b LEFT JOIN b2 ON b.vec_id = b2.vec_id
+        ),
+        post AS (
+            SELECT a.vec_id, a.centroid_id,
+                   CAST(COALESCE(sf.sub_id, 0) AS BIGINT) AS sub_id
+            FROM assigned a
+            LEFT JOIN split_final sf
+              ON a.vec_id = sf.vec_id AND a.centroid_id = sf.centroid_id
+        )"""
+
+
+@register(
+    "ann_split_incremental_add",
+    oracle=f"""
+        WITH {_split_ctes(where=f"vec_id % {SPLIT_ADD_MOD} <> {SPLIT_ADD_REM}")},
+        {_SPLIT_BATCH_ASSIGN_SQL}
+        SELECT vec_id, centroid_id, sub_id FROM post
+        UNION ALL
+        SELECT vec_id, centroid_id, sub_id FROM badd
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_split_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental add ON THE SPLIT LAYOUT, driver-checked end to end:
+    build the split index holding out vec_id ≡ 11 (mod 16), then fold
+    the holdout in via split_index_incremental_add — two-stage
+    assignment against the stored frozen coarse + sub-centroid tables,
+    partition-scoped append into (centroid_id, sub_id) directories.
+
+    The returned frame is the post-add index read back from disk; the
+    oracle replays the held-out build's split chain and states the add
+    equals the standing layout UNION the batch's two-stage assignment
+    against those frozen quantizers — the rebuild-equivalence property,
+    now on the richest layout (it holds only because BOTH quantizer
+    levels freeze through adds)."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    hold = F.pmod(F.col("vec_id"), F.lit(SPLIT_ADD_MOD)) == SPLIT_ADD_REM
+    standing = vecs.filter(~hold)
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    n_base = standing.filter(~is_add).count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, sub_id bigint"
+        )
+    k = auto_centroids(n_base)
+    path = os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"splitincr_lloyd1_c{k}"
+    )
+    marker = os.path.join(path, "_INCR_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    from ..io import materialization_is_fresh
+
+    if not (
+        all(
+            materialization_is_fresh(os.path.join(path, d), src)
+            for d in ("vectors", "centroids", "sub_centroids")
+        )
+        and _incr_marker_fresh(marker, sf_dir)
+    ):
+        split_build_index(spark, sf_dir, path, vec_pred=~hold)
+        split_index_incremental_add(spark, path, vecs.filter(hold))
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("sub_id").cast("bigint").alias("sub_id"),
+    )
+
+
+@register(
+    "ann_split_index_delete",
+    oracle=f"""
+        WITH {_split_ctes()},
+        post AS (
+            SELECT a.vec_id, a.centroid_id,
+                   CAST(COALESCE(sf.sub_id, 0) AS BIGINT) AS sub_id
+            FROM assigned a
+            LEFT JOIN split_final sf
+              ON a.vec_id = sf.vec_id AND a.centroid_id = sf.centroid_id
+        )
+        SELECT vec_id, centroid_id, sub_id FROM post
+        WHERE vec_id % {DEL_MOD} <> {DEL_REM}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_split_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown ON THE SPLIT LAYOUT — the last cell of the deletion
+    matrix (flat IVF / IVFPQ / two-level / split): the SAME generic
+    ivf_index_delete drives it with partition_cols=("centroid_id",
+    "sub_id"), locating victims under the two-column keys, rewriting
+    only those nested directories, sweeping emptied leaves with their
+    hollowed parents through the Hadoop FS helpers. Both quantizer
+    levels stay frozen; the oracle is the full split chain minus the
+    deleted ids (vec_id ≡ 5 mod 16 — the shared takedown class)."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, sub_id bigint"
+        )
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    k = auto_centroids(vecs.filter(~is_add).count())
+    path = os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"splitdel_lloyd1_c{k}"
+    )
+    marker = os.path.join(path, "_DEL_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    from ..io import materialization_is_fresh
+
+    if not (
+        all(
+            materialization_is_fresh(os.path.join(path, d), src)
+            for d in ("vectors", "centroids", "sub_centroids")
+        )
+        and _incr_marker_fresh(marker, sf_dir)
+    ):
+        split_build_index(spark, sf_dir, path)
+        ivf_index_delete(
+            spark,
+            path,
+            vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM).select(
+                "vec_id"
+            ),
+            partition_cols=("centroid_id", "sub_id"),
+        )
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("sub_id").cast("bigint").alias("sub_id"),
     )
 
 
