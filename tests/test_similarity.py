@@ -812,3 +812,35 @@ def test_split_index_serve_prunes_both_levels_and_is_consistent(spark, sf_dir):
         whole_cell = [v for v, (c, _s, _w) in assign.items() if c == cell]
         sub_cell = [v for v, (c, s, _w) in assign.items() if c == cell and s == sub]
         assert len(sub_cell) < len(whole_cell)
+
+
+def test_ivf2_autoprobe_ladder_monotone_and_mid_ladder_pick(spark, sf_dir):
+    """The two-width ladder's measured hits are monotone non-decreasing in
+    ladder order (each rung's probe set contains the previous rung's), and
+    the served decision is the FIRST rung clearing the integer target —
+    a real mid-ladder pick at the shipped fixtures, not an endpoint
+    default."""
+    import math
+
+    from vacancy_analyser_spark.plans.similarity import (
+        IVF2_AUTOPROBE_GRID,
+        IVF2_AUTOPROBE_TARGET,
+        IVF_K,
+        _ivf2_pair_hits,
+        ann_ivf2_autoprobe_topk,
+    )
+
+    hitsum = _ivf2_pair_hits(spark, sf_dir)[0]
+    rows = sorted((r["ord"], r["hits"], r["nq"]) for r in hitsum.collect())
+    assert [o for o, _, _ in rows] == [o for o, _, _ in IVF2_AUTOPROBE_GRID]
+    hits = [h for _, h, _ in rows]
+    assert hits == sorted(hits), "wider rungs must never lose hits"
+    nq = rows[0][2]
+    need = math.ceil(IVF2_AUTOPROBE_TARGET * nq * IVF_K)
+    want_ord = next((o for o, h, _ in rows if h >= need), rows[-1][0])
+
+    served = ann_ivf2_autoprobe_topk(spark, sf_dir)
+    got = {(r["nprobe_c_used"], r["nprobe_f_used"]) for r in served.collect()}
+    assert len(got) == 1
+    grid = {o: (nc, nf) for o, nc, nf in IVF2_AUTOPROBE_GRID}
+    assert got == {grid[want_ord]}

@@ -5389,6 +5389,336 @@ def ann_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The two-level autoprobe ladder: (ordinal, coarse width, fine width),
+#: cost-ordered — each step widens the cheaper knob first (an extra coarse
+#: probe only grows the FINE-CENTROID ranking set; an extra fine probe
+#: opens another whole data partition, which is the expensive move).
+IVF2_AUTOPROBE_GRID = ((1, 1, 1), (2, 2, 1), (3, 2, 2), (4, 2, 4))
+IVF2_AUTOPROBE_TARGET = AUTOPROBE_TARGET
+
+
+def _ivf2_pairs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(IVF2_AUTOPROBE_GRID), "ord int, nc int, nf int"
+    )
+
+
+def _ivf2_pair_hits(spark: SparkSession, sf_dir: str):
+    """(hitsum per ladder ordinal, plus the frames the serve half reuses)
+    — the two-width evaluation behind ann_ivf2_autoprobe_topk, split out
+    so the bench's sweep can read the measured curve directly."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    kc = coarse_centroid_count(k)
+    fine, coarse = ivf2_centroids(vecs, k, kc)
+    wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "c_emb",
+            "coarse_id",
+            F.round(cosine(F.col("c_emb"), F.col("g_emb")), 9).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "c_emb", "coarse_id")
+    )
+    queries = F.broadcast(
+        vecs.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    pairs = F.broadcast(_ivf2_pairs(spark))
+    wqc = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("coarse_id"))
+    qc = (
+        coarse.crossJoin(queries)
+        .select(
+            "q_id", "coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s")
+        )
+        .withColumn("rn_c", F.row_number().over(wqc))
+    )
+    # the fine ranking is PER LADDER RUNG: which fine centroids are even
+    # rankable depends on the rung's probed coarse set
+    wqf = Window.partitionBy("q_id", "ord").orderBy(F.col("s").desc(), F.col("centroid_id"))
+    probes = (
+        qc.join(pairs, qc.rn_c <= F.col("nc"))
+        .select("q_id", "ord", "nf", "coarse_id")
+        .join(f2c, "coarse_id")
+        .join(queries, "q_id")
+        .select(
+            "q_id",
+            "ord",
+            "nf",
+            "centroid_id",
+            F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s"),
+        )
+        .withColumn("rn_f", F.row_number().over(wqf))
+        .filter(F.col("rn_f") <= F.col("nf"))
+        .select("q_id", "ord", "centroid_id")
+    )
+    assigned = (
+        _ranked_against(vecs, fine)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    scored = (
+        vecs.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_K)
+        .select("q_id", "vec_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(queries, "q_id")
+    )
+    wqn = Window.partitionBy("q_id", "ord").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    ivf_top = (
+        cand.select("q_id", "ord", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wqn))
+        .filter(F.col("rn") <= IVF_K)
+        .select("q_id", "ord", "vec_id")
+    )
+    counts = (
+        ivf_top.join(exact, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id", "ord")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = probes.select("q_id", "ord").distinct()
+    hitsum = (
+        grid.join(F.broadcast(counts), ["q_id", "ord"], "left")
+        .groupBy("ord")
+        .agg(
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))).alias("hits"),
+            F.count("*").alias("nq"),
+        )
+    )
+    return hitsum, vecs, coarse, f2c, assigned, pairs
+
+
+@register(
+    "ann_ivf2_autoprobe_topk",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql()},
+        {_IVF2_CHAIN_SQL},
+        f2c AS (
+            SELECT centroid_id, c_emb, coarse_id FROM (
+                SELECT f.centroid_id, f.c_emb, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT * FROM (VALUES {", ".join(f"({o}, {nc}, {nf})" for o, nc, nf in IVF2_AUTOPROBE_GRID)})
+                AS t(ord, nc, nf)
+        ),
+        queries AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM vecs WHERE vec_id < {ANN_RECALL_NQ}
+        ),
+        qc AS (
+            SELECT q.q_id, g.coarse_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(g.g_emb, q.q_emb), 9) DESC,
+                                g.coarse_id
+                   ) AS rn_c
+            FROM coarse g CROSS JOIN queries q
+        ),
+        probes AS (
+            SELECT q_id, ord, centroid_id FROM (
+                SELECT c.q_id, p.ord, p.nf, f.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, p.ord
+                           ORDER BY round(list_cosine_similarity(f.c_emb, q.q_emb), 9) DESC,
+                                    f.centroid_id
+                       ) AS rn_f
+                FROM qc c JOIN pairs p ON c.rn_c <= p.nc
+                JOIN f2c f ON f.coarse_id = c.coarse_id
+                JOIN queries q ON q.q_id = c.q_id
+            ) WHERE rn_f <= nf
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, emb, centroid_id FROM ranked WHERE rn = 1),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, v.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM vecs v CROSS JOIN queries q WHERE v.vec_id <> q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        cand AS (
+            SELECT p.q_id, p.ord, a.vec_id, a.emb
+            FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.q_id
+        ),
+        ivf_top AS (
+            SELECT q_id, ord, vec_id FROM (
+                SELECT c.q_id, c.ord, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.q_id, c.ord
+                           ORDER BY round(list_cosine_similarity(c.emb, q.q_emb), 6) DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM cand c JOIN queries q ON c.q_id = q.q_id
+            ) WHERE rn <= {IVF_K}
+        ),
+        grid AS (SELECT DISTINCT q_id, ord FROM probes),
+        counts AS (
+            SELECT t.q_id, t.ord, COUNT(*) AS n_hits
+            FROM ivf_top t JOIN exact e ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+            GROUP BY t.q_id, t.ord
+        ),
+        hitsum AS (
+            SELECT g.ord, SUM(COALESCE(c.n_hits, 0)) AS hits, COUNT(*) AS nq
+            FROM grid g LEFT JOIN counts c ON g.q_id = c.q_id AND g.ord = c.ord
+            GROUP BY g.ord
+        ),
+        chosen AS (
+            SELECT CAST(COALESCE(
+                MIN(CASE WHEN hits >= CEIL({IVF2_AUTOPROBE_TARGET} * nq * {IVF_K})
+                         THEN ord END),
+                MAX(ord)) AS INT) AS ord
+            FROM hitsum
+        ),
+        cp AS (SELECT p.nc, p.nf FROM pairs p JOIN chosen ON p.ord = chosen.ord),
+        q0 AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0),
+        pc0 AS (
+            SELECT coarse_id FROM (
+                SELECT g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY round(list_cosine_similarity(g.g_emb, q0.q_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM coarse g CROSS JOIN q0
+            ), cp WHERE rn <= cp.nc
+        ),
+        pf0 AS (
+            SELECT centroid_id FROM (
+                SELECT f.centroid_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY round(list_cosine_similarity(f.c_emb, q0.q_emb), 9) DESC,
+                                    f.centroid_id
+                       ) AS rn
+                FROM f2c f JOIN pc0 USING (coarse_id) CROSS JOIN q0
+            ), cp WHERE rn <= cp.nf
+        )
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.emb, q0.q_emb), 6) AS sim,
+               cp.nc AS nprobe_c_used, cp.nf AS nprobe_f_used
+        FROM assigned a JOIN pf0 ON a.centroid_id = pf0.centroid_id
+        CROSS JOIN q0 CROSS JOIN cp
+        WHERE a.vec_id <> 0
+        ORDER BY sim DESC, a.vec_id
+        LIMIT {IVF_K}
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def ann_ivf2_autoprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-aware serving for the TWO-LEVEL cascade — ann_autoprobe's
+    one-knob rule lifted to the (coarse width × fine width) ladder, the
+    decision that matters past the one-level broadcast ceiling (the
+    ROADMAP's named follow-up). The ladder is cost-ordered (widen the
+    coarse shortlist before opening another data partition: an extra
+    coarse probe only grows the fine-centroid RANKING set, an extra fine
+    probe reads a whole extra bucket); evaluation ranks the standard
+    query battery through the cascade at every rung — the fine ranking
+    recomputed per rung because which fine centroids are rankable
+    depends on that rung's probed coarse set — and the engine picks the
+    FIRST rung whose total hits clear ceil(target·|queries|·k), falling
+    back to the deepest. Integer selection, like the one-level key: no
+    float mean to drift across engines.
+
+    The served result carries BOTH chosen widths (nprobe_c_used,
+    nprobe_f_used), so the two-dimensional decision itself is
+    driver-hash-checked, not just the neighbors it returns.
+
+    Scale shape: evaluation = the recall battery's cost (per index
+    build, by design — the exact side IS the brute-force baseline);
+    decision = a |ladder|-row aggregate; serve = the ordinary cascade
+    with planning-time pruning. Nothing new shuffles."""
+    hitsum, vecs, coarse, f2c, assigned, pairs = _ivf2_pair_hits(spark, sf_dir)
+    if vecs.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, sim double, nprobe_c_used int, nprobe_f_used int"
+        )
+    need = F.ceil(F.lit(IVF2_AUTOPROBE_TARGET) * F.col("nq") * F.lit(IVF_K))
+    chosen = hitsum.agg(
+        F.coalesce(
+            F.min(F.when(F.col("hits") >= need, F.col("ord"))), F.max("ord")
+        )
+        .cast("int")
+        .alias("c_ord")
+    )
+    cp = F.broadcast(
+        pairs.join(F.broadcast(chosen), pairs.ord == F.col("c_ord")).select("nc", "nf")
+    )
+    q0 = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    w0c = Window.orderBy(F.col("s").desc(), F.col("coarse_id"))
+    pc0 = (
+        coarse.crossJoin(q0)
+        .select("coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s"))
+        .withColumn("rn", F.row_number().over(w0c))
+        .crossJoin(cp)
+        .filter(F.col("rn") <= F.col("nc"))
+        .select("coarse_id")
+    )
+    w0f = Window.orderBy(F.col("s").desc(), F.col("centroid_id"))
+    pf0 = F.broadcast(
+        f2c.join(F.broadcast(pc0), "coarse_id")
+        .crossJoin(q0)
+        .select(
+            "centroid_id", F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s")
+        )
+        .withColumn("rn", F.row_number().over(w0f))
+        .crossJoin(cp)
+        .filter(F.col("rn") <= F.col("nf"))
+        .select("centroid_id")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        assigned.join(pf0, "centroid_id")
+        .crossJoin(q0)
+        .crossJoin(cp)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            sim.alias("sim"),
+            F.col("nc").alias("nprobe_c_used"),
+            F.col("nf").alias("nprobe_f_used"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(IVF_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Residual product quantization — encode (vector − assigned IVF centroid)
 # instead of the raw vector. Residuals concentrate near zero once the coarse
