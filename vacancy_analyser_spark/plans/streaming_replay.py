@@ -537,15 +537,18 @@ def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = start_ann_ingest_stream(stream, index, ckpt, available_now=True)
         _await(q)
-        # localize the driver-sized assignment (two ints per vector) so
-        # the index/fixture dirs can be cleaned before returning
-        rows = (
+        # localCheckpoint (eager) severs lineage from the fixture files so
+        # they can be cleaned before returning, while the assignment stays
+        # DISTRIBUTED as executor blocks — at scale a .collect() here
+        # would localize the whole index assignment to the driver (the r9
+        # advice finding; two ints per vector is still O(corpus))
+        out = (
             spark.read.parquet(os.path.join(index, "vectors"))
             .select(
                 "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
             )
-            .collect()
+            .localCheckpoint(eager=True)
         )
     finally:
         _cleanup(root)
-    return spark.createDataFrame(rows, "vec_id bigint, centroid_id bigint")
+    return out

@@ -570,7 +570,8 @@ def _tfidf_pairs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mass_width > MAX_CANDJOIN_WIDTH:
         # past the exchange-width budget: dispatch to the df_top-capped
         # metric — the registered tfidf_cosine_capped pipeline, results
-        # pinned identical in tests/test_text_lm.py's forced-cap test
+        # pinned identical in tests/test_corpus_pipeline.py::
+        # test_tfidf_dispatch_mass_probe_and_forced_cap
         LAST_TFIDF_DISPATCH.update({"capped": True})
         logging.getLogger(__name__).warning(
             "tfidf-cosine candidate mass %.2g rows wants %d partitions "
@@ -580,7 +581,13 @@ def _tfidf_pairs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             mass_width,
             MAX_CANDJOIN_WIDTH,
         )
-        return _cosine_pairs_from(_capped_vec_from(vec0, n))
+        out = _cosine_pairs_from(_capped_vec_from(vec0, n))
+        # the probe was this cache's consumer; _cosine_pairs_from keeps
+        # its OWN derived cache, so holding vec0 too would leak two full
+        # vector-table copies per dispatch (the _retier_capped fix's
+        # class) — release it and accept the bounded recompute
+        vec0.unpersist()
+        return out
     try:
         session_width = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -594,7 +601,11 @@ def _tfidf_pairs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count
         width = min(MAX_CANDJOIN_WIDTH, mass_width)
         LAST_TFIDF_DISPATCH["width"] = width
-        return _cosine_pairs_from(vec0, shuffle_width=width)
+        out = _cosine_pairs_from(vec0, shuffle_width=width)
+        # the width branch re-caches a term-repartitioned copy inside
+        # _cosine_pairs_from — drop the original (see the capped branch)
+        vec0.unpersist()
+        return out
     return _cosine_pairs_from(vec0)
 
 
