@@ -186,3 +186,47 @@ def test_delete_stream_folds_batches_and_is_replay_safe(spark, sf_dir, tmp_path)
     )
     q2.awaitTermination(120)
     assert _index_assignment(spark, path) == got
+
+
+def test_stream_compacts_every_n_triggers(spark, sf_dir, tmp_path):
+    """compact_every=1 keeps the streamed index defragmented: after the
+    drain no partition holds more files than its bytes justify, and the
+    content equals the frozen-centroid assignment exactly (compaction is
+    a pure physical reorganization inside the loop)."""
+    from vacancy_analyser_spark.operators.compaction import (
+        fragmented_keys,
+        partition_file_census,
+    )
+
+    vecs, path, src = _setup(spark, sf_dir, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest_stream(
+        stream, path, str(tmp_path / "ckpt_c"), compact_every=1
+    )
+    q.awaitTermination(120)
+
+    vectors = os.path.join(path, "vectors")
+    census = partition_file_census(spark, vectors, ("centroid_id",))
+    assert census
+    assert fragmented_keys(census) == []
+
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    want = {
+        (r["vec_id"], r["centroid_id"])
+        for r in _ranked_against(vecs, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert _index_assignment(spark, path) == want
+
+
+def test_compact_every_rejects_nonpositive(spark, sf_dir, tmp_path):
+    stream = spark.readStream.schema(SCHEMA).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="compact_every"):
+        start_ann_ingest_stream(stream, "p", "c", compact_every=0)

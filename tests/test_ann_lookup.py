@@ -94,3 +94,49 @@ def test_refresh_tracks_add_and_delete_changesets(spark, sf_dir, tmp_path):
     for rel, meta in before.items():
         if not rel.startswith(refreshed_prefixes):
             assert after.get(rel) == meta, f"untouched bucket changed: {rel}"
+
+
+def test_locate_driven_delete_matches_scan_driven(spark, sf_dir, tmp_path):
+    """ivf_index_delete fed the lookup's located partitions (touched=...)
+    must produce the identical post-delete index as the scan-based
+    locate, and the delete job itself must not need the whole-index
+    semi-join — the zero-whole-index-read takedown composition
+    (ann_index_delete_lookup drives it driver-checked)."""
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    dels = vecs.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 5).select("vec_id")
+
+    path_scan = str(tmp_path / "ivf_scan")
+    ivf_build_index_frame(vecs, path_scan, n_centroids=k)
+    t_scan = ivf_index_delete(spark, path_scan, dels)
+
+    path_lk = str(tmp_path / "ivf_lkdel")
+    ivf_build_index_frame(vecs, path_lk, n_centroids=k)
+    build_lookup(spark, path_lk)
+    touched = sorted(
+        r["centroid_id"]
+        for r in locate(spark, path_lk, dels).select("centroid_id").distinct().collect()
+    )
+    t_lk = ivf_index_delete(spark, path_lk, dels, touched=touched)
+    assert t_lk == t_scan
+
+    def _content(p):
+        return {
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(os.path.join(p, "vectors"))
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+
+    assert _content(path_lk) == _content(path_scan)
+
+    # maintained lookup stays consistent with the rewritten index
+    refreshed = refresh_lookup_buckets(spark, path_lk, dels)
+    assert refreshed
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path_lk, "lookup"))
+        .select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"))
+        .collect()
+    }
+    assert got == _content(path_lk)

@@ -221,3 +221,59 @@ def _content_lookup(spark, lookup):
         (r["vec_id"], r["centroid_id"], r["bucket"])
         for r in spark.read.parquet(lookup).collect()
     }
+
+
+def test_compact_split_layout_two_column_keys(spark, tmp_path):
+    """The generic compaction over the split layout's two-column
+    partition keys: fragment (0,0) with a split-aware add, compact, and
+    the nested directory comes back to one right-sized file with
+    everything else byte-identical."""
+    from vacancy_analyser_spark.plans.similarity import split_index_incremental_add
+
+    path = str(tmp_path / "split_c")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, c_emb array<double>"
+    )
+    subs = spark.createDataFrame(
+        [(0, 0, [0.9, 0.3]), (0, 1, [0.9, -0.3])],
+        "centroid_id int, sub_id int, s_emb array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.2], 0, 0), (2, [1.0, -0.2], 0, 1), (3, [0.1, 1.0], 1, 0)],
+        "vec_id long, embedding array<double>, centroid_id int, sub_id int",
+    )
+    cents.write.parquet(os.path.join(path, "centroids"))
+    subs.write.parquet(os.path.join(path, "sub_centroids"))
+    vecs.write.partitionBy("centroid_id", "sub_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    for i in range(2):
+        split_index_incremental_add(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100 + i, [1.0, 0.25])], "vec_id long, embedding array<double>"
+            ),
+        )
+    vectors = os.path.join(path, "vectors")
+    cols = ("centroid_id", "sub_id")
+    before_meta = _census_meta(vectors)
+    frag = fragmented_keys(partition_file_census(spark, vectors, cols))
+    assert frag == [(0, 0)]
+    want = {
+        tuple(r) for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "sub_id").collect()
+    }
+    report = compact_partitions(spark, vectors, cols)
+    assert [r["key"] for r in report] == [(0, 0)]
+    after = partition_file_census(spark, vectors, cols)
+    assert after[(0, 0)][0] == 1
+    assert {
+        tuple(r) for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "sub_id").collect()
+    } == want
+    after_meta = _census_meta(vectors)
+    keep = os.path.join("centroid_id=0", "sub_id=0")
+    for rel, meta in before_meta.items():
+        if not rel.startswith(keep):
+            assert after_meta.get(rel) == meta, f"untouched file changed: {rel}"

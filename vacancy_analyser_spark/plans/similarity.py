@@ -773,6 +773,7 @@ def ivf_index_delete(
     path: str,
     delete_ids: DataFrame,
     partition_cols: tuple[str, ...] = ("centroid_id",),
+    touched: list | None = None,
 ) -> list:
     """Remove vectors from a materialized IVF index by id — the lifecycle
     op incremental_add is missing (takedown / right-to-be-forgotten: at
@@ -809,8 +810,14 @@ def ivf_index_delete(
     victims and writes nothing. ``partition_cols`` names the layout's
     partition key — ("centroid_id",) for flat IVF/IVFPQ,
     ("coarse_id", "centroid_id") for the nested two-level layout (empty
-    parent trees are pruned after a leaf sweep). Returns the touched
-    centroid ids (key tuples for multi-column layouts)."""
+    parent trees are pruned after a leaf sweep). ``touched`` skips the
+    LOCATE scan entirely when the caller already knows the victim
+    partitions — the id→centroid lookup table's point read
+    (operators/ann_lookup.locate) supplies exactly this, turning the
+    delete's one whole-index touch into a bucket-pruned read (the
+    ann_index_delete_lookup key drives that composition end to end).
+    Returns the touched centroid ids (key tuples for multi-column
+    layouts)."""
     import functools as ft
     import os
 
@@ -823,11 +830,16 @@ def ivf_index_delete(
     # capped regardless of how large a takedown batch arrives.
     if delete_ids.limit(DELETE_BROADCAST_MAX_IDS + 1).count() <= DELETE_BROADCAST_MAX_IDS:
         delete_ids = F.broadcast(delete_ids)
-    victims = idx.join(delete_ids, "vec_id", "left_semi")
-    touched = sorted(
-        tuple(r[c] for c in partition_cols)
-        for r in victims.select(*partition_cols).distinct().collect()
-    )
+    if touched is None:
+        victims = idx.join(delete_ids, "vec_id", "left_semi")
+        touched = sorted(
+            tuple(r[c] for c in partition_cols)
+            for r in victims.select(*partition_cols).distinct().collect()
+        )
+    else:
+        touched = sorted(
+            k if isinstance(k, tuple) else (k,) for k in touched
+        )
     if not touched:
         return []
 
@@ -951,6 +963,78 @@ def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(marker, "w").close()
     idx = spark.read.parquet(os.path.join(path, "vectors"))
     return idx.select(
+        "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
+    )
+
+
+@register(
+    "ann_index_delete_lookup",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(src="vecs")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        )
+        SELECT vec_id, centroid_id FROM ranked
+        WHERE rn = 1 AND vec_id % {DEL_MOD} <> {DEL_REM}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_index_delete_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown with ZERO whole-index reads, driver-checked end to end —
+    the composition ann_index_delete's docstring promised: LOCATE through
+    the id→centroid lookup table's bucket-pruned point read
+    (operators/ann_lookup.locate — reads only the takedown ids' hash
+    buckets, never the index), feed the located partitions straight into
+    ivf_index_delete (which then skips its own scan), and refresh ONLY
+    the lookup buckets the deleted ids hash into. Every step's cost
+    tracks the changeset; the index is touched only at the rewrite of
+    its victim partitions.
+
+    The returned frame is the post-delete LOOKUP table read back from
+    disk — deliberately not the index: hashing the lookup against the
+    full-assignment-minus-deleted oracle proves the maintenance loop
+    kept the derived table exactly consistent with the index it mirrors
+    (a stale or over-swept bucket hash-mismatches here)."""
+    import os
+
+    from ..operators.ann_lookup import build_lookup, locate, refresh_lookup_buckets
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+    k = auto_centroids(n)
+    path = os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"dellk_lloyd1_c{k}"
+    )
+    marker = os.path.join(path, "_DELLK_SUCCESS")
+    if not (_ivf_index_is_fresh(path, sf_dir) and _incr_marker_fresh(marker, sf_dir)):
+        ivf_build_index_frame(vecs, path, n_centroids=k)
+        build_lookup(spark, path)
+        dels = vecs.filter(
+            F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM
+        ).select("vec_id")
+        touched = sorted(
+            r["centroid_id"]
+            for r in locate(spark, path, dels)
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        )
+        ivf_index_delete(spark, path, dels, touched=touched)
+        refresh_lookup_buckets(spark, path, dels)
+        open(marker, "w").close()
+    lk = spark.read.parquet(os.path.join(path, "lookup"))
+    return lk.select(
         "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
     )
 

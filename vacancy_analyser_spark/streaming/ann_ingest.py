@@ -26,6 +26,7 @@ def start_ann_ingest_stream(
     checkpoint: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Fold a streaming (vec_id, embedding) frame into the IVF index at
     ``index_path`` (built by ivf_build_index / ivf_build_index_frame — the
@@ -34,7 +35,18 @@ def start_ann_ingest_stream(
     Trigger contract mirrors start_jdbc_upsert_stream: ``available_now=True``
     drains what exists and stops (the cron-shaped ingest job);
     ``available_now=False`` requires ``processing_time`` for a resident
-    stream — both misuse combinations raise."""
+    stream — both misuse combinations raise.
+
+    ``compact_every=N`` runs the small-file compaction
+    (operators/compaction.py) after every Nth micro-batch: each add
+    appends ≥1 file per touched partition, so a resident ingest stream
+    fragments the index monotonically without in-loop maintenance — this
+    is where the lifecycle's third op earns its keep. Compaction is a
+    pure physical reorganization and idempotent, so a replayed trigger
+    re-compacting is safe (same reasoning as skip_existing for the add);
+    it rewrites only partitions holding more files than their bytes
+    justify, so steady-state cost tracks the batches since the last
+    sweep, not the index."""
     if available_now and processing_time is not None:
         raise ValueError(
             "available_now=True drains and stops — processing_time would be "
@@ -45,7 +57,12 @@ def start_ann_ingest_stream(
             "available_now=False requires processing_time — omitting it would "
             "run an unthrottled micro-batch loop"
         )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be a positive trigger count")
 
+    import os
+
+    from ..operators.compaction import compact_partitions
     from ..plans.similarity import ivf_index_incremental_add
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -54,6 +71,10 @@ def start_ann_ingest_stream(
         ivf_index_incremental_add(
             batch_df.sparkSession, index_path, batch_df, skip_existing=True
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitions(
+                batch_df.sparkSession, os.path.join(index_path, "vectors")
+            )
 
     writer = batches.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint
