@@ -167,6 +167,7 @@ COLD_KEYS = (
     "ann_split_incremental_add",
     "ann_split_index_delete",
     "ann_ivf2_autoprobe_topk",
+    "ann_index_delete_lookup",
     "pq_encode",
     "embedding_drift",
     "snapshot_stream_replay",
