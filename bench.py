@@ -157,7 +157,7 @@ EXT_DEFER = (
 #: skips are recorded in "cold_skipped", visibly, like EXT_DEFER's.
 #: Keys already timed graduate out (r9's 16-key cohort graduated into
 #: the gated ext block this round — EXT_BASELINE_R10_GRAD).
-#: r10 cohort (30): the four r10-new keys first (their first numbers
+#: r10 cohort (32): the six r10-new keys first (their first numbers
 #: belong to the round that shipped them), then the r9-verdict-named
 #: never-timed keys (pq_encode, embedding_drift, snapshot_stream_replay,
 #: corpus_ingest_replay, the multimodal trio), then the rest of the
@@ -168,6 +168,7 @@ COLD_KEYS = (
     "ann_split_index_delete",
     "ann_ivf2_autoprobe_topk",
     "ann_index_delete_lookup",
+    "ann_ivf2_index_compact",
     "pq_encode",
     "embedding_drift",
     "snapshot_stream_replay",

@@ -230,3 +230,75 @@ def test_compact_every_rejects_nonpositive(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(str(tmp_path))
     with pytest.raises(ValueError, match="compact_every"):
         start_ann_ingest_stream(stream, "p", "c", compact_every=0)
+
+
+def test_split_stream_folds_through_both_quantizer_levels(spark, tmp_path):
+    """Streamed batches land in the right (centroid_id, sub_id)
+    partitions of a split layout, replay is a no-op, and in-loop
+    compaction keeps the census defragmented."""
+    from vacancy_analyser_spark.operators.compaction import (
+        fragmented_keys,
+        partition_file_census,
+    )
+    from vacancy_analyser_spark.streaming.ann_ingest import (
+        start_ann_split_ingest_stream,
+    )
+
+    path = str(tmp_path / "split_stream")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, c_emb array<double>"
+    )
+    subs = spark.createDataFrame(
+        [(0, 0, [0.9, 0.3]), (0, 1, [0.9, -0.3])],
+        "centroid_id int, sub_id int, s_emb array<double>",
+    )
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.2], 0, 0), (2, [1.0, -0.2], 0, 1), (3, [0.1, 1.0], 1, 0)],
+        "vec_id long, embedding array<double>, centroid_id int, sub_id int",
+    )
+    cents.write.parquet(os.path.join(path, "centroids"))
+    subs.write.parquet(os.path.join(path, "sub_centroids"))
+    seed.write.partitionBy("centroid_id", "sub_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    src = str(tmp_path / "split_arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(100, [1.0, 0.25])], "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    spark.createDataFrame(
+        [(101, [0.0, 0.9]), (102, [1.0, -0.25])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_split_ingest_stream(
+        stream, path, str(tmp_path / "ckpt_s"), compact_every=1
+    )
+    q.awaitTermination(120)
+
+    vectors = os.path.join(path, "vectors")
+    got = {
+        (r["vec_id"], r["centroid_id"], r["sub_id"])
+        for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "sub_id")
+        .collect()
+    }
+    assert {(100, 0, 0), (101, 1, 0), (102, 0, 1)} <= got and len(got) == 6
+    census = partition_file_census(spark, vectors, ("centroid_id", "sub_id"))
+    assert fragmented_keys(census) == []
+
+    # full redelivery through a FRESH checkpoint must be a no-op
+    stream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q2 = start_ann_split_ingest_stream(stream2, path, str(tmp_path / "ckpt_s2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(vectors).count() == 6

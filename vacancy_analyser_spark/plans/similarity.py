@@ -5092,6 +5092,106 @@ def ann_ivf2_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf2_index_compact",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        {_ivf2_chain_sql(src="base")},
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned a JOIN f2c f ON a.centroid_id = f.centroid_id
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_ivf2_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction over the NESTED two-level layout — closes the lifecycle
+    matrix the way the delete matrix closed: every served partitioned
+    layout (flat IVF via ann_index_compact, two-level here, split via
+    pytest) now has build → add → delete → COMPACT. Fixture: build from
+    the base slice, fragment with TWO incremental adds (the batch split
+    mod 16, each touched (coarse_id, centroid_id) leaf gaining two
+    append files), compact over the two-column partition keys — the
+    generic compact_partitions walks the nested directories, rewrites
+    only over-filed leaves, leaves healthy ones byte-identical
+    (tests/test_compaction.py pins the two-column mechanics on the split
+    layout). Oracle = the ivf2 rebuild-equivalence chain: compaction
+    must change file boundaries and nothing else."""
+    import os
+
+    from ..io import materialization_is_fresh
+
+    vecs = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_batch)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, coarse_id bigint"
+        )
+    k = auto_centroids(n_base)
+    kc = coarse_centroid_count(k)
+    path = os.path.join(
+        os.path.dirname(_ivf2_index_path(sf_dir, k, kc)),
+        f"compact_lloyd1_c{k}_g{kc}",
+    )
+    marker = os.path.join(path, "_COMPACT_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = all(
+        materialization_is_fresh(os.path.join(path, d), src)
+        for d in ("vectors", "fine", "coarse")
+    ) and _incr_marker_fresh(marker, sf_dir)
+    if not fresh:
+        from ..operators.compaction import compact_partitions
+
+        ivf2_build_index_frame(base, path, k, kc)
+        half = F.pmod(F.col("vec_id"), F.lit(2 * INCR_BATCH_MOD))
+        batch = vecs.filter(is_batch)
+        ivf2_index_incremental_add(
+            spark, path, batch.filter(half == INCR_BATCH_MOD - 1)
+        )
+        ivf2_index_incremental_add(
+            spark, path, batch.filter(half == 2 * INCR_BATCH_MOD - 1)
+        )
+        compact_partitions(
+            spark,
+            os.path.join(path, "vectors"),
+            ("coarse_id", "centroid_id"),
+        )
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("coarse_id").cast("bigint").alias("coarse_id"),
+    )
+
+
 def _ivf2_del_index_path(sf_dir: str, k: int, kc: int) -> str:
     import os
 

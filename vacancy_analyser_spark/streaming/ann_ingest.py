@@ -132,3 +132,64 @@ def start_ann_delete_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_ann_split_ingest_stream(
+    batches: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """The split-layout twin of start_ann_ingest_stream: micro-batches
+    fold into a selectively-split index (plans/similarity.py
+    split_index_incremental_add) — two-stage assignment against BOTH
+    stored frozen quantizer levels, partition-scoped append into
+    (centroid_id, sub_id) directories. Same trigger contract, same
+    skip_existing idempotency under replay, same optional in-loop
+    compaction (the split layout fragments exactly like the flat one).
+
+    With this, every servable layout's steady-state ingest is a stream:
+    flat/IVFPQ/two-level via their batch adds behind
+    start_ann_ingest_stream-shaped loops, and the post-split layout here
+    — a cell split no longer forces the ingest path back to rebuilds."""
+    if available_now and processing_time is not None:
+        raise ValueError(
+            "available_now=True drains and stops — processing_time would be "
+            "silently ignored; pass available_now=False for a resident stream"
+        )
+    if not available_now and processing_time is None:
+        raise ValueError(
+            "available_now=False requires processing_time — omitting it would "
+            "run an unthrottled micro-batch loop"
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be a positive trigger count")
+
+    import os
+
+    from ..operators.compaction import compact_partitions
+    from ..plans.similarity import split_index_incremental_add
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        split_index_incremental_add(
+            batch_df.sparkSession, index_path, batch_df, skip_existing=True
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitions(
+                batch_df.sparkSession,
+                os.path.join(index_path, "vectors"),
+                ("centroid_id", "sub_id"),
+            )
+
+    writer = batches.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
