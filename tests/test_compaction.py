@@ -277,3 +277,20 @@ def test_compact_split_layout_two_column_keys(spark, tmp_path):
     for rel, meta in before_meta.items():
         if not rel.startswith(keep):
             assert after_meta.get(rel) == meta, f"untouched file changed: {rel}"
+
+
+def test_compact_rewrite_read_is_partition_pruned(spark, tmp_path):
+    """The rewrite's scan must carry the victim keys as planning-time
+    PartitionFilters — a compact that reads healthy partitions too would
+    scale with the table instead of the fragmented fraction."""
+    from vacancy_analyser_spark.operators.compaction import keys_filter
+
+    path = str(tmp_path / "idx_plan")
+    _mk_two_cluster_index(spark, path, n_adds=2)
+    vectors = os.path.join(path, "vectors")
+    frag = fragmented_keys(partition_file_census(spark, vectors, ("centroid_id",)))
+    assert frag
+    scan = spark.read.parquet(vectors).filter(keys_filter(("centroid_id",), frag))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "centroid_id" in pf
