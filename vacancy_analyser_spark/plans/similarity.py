@@ -3887,6 +3887,11 @@ def split_build_index(spark: SparkSession, sf_dir: str, path: str, vec_pred=None
     post.write.partitionBy("centroid_id", "sub_id").mode("overwrite").parquet(
         os.path.join(path, "vectors")
     )
+    # every consumer of the persisted assignment materialized in the
+    # three writes above — holding the cache past the build is the same
+    # leak class the tfidf dispatch fix closed (the retrain KEY keeps its
+    # cache because its consumers materialize after it returns)
+    assigned.unpersist()
 
 
 @register(
