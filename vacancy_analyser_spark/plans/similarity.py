@@ -5857,51 +5857,49 @@ def ann_ivf2_autoprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id bigint, sim double, nprobe_c_used int, nprobe_f_used int"
         )
     need = F.ceil(F.lit(IVF2_AUTOPROBE_TARGET) * F.col("nq") * F.lit(IVF_K))
-    chosen = hitsum.agg(
+    # the decision is a 1-row control scalar (same driver-sized-metadata
+    # class as the touched-partition lists): localizing it lets the serve
+    # half use the stock orderBy+limit cascade ann_ivf2_topk uses instead
+    # of an unpartitioned row_number window (the engine's banned
+    # WindowExec-without-partition shape)
+    c_ord = hitsum.agg(
         F.coalesce(
             F.min(F.when(F.col("hits") >= need, F.col("ord"))), F.max("ord")
         )
         .cast("int")
         .alias("c_ord")
-    )
-    cp = F.broadcast(
-        pairs.join(F.broadcast(chosen), pairs.ord == F.col("c_ord")).select("nc", "nf")
-    )
+    ).collect()[0]["c_ord"]
+    nc, nf = {o: (a, b) for o, a, b in IVF2_AUTOPROBE_GRID}[c_ord]
     q0 = F.broadcast(
         vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     )
-    w0c = Window.orderBy(F.col("s").desc(), F.col("coarse_id"))
-    pc0 = (
+    pc0 = F.broadcast(
         coarse.crossJoin(q0)
         .select("coarse_id", F.round(cosine(F.col("g_emb"), F.col("q_emb")), 9).alias("s"))
-        .withColumn("rn", F.row_number().over(w0c))
-        .crossJoin(cp)
-        .filter(F.col("rn") <= F.col("nc"))
+        .orderBy(F.col("s").desc(), "coarse_id")
+        .limit(nc)
         .select("coarse_id")
     )
-    w0f = Window.orderBy(F.col("s").desc(), F.col("centroid_id"))
     pf0 = F.broadcast(
-        f2c.join(F.broadcast(pc0), "coarse_id")
+        f2c.join(pc0, "coarse_id")
         .crossJoin(q0)
         .select(
             "centroid_id", F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s")
         )
-        .withColumn("rn", F.row_number().over(w0f))
-        .crossJoin(cp)
-        .filter(F.col("rn") <= F.col("nf"))
+        .orderBy(F.col("s").desc(), "centroid_id")
+        .limit(nf)
         .select("centroid_id")
     )
     sim = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
     return (
         assigned.join(pf0, "centroid_id")
         .crossJoin(q0)
-        .crossJoin(cp)
         .filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
             sim.alias("sim"),
-            F.col("nc").alias("nprobe_c_used"),
-            F.col("nf").alias("nprobe_f_used"),
+            F.lit(nc).cast("int").alias("nprobe_c_used"),
+            F.lit(nf).cast("int").alias("nprobe_f_used"),
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(IVF_K)
