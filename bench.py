@@ -123,8 +123,10 @@ EXT = [
 #: reached ~100 s on a jittery host against the ~1400 s round budget
 #: including stress). These keys are REPORTS over registered stages —
 #: their plans are exercised elsewhere in the block — so when the ext
-#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 360, roughly
-#: 2.5× the jittery worst case) whatever of THIS LIST hasn't run yet is
+#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 480 since r10 —
+#: the graduated cohort grew the min-of-2 core block to ~180 s recorded,
+#: ~360 s wall, and the old 360 s default starved the entire defer tail)
+#: whatever of THIS LIST hasn't run yet is
 #: skipped VISIBLY: each skipped key lands in the artifact's
 #: "ext_skipped" map instead of silently missing from ext_queries. The
 #: regression gate stays intact for everything that ran; core ext keys
@@ -153,7 +155,9 @@ EXT_DEFER = (
 #: ONCE (single sample — these establish first reference numbers, they
 #: are not regression-gated) into the artifact's "cold_queries" map,
 #: under an INDEPENDENT wall budget ($SPARK_GRAFT_COLD_BUDGET, default
-#: 120 s) checked before each key — the first key always runs; budget
+#: 240 s since r10 — six of this cohort's keys pay one-off index-build
+#: fixtures of 10-36 s each on a cold warehouse) checked before each
+#: key — the first key always runs; budget
 #: skips are recorded in "cold_skipped", visibly, like EXT_DEFER's.
 #: Keys already timed graduate out (r9's 16-key cohort graduated into
 #: the gated ext block this round — EXT_BASELINE_R10_GRAD).
@@ -445,7 +449,7 @@ def main() -> None:
     # (defer keys run ONCE: they are eval reports whose 2x regression
     # pins absorb single-run jitter; halving their cost is what keeps
     # them in the artifact at all).
-    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "360"))
+    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "480"))
     ext_t0 = time.monotonic()
     # deferrable eval keys run LAST so a budget cut can only ever hit them
     for name in sorted(EXT, key=lambda n: n in EXT_DEFER):
@@ -467,7 +471,7 @@ def main() -> None:
     # before each key, so the first key always runs)
     cold_timings: dict[str, float] = {}
     cold_skipped: dict[str, str] = {}
-    cold_budget = float(os.environ.get("SPARK_GRAFT_COLD_BUDGET", "120"))
+    cold_budget = float(os.environ.get("SPARK_GRAFT_COLD_BUDGET", "240"))
     cold_t0 = time.monotonic()
     for name in COLD_KEYS:
         if name not in qs:
