@@ -161,11 +161,12 @@ EXT_DEFER = (
 #: skips are recorded in "cold_skipped", visibly, like EXT_DEFER's.
 #: Keys already timed graduate out (r9's 16-key cohort graduated into
 #: the gated ext block this round — EXT_BASELINE_R10_GRAD).
-#: r10 cohort (32): the six r10-new keys first (their first numbers
+#: r10 cohort (94): the six r10-new keys first (their first numbers
 #: belong to the round that shipped them), then the r9-verdict-named
 #: never-timed keys (pq_encode, embedding_drift, snapshot_stream_replay,
-#: corpus_ingest_replay, the multimodal trio), then the rest of the
-#: non-trivial tail; the cheap rowops bulk closes out in r11.
+#: corpus_ingest_replay, the multimodal trio), the non-trivial tail,
+#: then the entire cheap remainder — the never-benched backlog closes
+#: this round (budget-gated; any overrun is a visible cold_skipped).
 COLD_KEYS = (
     "ann_index_compact",
     "ann_split_incremental_add",
@@ -199,6 +200,72 @@ COLD_KEYS = (
     "corpus_lake_pruned_scan",
     "dedup_keep_best",
     "corpus_mix_resample",
+    # the never-timed remainder (cheap rowops/relational/streaming-batch
+    # keys, ~0.2-2 s each): with the r10-new fixtures warm from the keys
+    # above, the 240 s budget covers the whole tail — closing the
+    # never-benched backlog this round instead of r11
+    "active_users_rollup",
+    "anti_join_removed",
+    "approx_distinct",
+    "array_join_split",
+    "bpe_apply_frozen",
+    "bpe_token_estimate",
+    "broadcast_synonym_join",
+    "categorical_profile",
+    "conditional_counts",
+    "csv_typed_scan",
+    "dataset_split_assign",
+    "date_functions",
+    "disjunctive_filter_revenue",
+    "distinct_count",
+    "employer_enrich_join",
+    "event_transition_matrix",
+    "except_skills",
+    "explode_count",
+    "filter_contains",
+    "filter_it_specialization",
+    "filter_not_archived",
+    "flatten_struct",
+    "forecast_revenue_change",
+    "freshness_lag",
+    "grouping_sets_revenue",
+    "idle_rich_customers",
+    "important_part_value",
+    "json_extract_props",
+    "late_shipment_counts",
+    "max_dates",
+    "nation_trade_volume",
+    "nations_per_region_agg",
+    "null_handling",
+    "order_priority_check",
+    "parts_supplier_relationship",
+    "pct_of_total",
+    "potential_part_promotion",
+    "project_columns",
+    "promo_revenue_share",
+    "quality_percentile_gate",
+    "range_join_salary",
+    "redact_pii",
+    "regexp_extract_year",
+    "repetition_ngram_ratio",
+    "rollup_year_prof",
+    "sample_per_group",
+    "semi_join",
+    "session_window_count",
+    "simhash",
+    "small_qty_revenue",
+    "sort_desc",
+    "stateful_dedup",
+    "stratified_sample",
+    "string_truncate",
+    "token_count",
+    "top_n",
+    "top_supplier_revenue",
+    "unigram_logprob_score",
+    "union_years",
+    "value_drift_by_day",
+    "value_histogram",
+    "value_zscore_outliers",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
