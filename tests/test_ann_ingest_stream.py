@@ -302,3 +302,111 @@ def test_split_stream_folds_through_both_quantizer_levels(spark, tmp_path):
     q2 = start_ann_split_ingest_stream(stream2, path, str(tmp_path / "ckpt_s2"))
     q2.awaitTermination(120)
     assert spark.read.parquet(vectors).count() == 6
+
+
+def _stream_src(spark, tmp_path, name, batches):
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    return spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", True
+    ).option("maxFilesPerTrigger", 1).parquet(src), src
+
+
+def test_ivf2_stream_folds_into_nested_layout_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    from vacancy_analyser_spark.plans.similarity import (
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+    )
+    from vacancy_analyser_spark.streaming.ann_ingest import (
+        start_ann_ivf2_ingest_stream,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    part = F.pmod(F.col("vec_id"), F.lit(4))
+    base = vecs.filter(part < 2)
+    k = auto_centroids(base.count())
+    path = str(tmp_path / "ivf2_stream")
+    ivf2_build_index_frame(base, path, k, coarse_centroid_count(k))
+    stream, src = _stream_src(
+        spark, tmp_path, "ivf2_arrivals",
+        [vecs.filter(part == 2), vecs.filter(part == 3)],
+    )
+    q = start_ann_ivf2_ingest_stream(stream, path, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+
+    vectors = os.path.join(path, "vectors")
+    fine_r = spark.read.parquet(os.path.join(path, "fine"))
+    got = {
+        (r["vec_id"], r["centroid_id"], r["coarse_id"])
+        for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "coarse_id")
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["centroid_id"], r["coarse_id"])
+        for r in _ranked_against(vecs, fine_r.select("centroid_id", "c_emb"))
+        .filter(F.col("rn") == 1)
+        .join(fine_r.select("centroid_id", "coarse_id"), "centroid_id")
+        .select("vec_id", "centroid_id", "coarse_id")
+        .collect()
+    }
+    assert got == want
+    # full redelivery through a fresh checkpoint is a no-op
+    stream2 = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", True
+    ).parquet(src)
+    q2 = start_ann_ivf2_ingest_stream(stream2, path, str(tmp_path / "ck2b"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(vectors).count() == len(want)
+
+
+def test_ivfpq_stream_codes_from_frozen_codebook(spark, sf_dir, tmp_path):
+    from vacancy_analyser_spark.plans.similarity import (
+        _pq_assign,
+        _pq_subvectors,
+        ivfpq_build_index_frame,
+    )
+    from vacancy_analyser_spark.streaming.ann_ingest import (
+        start_ann_ivfpq_ingest_stream,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    part = F.pmod(F.col("vec_id"), F.lit(4))
+    base = vecs.filter(part < 2)
+    path = str(tmp_path / "ivfpq_stream")
+    ivfpq_build_index_frame(base, path, n_centroids=auto_centroids(base.count()))
+    stream, src = _stream_src(
+        spark, tmp_path, "ivfpq_arrivals",
+        [vecs.filter(part == 2), vecs.filter(part == 3)],
+    )
+    q = start_ann_ivfpq_ingest_stream(stream, path, str(tmp_path / "ckq"))
+    q.awaitTermination(120)
+
+    vectors = os.path.join(path, "vectors")
+    got = {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(vectors)
+        .select("vec_id", "centroid_id", "codes")
+        .collect()
+    }
+    cb_r = spark.read.parquet(os.path.join(path, "codebook"))
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    codes_arr = (
+        _pq_assign(_pq_subvectors(vecs), cb_r)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
+        .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
+    )
+    want = {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in _ranked_against(vecs, cent_r)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .join(codes_arr, "vec_id")
+        .collect()
+    }
+    assert got == want
