@@ -410,3 +410,58 @@ def test_ivfpq_stream_codes_from_frozen_codebook(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_delete_stream_serves_the_split_layout(spark, tmp_path):
+    """One takedown queue over any layout: stream two deletion batches
+    into a split (centroid_id, sub_id) index — victims leave the right
+    nested partitions, a fully-emptied sub-leaf is swept, and redelivery
+    through a fresh checkpoint is a no-op."""
+    from vacancy_analyser_spark.streaming.ann_ingest import start_ann_delete_stream
+
+    path = str(tmp_path / "split_del_stream")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.2], 0, 0), (2, [1.0, -0.2], 0, 1), (3, [0.1, 1.0], 1, 0),
+         (4, [1.0, 0.3], 0, 0)],
+        "vec_id long, embedding array<double>, centroid_id int, sub_id int",
+    )
+    vecs.write.partitionBy("centroid_id", "sub_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    src = str(tmp_path / "takedowns")
+    os.makedirs(src)
+    spark.createDataFrame([(2,)], "vec_id bigint").coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    spark.createDataFrame([(4,)], "vec_id bigint").coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint")
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_delete_stream(
+        stream, path, str(tmp_path / "ckd"),
+        partition_cols=("centroid_id", "sub_id"),
+    )
+    q.awaitTermination(120)
+
+    vectors = os.path.join(path, "vectors")
+    left = {r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()}
+    assert left == {1, 3}
+    # vec 2 was sub-leaf (0,1)'s only member — the directory is swept
+    assert not os.path.exists(os.path.join(vectors, "centroid_id=0", "sub_id=1"))
+
+    stream2 = spark.readStream.schema("vec_id bigint").option(
+        "recursiveFileLookup", True
+    ).parquet(src)
+    q2 = start_ann_delete_stream(
+        stream2, path, str(tmp_path / "ckd2"),
+        partition_cols=("centroid_id", "sub_id"),
+    )
+    q2.awaitTermination(120)
+    assert {
+        r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()
+    } == {1, 3}

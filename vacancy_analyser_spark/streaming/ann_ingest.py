@@ -92,6 +92,7 @@ def start_ann_delete_stream(
     checkpoint: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    partition_cols: tuple[str, ...] = ("centroid_id",),
 ) -> StreamingQuery:
     """The takedown twin of start_ann_ingest_stream: a stream of vec_ids
     to remove (right-to-be-forgotten requests arrive as a queue, not a
@@ -103,7 +104,12 @@ def start_ann_delete_stream(
     Deletion is idempotent BY CONSTRUCTION (re-deleting an absent id
     finds no victims and writes nothing), so foreachBatch retries and
     at-least-once delivery are safe without any skip_existing machinery.
-    Same trigger contract as the ingest stream."""
+    Same trigger contract as the ingest stream. ``partition_cols`` names
+    the served layout's partition key, exactly as for the batch delete —
+    ("centroid_id",) for flat IVF/IVFPQ (the codes column rides through
+    the layout-agnostic rewrite), ("coarse_id", "centroid_id") for the
+    two-level layout, ("centroid_id", "sub_id") for the split layout —
+    so ONE takedown queue serves every materialized index shape."""
     if available_now and processing_time is not None:
         raise ValueError(
             "available_now=True drains and stops — processing_time would be "
@@ -121,7 +127,10 @@ def start_ann_delete_stream(
         if batch_df.isEmpty():
             return
         ivf_index_delete(
-            batch_df.sparkSession, index_path, batch_df.select("vec_id")
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select("vec_id"),
+            partition_cols=partition_cols,
         )
 
     writer = deletions.writeStream.foreachBatch(_fold).option(
