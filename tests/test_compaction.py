@@ -100,25 +100,62 @@ def test_compact_is_idempotent(spark, tmp_path):
     assert _census_meta(vectors) == meta_1
 
 
-def test_compact_respects_max_records_per_file(spark, tmp_path):
+def test_compact_respects_max_records_per_file_and_salts_hot_keys(spark, tmp_path):
+    """A hot partition (rows ≫ max_records_per_file) must (a) still honor
+    the per-file record bound, (b) be rewritten by MORE THAN ONE task
+    (the per-key salt — one giant partition must not serialize the
+    rewrite), and (c) reach a fixed point: the files the salted rewrite
+    produces must not be re-selected (the churn case the byte-only
+    selection used to hit on every partition with >max_records rows but
+    <target bytes)."""
     path = str(tmp_path / "idx3")
-    _mk_two_cluster_index(spark, path, n_adds=3)
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(6)] + [
+        (10 + i, [0.0, 1.0, float(i % 3) * 0.01]) for i in range(3)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_build_index_frame(vecs, path, n_centroids=2)
+    # 12 single-row adds fragment cluster A far past ceil(rows/maxrec)
+    for j in range(12):
+        ivf_index_incremental_add(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100 + j, [1.0, 0.0, 0.02 + j * 0.001])],
+                "vec_id long, embedding array<double>",
+            ),
+        )
     vectors = os.path.join(path, "vectors")
-    before = partition_file_census(spark, vectors, ("centroid_id",))
-    frag = fragmented_keys(before)
-    rows_per_key = {
-        (r["centroid_id"],): r["n"]
-        for r in spark.read.parquet(vectors)
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n"))
+    want = _content(spark, vectors)
+
+    # AQE would coalesce these toy-sized shuffle partitions into one task
+    # regardless of the salt; at real scale coalescing respects the
+    # advisory partition size, so disabling it here just makes the salt's
+    # parallelism observable.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        report = compact_partitions(spark, vectors, max_records_per_file=2)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    hot = [r for r in report if r["files_before"] >= 13]
+    assert hot, "cluster A (build + 12 adds) must have been selected"
+    # (a) every output file of the hot key holds <= 2 rows
+    hot_key = hot[0]["key"]
+    per_file = (
+        spark.read.parquet(vectors)
+        .filter(F.col("centroid_id") == hot_key[0])
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
         .collect()
-    }
-    report = compact_partitions(spark, vectors, max_records_per_file=2)
-    after = partition_file_census(spark, vectors, ("centroid_id",))
-    for r in report:
-        need = -(-rows_per_key[r["key"]] // 2)  # ceil(rows/2)
-        assert after[r["key"]][0] >= need
-    assert sorted(r["key"] for r in report) == frag
+    )
+    assert per_file and all(r["count"] <= 2 for r in per_file)
+    # (b) >1 distinct writer task: parquet part numbers are task ids
+    parts = {os.path.basename(r["f"]).split("-")[1] for r in per_file}
+    assert len(parts) > 1, "hot-key rewrite ran in a single task"
+    # (c) fixed point: nothing re-selected, content intact
+    assert compact_partitions(spark, vectors, max_records_per_file=2) == []
+    assert _content(spark, vectors) == want
 
 
 def test_compact_through_scheme_qualified_path(spark, tmp_path):

@@ -17,25 +17,46 @@ wherever the table lives — HDFS/S3A/file:):
 - CENSUS: one recursive file listing groups data files by partition key.
   Driver-side, but metadata-sized — (path, length) per file, the same
   listing any query planner over this table performs.
-- SELECT: a partition is fragmented when its file count exceeds what its
-  bytes justify (``ceil(bytes / target_file_bytes)``) — a partition
-  already at one right-sized file is never touched, so compaction is
-  idempotent and untouched partitions stay byte-identical (tested).
+- SELECT: a partition is fragmented when its file count exceeds what the
+  REWRITE could produce for it — ``max(ceil(bytes / target_file_bytes),
+  ceil(rows / max_records_per_file))``, plus one file of slack for
+  multi-file expectations (the salted rewrite's worst case — see
+  ``fragmented_keys``). Both bounds matter: selecting on
+  bytes alone re-flags every partition whose rows exceed the per-file
+  record bound but whose bytes fit one file (typical embedding rows are
+  well under 2.5 KB, so 50k rows is far below 128 MB), rewriting it into
+  the same ≥2 files on EVERY call — perpetual churn under a resident
+  ``compact_every`` loop. Folding the record bound in makes selection
+  exactly the rewrite's fixed point: a freshly compacted partition can
+  never be re-selected, so compaction is idempotent (tested, including
+  the >max_records <target_bytes churn case) and untouched partitions
+  stay byte-identical. Row counts come from one zero-data-column count
+  grouped on the partition key — parquet answers it from footers.
 - REWRITE: read ONLY the fragmented partitions (OR-of-AND literal
-  partition filter → planning-time pruning), cluster each key into one
-  task via ``repartition(partition_cols)``, and dynamic-partition-
-  overwrite them with ``maxRecordsPerFile`` bounding file size — the
-  reference feeder's own output discipline (feeder_hadoop.py:20
-  ``ROWS_PER_FILE = 50000``) applied as maintenance instead of only at
-  first write. The localCheckpoint breaks lineage to the files being
-  replaced (same trick as the add's read-then-append).
+  partition filter → planning-time pruning), cluster by partition key —
+  salted into ``ceil(rows / max_records_per_file)`` sub-tasks when a hot
+  key holds more rows than one right-sized file, so one giant partition
+  compacts in parallel instead of one task emitting its files
+  sequentially — and dynamic-partition-overwrite them with
+  ``maxRecordsPerFile`` bounding file size: the reference feeder's own
+  output discipline (feeder_hadoop.py:20 ``ROWS_PER_FILE = 50000``)
+  applied as maintenance instead of only at first write. The salt is a
+  deterministic hash of the row (xxhash64 over all columns), never
+  rand()/monotonic ids — a nondeterministic repartition key corrupts
+  data under task retry. The localCheckpoint breaks lineage to the
+  files being replaced (same trick as the add's read-then-append).
 
 Cost tracks the FRAGMENTED fraction, not the table: a changeset-shaped
 nightly compact after a day of streaming ingest reads and writes only the
-partitions the day's batches touched. Skew note: one giant fragmented
-partition becomes one write task emitting ``rows/max_records`` files
-sequentially — acceptable for maintenance; the selection threshold keeps
-healthy partitions out of the job entirely.
+partitions the day's batches touched.
+
+Concurrency contract: compaction is read-then-overwrite, NOT transactional
+against concurrent writers — rows appended to a victim partition between
+the localCheckpoint read and the overwrite commit would be dropped. One
+writer per table at a time: either run compaction from inside the same
+foreachBatch loop that owns the table (``compact_every=`` in the ingest
+streams does exactly this) or take the table's maintenance lease
+(operators/ixlock.py) around any out-of-band compact.
 
 Serves every partitioned layout in the repo: flat IVF / IVFPQ vectors
 (``centroid_id``), the two-level layout (``coarse_id, centroid_id``), the
@@ -109,16 +130,62 @@ def partition_file_census(
     return {k: (v[0], v[1]) for k, v in out.items()}
 
 
+def partition_row_counts(
+    spark: SparkSession, table_dir: str, partition_cols: tuple[str, ...]
+) -> dict[tuple, int]:
+    """{partition key tuple: row count}. The projection is the partition
+    columns only (directory-derived), so parquet serves the counts from
+    file footers — metadata-sized like the census, collect bounded by the
+    partition count."""
+    return {
+        tuple(r[c] for c in partition_cols): r["__n"]
+        for r in spark.read.parquet(table_dir)
+        .groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+
+
+def expected_files(
+    n_bytes: int,
+    n_rows: int,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    max_records_per_file: int = MAX_RECORDS_PER_FILE,
+) -> int:
+    """File count the rewrite would produce for a partition — the
+    selection threshold MUST be this (not bytes alone) or partitions the
+    record bound forces into ≥2 files are re-rewritten forever."""
+    return max(
+        1,
+        math.ceil(n_bytes / target_file_bytes),
+        math.ceil(n_rows / max_records_per_file),
+    )
+
+
 def fragmented_keys(
     census: dict[tuple, tuple[int, int]],
     target_file_bytes: int = TARGET_FILE_BYTES,
+    row_counts: dict[tuple, int] | None = None,
+    max_records_per_file: int = MAX_RECORDS_PER_FILE,
 ) -> list[tuple]:
-    """Partition keys holding more files than their bytes justify."""
-    return sorted(
-        k
-        for k, (n_files, n_bytes) in census.items()
-        if n_files > max(1, math.ceil(n_bytes / target_file_bytes))
-    )
+    """Partition keys holding more files than the rewrite could produce.
+    Without ``row_counts`` the record bound is skipped (bytes-only — the
+    quick census-side preview); ``compact_partitions`` always passes
+    counts so its selection is the rewrite's exact fixed point."""
+    rc = row_counts or {}
+    out = []
+    for k, (n_files, n_bytes) in census.items():
+        e = expected_files(
+            n_bytes, rc.get(k, 0), target_file_bytes, max_records_per_file
+        )
+        # +1 slack for multi-file partitions: the salted rewrite's hash
+        # buckets can overfill one bucket past the record bound and emit
+        # e+1 files — without the slack that output would be re-selected
+        # (and deterministically re-produced) forever. Single-file
+        # expectations stay exact: nothing below 2 files is ever touched.
+        if n_files > (e + 1 if e > 1 else e):
+            out.append(k)
+    return sorted(out)
 
 
 def keys_filter(partition_cols: tuple[str, ...], keys) -> F.Column:
@@ -149,7 +216,12 @@ def compact_partitions(
     ``{key, files_before, files_after, bytes}`` (empty list → nothing was
     fragmented, nothing was written — idempotence)."""
     census = partition_file_census(spark, table_dir, partition_cols)
-    victims = fragmented_keys(census, target_file_bytes)
+    if not census:
+        return []
+    counts = partition_row_counts(spark, table_dir, partition_cols)
+    victims = fragmented_keys(
+        census, target_file_bytes, counts, max_records_per_file
+    )
     if not victims:
         return []
     rows = (
@@ -157,9 +229,37 @@ def compact_partitions(
         .filter(keys_filter(partition_cols, victims))
         .localCheckpoint(eager=True)
     )
+    # One task per key is right while a victim fits one output file; a
+    # hot key holding many right-sized files' worth of rows is salted
+    # across exactly that many buckets (per-key modulus — a global salt
+    # would shred small victims' single files) so the biggest partition
+    # no longer serializes the whole rewrite. The salt is a deterministic
+    # row hash — retry-safe where rand() is not.
+    per_key_expected = {
+        k: expected_files(
+            census[k][1], counts.get(k, 0), target_file_bytes,
+            max_records_per_file,
+        )
+        for k in victims
+    }
+    key_cols = [F.col(c) for c in partition_cols]
+    if max(per_key_expected.values()) > 1:
+        modulus = F.lit(1)
+        for k, e in per_key_expected.items():
+            if e > 1:
+                cond = ft.reduce(
+                    lambda x, y: x & y,
+                    [F.col(c) == F.lit(v) for c, v in zip(partition_cols, k)],
+                )
+                modulus = F.when(cond, F.lit(e)).otherwise(modulus)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in rows.columns]), modulus
+        )
+        shaped = rows.repartition(*key_cols, salt)
+    else:
+        shaped = rows.repartition(*key_cols)
     (
-        rows.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
+        shaped.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)

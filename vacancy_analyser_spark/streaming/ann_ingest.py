@@ -12,12 +12,46 @@ parquet append would double-insert on the retry — so every fold runs the
 add with ``skip_existing=True`` (already-indexed vec_ids anti-joined out
 against ONLY the touched partitions). With unique vec_ids the fold is
 idempotent, so checkpoint replay and at-least-once delivery are safe.
+
+Single-writer story: every maintenance op these folds compose
+(incremental add, delete, compaction) is read-then-dynamic-overwrite and
+loses rows written to a victim partition by a CONCURRENT writer between
+its read and its commit. Each fold therefore runs under the index's
+maintenance lease (operators/ixlock.py): an ingest loop, a takedown loop
+and an out-of-band compact pointed at the same index serialize per
+micro-batch instead of corrupting each other. A fold that cannot obtain
+the lease within ``lease_timeout`` seconds raises — surfacing the
+misconfiguration (two unserialized writers) instead of hiding it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ixlock import maintenance_lease
+
+#: How long a fold waits for the index's maintenance lease before failing
+#: the batch. Generous: the legitimate holder is a sibling maintenance
+#: loop mid-fold, and a trigger-time wait is backpressure, not deadlock.
+DEFAULT_LEASE_TIMEOUT = 600.0
+
+
+def _leased(index_path: str, owner: str, fold, lease_timeout: float):
+    """Wrap a foreachBatch fold so it runs under the index lease."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with maintenance_lease(
+            batch_df.sparkSession,
+            index_path,
+            owner=f"{owner}#batch{batch_id}",
+            timeout=lease_timeout,
+        ):
+            fold(batch_df, batch_id)
+
+    return run
 
 
 def start_ann_ingest_stream(
@@ -66,8 +100,6 @@ def start_ann_ingest_stream(
     from ..plans.similarity import ivf_index_incremental_add
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ivf_index_incremental_add(
             batch_df.sparkSession, index_path, batch_df, skip_existing=True
         )
@@ -76,9 +108,9 @@ def start_ann_ingest_stream(
                 batch_df.sparkSession, os.path.join(index_path, "vectors")
             )
 
-    writer = batches.writeStream.foreachBatch(_fold).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = batches.writeStream.foreachBatch(
+        _leased(index_path, "ann-ingest", _fold, DEFAULT_LEASE_TIMEOUT)
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
@@ -124,8 +156,6 @@ def start_ann_delete_stream(
     from ..plans.similarity import ivf_index_delete
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ivf_index_delete(
             batch_df.sparkSession,
             index_path,
@@ -133,9 +163,9 @@ def start_ann_delete_stream(
             partition_cols=partition_cols,
         )
 
-    writer = deletions.writeStream.foreachBatch(_fold).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = deletions.writeStream.foreachBatch(
+        _leased(index_path, "ann-delete", _fold, DEFAULT_LEASE_TIMEOUT)
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
@@ -182,8 +212,6 @@ def start_ann_split_ingest_stream(
     from ..plans.similarity import split_index_incremental_add
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         split_index_incremental_add(
             batch_df.sparkSession, index_path, batch_df, skip_existing=True
         )
@@ -194,9 +222,9 @@ def start_ann_split_ingest_stream(
                 ("centroid_id", "sub_id"),
             )
 
-    writer = batches.writeStream.foreachBatch(_fold).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = batches.writeStream.foreachBatch(
+        _leased(index_path, "ann-split-ingest", _fold, DEFAULT_LEASE_TIMEOUT)
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
@@ -253,13 +281,17 @@ def start_ann_ivfpq_ingest_stream(
     from ..plans.similarity import ivfpq_index_incremental_add
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ivfpq_index_incremental_add(
             batch_df.sparkSession, index_path, batch_df, skip_existing=True
         )
 
-    return _start_fold_stream(batches, checkpoint, _fold, available_now, processing_time)
+    return _start_fold_stream(
+        batches,
+        checkpoint,
+        _leased(index_path, "ann-ivfpq-ingest", _fold, DEFAULT_LEASE_TIMEOUT),
+        available_now,
+        processing_time,
+    )
 
 
 def start_ann_ivf2_ingest_stream(
@@ -278,10 +310,14 @@ def start_ann_ivf2_ingest_stream(
     from ..plans.similarity import ivf2_index_incremental_add
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ivf2_index_incremental_add(
             batch_df.sparkSession, index_path, batch_df, skip_existing=True
         )
 
-    return _start_fold_stream(batches, checkpoint, _fold, available_now, processing_time)
+    return _start_fold_stream(
+        batches,
+        checkpoint,
+        _leased(index_path, "ann-ivf2-ingest", _fold, DEFAULT_LEASE_TIMEOUT),
+        available_now,
+        processing_time,
+    )
