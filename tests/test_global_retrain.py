@@ -1,0 +1,134 @@
+"""ivf_global_retrain (plans/similarity.py): the consumer of the
+whole-index retrain verdict — rebuild on current content, atomic swap,
+lookup rebuild. The driver key ann_global_retrain hashes the composed
+result against the conditional oracle; these tests pin the branches and
+crash states the oracle can't see."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from vacancy_analyser_spark.operators.ann_lookup import build_lookup
+from vacancy_analyser_spark.plans.similarity import (
+    auto_centroids,
+    ivf_build_index_frame,
+    ivf_global_retrain,
+    ivf_index_incremental_add,
+)
+
+
+def _mk_drifted_index(spark, path):
+    """Base build over cluster A; cluster B arrives as an add — the
+    current content (A ∪ B) is what a retrain must train on."""
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0, (i % 5) * 0.01]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    drift = spark.createDataFrame(
+        [(100 + i, [0.0, 1.0, (i % 5) * 0.01]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_build_index_frame(base, path, n_centroids=2)
+    ivf_index_incremental_add(spark, path, drift)
+    return base.unionByName(drift)
+
+
+def _assignment(spark, path):
+    return {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "vectors"))
+        .select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"))
+        .collect()
+    }
+
+
+def _verdict(spark, flag):
+    return spark.createDataFrame([(flag,)], "index_retrain boolean")
+
+
+def _tree_digest(root):
+    out = {}
+    for dirpath, _d, names in os.walk(root):
+        for n in sorted(names):
+            p = os.path.join(dirpath, n)
+            out[os.path.relpath(p, root)] = (
+                os.path.getsize(p),
+                os.path.getmtime(p),
+            )
+    return out
+
+
+def test_false_verdict_is_a_provable_noop(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    _mk_drifted_index(spark, path)
+    before = _tree_digest(path)
+    assert ivf_global_retrain(spark, path, _verdict(spark, False)) is False
+    assert _tree_digest(path) == before  # nothing rewritten, nothing staged
+    assert not os.path.exists(path + "__rebuild")
+    assert not os.path.exists(path + "__retired")
+
+
+def test_retrain_rebuilds_on_current_content_and_swaps(spark, tmp_path):
+    path = str(tmp_path / "idx2")
+    content = _mk_drifted_index(spark, path)
+    build_lookup(spark, path)
+    stale = _assignment(spark, path)
+
+    assert ivf_global_retrain(spark, path, _verdict(spark, True)) is True
+    # swap left no intermediate state behind
+    assert not os.path.exists(path + "__rebuild")
+    assert not os.path.exists(path + "__retired")
+
+    # rebuild equivalence: identical to a from-scratch build of the
+    # current content (deterministic trainer, same auto-k)
+    ref = str(tmp_path / "ref")
+    ivf_build_index_frame(content, ref, n_centroids=auto_centroids(content.count()))
+    got = _assignment(spark, path)
+    assert got == _assignment(spark, ref)
+    # the drifted cluster was actually re-homed (stale != retrained)
+    assert got != stale
+
+    # the lookup was rebuilt against the NEW centroids
+    lk = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "lookup"))
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert lk == got
+
+
+def test_leftover_crash_dirs_are_swept(spark, tmp_path):
+    """A crashed prior attempt leaves __rebuild and/or __retired behind;
+    the next retrain must sweep them and still publish a clean swap."""
+    path = str(tmp_path / "idx3")
+    content = _mk_drifted_index(spark, path)
+    for leftover in (path + "__rebuild", path + "__retired"):
+        os.makedirs(leftover)
+        open(os.path.join(leftover, "junk"), "w").write("stale attempt")
+
+    assert ivf_global_retrain(spark, path, _verdict(spark, True)) is True
+    assert not os.path.exists(path + "__rebuild")
+    assert not os.path.exists(path + "__retired")
+    ref = str(tmp_path / "ref3")
+    ivf_build_index_frame(content, ref, n_centroids=auto_centroids(content.count()))
+    assert _assignment(spark, path) == _assignment(spark, ref)
+
+
+def test_no_lookup_no_lookup_created(spark, tmp_path):
+    """An index that never maintained a lookup must not grow one as a
+    retrain side effect."""
+    path = str(tmp_path / "idx4")
+    _mk_drifted_index(spark, path)
+    assert ivf_global_retrain(spark, path, _verdict(spark, True)) is True
+    assert not os.path.exists(os.path.join(path, "lookup"))
+
+
+def test_empty_decision_is_noop(spark, tmp_path):
+    path = str(tmp_path / "idx5")
+    _mk_drifted_index(spark, path)
+    empty = spark.createDataFrame([], "index_retrain boolean")
+    assert ivf_global_retrain(spark, path, empty) is False

@@ -1,20 +1,28 @@
-"""id→centroid lookup table beside a materialized IVF index.
+"""id→partition lookup table beside a materialized vector index.
 
 ivf_index_delete's LOCATE step is the one whole-index read in the deletion
-path: given takedown vec_ids, it scans the index (two columns) to find
-which centroid partitions hold victims. At true scale even that
-column-pruned scan is avoidable — the assignment IS a lookup table, so
-materializing it keyed BY VEC ID makes locate a partition-pruned point
-read. This module maintains that table:
+path: given takedown vec_ids, it scans the index (key columns only) to
+find which partitions hold victims. At true scale even that column-pruned
+scan is avoidable — the assignment IS a lookup table, so materializing it
+keyed BY VEC ID makes locate a partition-pruned point read. This module
+maintains that table, for EVERY served layout: the lookup row carries the
+layout's full partition key tuple — ``("centroid_id",)`` for flat
+IVF/IVFPQ, ``("coarse_id", "centroid_id")`` for the two-level layout,
+``("centroid_id", "sub_id")`` for the split layout — so the nested
+layouts get the same zero-index-read takedown as the flat one.
 
 - ``build_lookup``: one column-pruned scan of ``vectors/`` writes
-  ``lookup/`` as (vec_id, centroid_id) partitioned by
+  ``lookup/`` as (vec_id, *partition_cols) partitioned by
   ``pmod(xxhash64(vec_id), N_LOOKUP_BUCKETS)`` — the partitioned_state
   bucket recipe, so a locate for a batch of ids prunes to the buckets the
   ids hash into.
-- ``locate``: ids → their centroid partitions, reading ONLY the ids'
-  hash buckets (planning-time pruning on the bucket column; asserted in
-  tests/test_ann_lookup.py).
+- ``locate``: ids → their partition keys, reading ONLY the ids' hash
+  buckets (planning-time pruning on the bucket column; asserted in
+  tests/test_ann_lookup.py). The id frame is materialized once
+  (changeset-sized by contract) and broadcast only when a bounded
+  limit+count probe proves it small — takedown queues feed this
+  unbounded batches, and an oversized forced broadcast is a driver OOM
+  (the same probe discipline as ivf_index_delete).
 - ``refresh_lookup_buckets``: after an add/delete touched the index,
   re-derive ONLY the buckets the changed ids hash into — maintenance
   cost tracks the changeset like every other partition-scoped op here.
@@ -22,8 +30,11 @@ read. This module maintains that table:
 Deliberately layered BESIDE ivf_index_delete rather than into it: the
 delete's correctness contract (and its driver-checked keys) stay
 scan-based and self-contained; a deployment that maintains the lookup
-passes ``locate()``'s result as the touched-partition list. Cited parity:
-the reference has no vector surface (SURVEY §2.11 is additive scope).
+passes ``locate()``'s result as the touched-partition list (driver keys
+``ann_index_delete_lookup`` / ``ann_ivf2_index_delete_lookup`` hash the
+post-delete lookup against the assignment-minus-deleted oracle). Cited
+parity: the reference has no vector surface (SURVEY §2.11 is additive
+scope).
 """
 
 from __future__ import annotations
@@ -40,19 +51,36 @@ from . import fsutil
 #: fragment into empty directories.
 N_LOOKUP_BUCKETS = 32
 
+#: Largest id batch locate() will broadcast — same budget and rationale as
+#: plans/similarity.DELETE_BROADCAST_MAX_IDS (1M bigint ids ≈ 8 MB payload,
+#: tens of MB hashed). Bigger batches shuffle-join against the pruned
+#: buckets, which is the right plan for them anyway.
+LOOKUP_BROADCAST_MAX_IDS = 1_000_000
+
+
 def _bucket_col():
     # built lazily: constructing a Column at import time requires an
     # active SparkContext, which test collection does not have
     return F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_LOOKUP_BUCKETS)).alias("bucket")
 
 
-def build_lookup(spark: SparkSession, index_path: str) -> str:
+def _key_cols(partition_cols: tuple[str, ...]) -> list:
+    return [F.col(c).cast("bigint").alias(c) for c in partition_cols]
+
+
+def build_lookup(
+    spark: SparkSession,
+    index_path: str,
+    partition_cols: tuple[str, ...] = ("centroid_id",),
+) -> str:
     """Derive ``lookup/`` from the index's vectors table (one column-pruned
-    scan — vec_id + the centroid_id partition column, never embeddings)."""
+    scan — vec_id + the layout's partition key columns, never embeddings).
+    ``partition_cols`` is the served layout's full partition key, so the
+    lookup can drive a zero-index-read delete on nested layouts too."""
     lookup_dir = os.path.join(index_path, "lookup")
     (
         spark.read.parquet(os.path.join(index_path, "vectors"))
-        .select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"))
+        .select("vec_id", *_key_cols(partition_cols))
         .withColumn("bucket", _bucket_col())
         .write.partitionBy("bucket")
         .mode("overwrite")
@@ -61,11 +89,20 @@ def build_lookup(spark: SparkSession, index_path: str) -> str:
     return lookup_dir
 
 
-def locate(spark: SparkSession, index_path: str, ids: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id) for the given ids — reads only the ids' hash
-    buckets. ``ids`` must be driver-small-ish only in the sense that its
-    distinct buckets are collected (≤ N_LOOKUP_BUCKETS values, bounded by
-    design); the ids themselves join distributed."""
+def locate(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    partition_cols: tuple[str, ...] = ("centroid_id",),
+) -> DataFrame:
+    """(vec_id, *partition_cols) for the given ids — reads only the ids'
+    hash buckets. The distinct-bucket collect is bounded by design
+    (≤ N_LOOKUP_BUCKETS values); the ids themselves join distributed,
+    broadcast only when the bounded probe proves the batch small."""
+    # one materialization serves the probe, the bucket projection and the
+    # semi-join — without it an expensive ids lineage is re-evaluated
+    # three times per call (and per micro-batch in a takedown stream)
+    ids = ids.select("vec_id").localCheckpoint(eager=True)
     buckets = sorted(
         r["b"]
         for r in ids.select(
@@ -75,13 +112,15 @@ def locate(spark: SparkSession, index_path: str, ids: DataFrame) -> DataFrame:
         .collect()
     )
     if not buckets:
-        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+        return spark.createDataFrame(
+            [], "vec_id bigint, " + ", ".join(f"{c} bigint" for c in partition_cols)
+        )
+    if ids.limit(LOOKUP_BROADCAST_MAX_IDS + 1).count() <= LOOKUP_BROADCAST_MAX_IDS:
+        ids = F.broadcast(ids)
     lk = spark.read.parquet(os.path.join(index_path, "lookup")).filter(
         F.col("bucket").isin(buckets)
     )
-    return lk.join(F.broadcast(ids.select("vec_id")), "vec_id", "left_semi").select(
-        "vec_id", "centroid_id"
-    )
+    return lk.join(ids, "vec_id", "left_semi").select("vec_id", *partition_cols)
 
 
 def compact_lookup(spark: SparkSession, index_path: str) -> list[dict]:
@@ -97,7 +136,10 @@ def compact_lookup(spark: SparkSession, index_path: str) -> list[dict]:
 
 
 def refresh_lookup_buckets(
-    spark: SparkSession, index_path: str, changed_ids: DataFrame
+    spark: SparkSession,
+    index_path: str,
+    changed_ids: DataFrame,
+    partition_cols: tuple[str, ...] = ("centroid_id",),
 ) -> list[int]:
     """Re-derive ONLY the lookup buckets the changed ids hash into, from
     the current vectors table (dynamic partition overwrite — untouched
@@ -116,7 +158,7 @@ def refresh_lookup_buckets(
         return []
     fresh = (
         spark.read.parquet(os.path.join(index_path, "vectors"))
-        .select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"))
+        .select("vec_id", *_key_cols(partition_cols))
         .withColumn("bucket", _bucket_col())
         .filter(F.col("bucket").isin(buckets))
         .localCheckpoint(eager=True)

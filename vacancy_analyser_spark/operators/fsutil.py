@@ -62,6 +62,19 @@ def delete_dir(spark: SparkSession, path: str, if_exists: bool = False) -> bool:
     return True
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` — the atomic-publish primitive behind the
+    global-retrain swap (directory rename is atomic on HDFS; on object
+    stores it degrades to copy+delete, which is why the swap sequence is
+    designed so every intermediate crash state is recoverable rather than
+    assuming atomicity). Raises on failure: a half-published index is
+    corruption, not a warning."""
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    if not fs.rename(s, d):
+        raise IOError(f"rename {src} -> {dst} failed; index swap aborted")
+
+
 def prune_empty_parents(spark: SparkSession, start: str, root: str) -> None:
     """Remove empty ancestor directories of ``start`` (exclusive) up to
     ``root`` (exclusive) — a nested partition layout can leave a hollow

@@ -207,3 +207,118 @@ def snapshot_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(store_schema).parquet(merged).select(
         "user_id", "n_a", "n_b", "status"
     )
+
+
+@register(
+    "state_store_compact",
+    oracle=f"""
+        WITH a AS ({_snap_sql(_A_LO, _A_HI)}),
+             b AS (
+                SELECT user_id, COUNT(*) AS n_events
+                FROM events
+                WHERE ts >= TIMESTAMP '{_B_LO}' AND ts < TIMESTAMP '{_B_HI}'
+                  AND user_id % {_CS_MOD} = {_CS_REM}
+                GROUP BY user_id
+             )
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               a.n_events AS n_a,
+               b.n_events AS n_b,
+               CASE WHEN a.user_id IS NULL THEN 'inserted'
+                    WHEN b.user_id IS NULL THEN 'retained'
+                    WHEN a.n_events <> b.n_events THEN 'updated'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    tags=("D1", "opt-partitioned"),
+)
+def state_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction driver-checked on the PARTITIONED STATE STORE: every
+    merge_changeset_partitioned rewrites its touched id-buckets through an
+    unclustered shuffle (one file per task per bucket), so a store folding
+    a changeset stream fragments like every other partitioned layout
+    here. Fixture: the snapshot_merge_partitioned recipe with the
+    changeset folded in as TWO disjoint half-merges (split on
+    (user_id / mod) parity — the fragmenting workload; the halves are
+    user-disjoint, so the folded result is provably identical to the
+    one-shot merge), then compact_state (the shared compact_partitions
+    keyed on id_bucket).
+
+    The returned frame is the WHOLE post-compact state read back from
+    disk; the oracle is the single-merge statement itself — compaction
+    must change file boundaries and nothing else, on top of the merge
+    equivalence the base key already pins. File-census shrink and
+    logical-content identity are additionally pinned in
+    tests/test_compaction.py::test_compact_state_store."""
+    import os
+    import shutil
+
+    from ..io import materialization_is_fresh
+    from ..operators.partitioned_state import (
+        N_STATE_BUCKETS,
+        compact_state,
+        merge_changeset_partitioned,
+        write_state,
+    )
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse"
+    )
+    recipe = (
+        f"b{N_STATE_BUCKETS}_{_A_LO[:10]}_{_A_HI[:10]}_m{_CS_MOD}r{_CS_REM}_cmp"
+    ).replace("-", "")
+    store = os.path.join(warehouse, f"partstate_{tag}_{recipe}", "state")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not materialization_is_fresh(store, src):
+        shutil.rmtree(store, ignore_errors=True)
+        init = (
+            load_table(
+                spark, sf_dir, "events", ts_filters=[("ts", ">=", _A_LO), ("ts", "<", _A_HI)]
+            )
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_a"))
+            .select(
+                "user_id",
+                "n_a",
+                F.lit(None).cast("long").alias("n_b"),
+                F.lit("retained").alias("status"),
+            )
+        )
+        write_state(init, store, key="user_id")
+
+        changeset = (
+            load_table(
+                spark, sf_dir, "events", ts_filters=[("ts", ">=", _B_LO), ("ts", "<", _B_HI)]
+            )
+            .filter(F.col("user_id") % _CS_MOD == _CS_REM)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_b_new"))
+        )
+
+        def classify(old: DataFrame, ch: DataFrame) -> DataFrame:
+            o, c = old.alias("o"), ch.alias("c")
+            status = (
+                F.when(F.col("o.user_id").isNull(), "inserted")
+                .when(F.col("c.user_id").isNull(), F.col("o.status"))
+                .when(F.col("o.n_a") != F.col("c.n_b_new"), "updated")
+                .otherwise("unchanged")
+            )
+            return o.join(
+                c, F.col("o.user_id") == F.col("c.user_id"), "full_outer"
+            ).select(
+                F.coalesce(F.col("o.user_id"), F.col("c.user_id")).alias("user_id"),
+                F.col("o.n_a").alias("n_a"),
+                F.coalesce(F.col("c.n_b_new"), F.col("o.n_b")).alias("n_b"),
+                status.alias("status"),
+            )
+
+        half = F.floor(F.col("user_id") / _CS_MOD) % 2
+        for parity in (0, 1):
+            merge_changeset_partitioned(
+                spark, store, changeset.filter(half == parity), classify, key="user_id"
+            )
+        compact_state(spark, store)
+    store_schema = "user_id bigint, n_a bigint, n_b bigint, status string, id_bucket int"
+    return spark.read.schema(store_schema).parquet(store).select(
+        "user_id", "n_a", "n_b", "status"
+    )

@@ -552,3 +552,135 @@ def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _cleanup(root)
     return out
+
+
+def _ann_stream_delete_ivf2_oracle() -> str:
+    """Full-chain-minus-deleted oracle on the TWO-LEVEL layout — the same
+    statement ann_ivf2_index_delete pins for the one-shot batch delete
+    (similarity.py): the streamed queue must land the index exactly
+    there, redeliveries and batch boundaries notwithstanding."""
+    from .similarity import DEL_MOD, DEL_REM, _ivf2_chain_sql, _lloyd_chain_sql
+
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        {_lloyd_chain_sql(src="vecs")},
+        {_ivf2_chain_sql(src="vecs")},
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned a JOIN f2c f ON a.centroid_id = f.centroid_id
+        WHERE a.vec_id % {DEL_MOD} <> {DEL_REM}
+    """
+
+
+@register(
+    "ann_stream_delete_ivf2",
+    oracle=_ann_stream_delete_ivf2_oracle(),
+    tags=("ext-streaming", "ext-sim", "replay", "opt-partition-pruning"),
+)
+def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming takedown queue driven over a NESTED layout,
+    driver-checked (r10 verdict: the queue was layout-generic via
+    ``partition_cols=`` but only the flat layout had a streamed driver
+    oracle; at scale the nested layouts are the ones actually served).
+    Fixture: build the full two-level index, then replay the takedown set
+    (vec_id ≡ {{DEL_REM}} mod {{DEL_MOD}}) through
+    start_ann_delete_stream as FOUR micro-batches — the ids split in
+    three, PLUS a fourth trigger REDELIVERING the first batch's ids (the
+    at-least-once case: deleting an absent id locates no victims and
+    writes nothing, so the redelivery must be a provable no-op on the
+    driver's own check, not just in pytest). Per trigger the fold runs
+    ivf_index_delete with partition_cols=("coarse_id", "centroid_id"):
+    nested victim directories rewritten, emptied leaves swept with their
+    hollow parents, both quantizer levels frozen, each fold under the
+    index's maintenance lease.
+
+    The returned frame is the final on-disk index; the oracle is the
+    batch delete's full-chain-minus-deleted statement — a stream that
+    dropped a queue entry, double-applied a redelivery, or left a dead
+    nested directory serving rows hash-mismatches."""
+    import glob
+    import time
+
+    from ..plans.similarity import (
+        DEL_MOD,
+        DEL_REM,
+        _vectors,
+        auto_centroids,
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+    )
+    from ..streaming.ann_ingest import start_ann_delete_stream
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, coarse_id bigint"
+        )
+    k = auto_centroids(n)
+    kc = coarse_centroid_count(k)
+    root = tempfile.mkdtemp(prefix="ann_stream_del2_")
+    index = os.path.join(root, "index")
+    src = os.path.join(root, "queue")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        ivf2_build_index_frame(vecs, index, k, kc)
+        dels = vecs.filter(
+            (F.col("vec_id") % DEL_MOD) == DEL_REM
+        ).select("vec_id")
+        _write_batches(dels, "vec_id", src)
+        # fourth, latest-mtime file: batch 0's ids again — redelivery
+        dels.filter((F.col("vec_id") % 3) == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        now = time.time()
+        for f in glob.glob(os.path.join(src, "*")):
+            if os.path.getmtime(f) > now - 0.5:
+                os.utime(f, (now, now))
+        stream = (
+            spark.readStream.schema(dels.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ann_delete_stream(
+            stream,
+            index,
+            ckpt,
+            available_now=True,
+            partition_cols=("coarse_id", "centroid_id"),
+        )
+        _await(q)
+        out = (
+            spark.read.parquet(os.path.join(index, "vectors"))
+            .select(
+                "vec_id",
+                F.col("centroid_id").cast("bigint").alias("centroid_id"),
+                F.col("coarse_id").cast("bigint").alias("coarse_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _cleanup(root)
+    return out
