@@ -267,6 +267,7 @@ EXT_DEFER = (
 COLD_KEYS = (
     "ann_global_retrain",
     "ann_ivf2_index_delete_lookup",
+    "ann_split_index_delete_lookup",
     "ann_lookup_compact",
     "state_store_compact",
     "ann_stream_delete_ivf2",

@@ -465,3 +465,62 @@ def test_delete_stream_serves_the_split_layout(spark, tmp_path):
     assert {
         r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()
     } == {1, 3}
+
+
+def test_concurrent_ingest_and_takedown_streams_serialize_via_lease(
+    spark, sf_dir, tmp_path
+):
+    """The lease's production claim, exercised for real: an ingest stream
+    and a takedown stream run CONCURRENTLY against one index. Every
+    maintenance fold is read-then-dynamic-overwrite, so without the
+    per-fold maintenance lease an append landing in a victim partition
+    between the delete's read and its commit is silently clobbered.
+    Deletes target build-resident ids and arrivals carry fresh ids, so
+    the expected final id set is deterministic under ANY serialized
+    interleaving — rows missing from it mean a lost update."""
+    from vacancy_analyser_spark.streaming.ann_ingest import start_ann_delete_stream
+
+    vecs = _vectors(spark, sf_dir)
+    part = F.pmod(F.col("vec_id"), F.lit(4))
+    base = vecs.filter(part < 2)
+    arrivals = vecs.filter(part >= 2)
+    path = str(tmp_path / "ann_lease_idx")
+    ivf_build_index_frame(base, path, n_centroids=auto_centroids(base.count()))
+
+    # arrivals as several files -> several ingest triggers; deletions as
+    # several files -> several takedown triggers, all build-resident ids
+    src_add = str(tmp_path / "arrivals")
+    src_del = str(tmp_path / "takedowns")
+    for m in (2, 3):
+        arrivals.filter(part == m).coalesce(1).write.mode("append").parquet(src_add)
+    dels = base.filter(F.pmod(F.col("vec_id"), F.lit(8)) == 1).select("vec_id")
+    # vec_id % 8 == 1 → % 16 ∈ {1, 9}: two non-empty takedown triggers
+    for m in (1, 9):
+        dels.filter(F.pmod(F.col("vec_id"), F.lit(16)) == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_del)
+
+    q_add = start_ann_ingest_stream(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_add),
+        path,
+        str(tmp_path / "ck_add"),
+    )
+    q_del = start_ann_delete_stream(
+        spark.readStream.schema("vec_id bigint").option("maxFilesPerTrigger", 1).parquet(src_del),
+        path,
+        str(tmp_path / "ck_del"),
+    )
+    q_add.awaitTermination(180)
+    q_del.awaitTermination(180)
+
+    got_ids = {v for v, _c in _index_assignment(spark, path)}
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    want_ids = (
+        {r["vec_id"] for r in base.select("vec_id").collect()} - del_ids
+    ) | {r["vec_id"] for r in arrivals.select("vec_id").collect()}
+    assert got_ids == want_ids  # no lost adds, no resurrected deletes
+    # the lease was actually released at the end
+    from vacancy_analyser_spark.operators import ixlock
+
+    assert ixlock.try_acquire(spark, path, "post")
+    ixlock.release(spark, path)

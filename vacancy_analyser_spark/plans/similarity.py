@@ -4505,6 +4505,83 @@ def ann_split_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_split_index_delete_lookup",
+    oracle=f"""
+        WITH {_split_ctes()},
+        post AS (
+            SELECT a.vec_id, a.centroid_id,
+                   CAST(COALESCE(sf.sub_id, 0) AS BIGINT) AS sub_id
+            FROM assigned a
+            LEFT JOIN split_final sf
+              ON a.vec_id = sf.vec_id AND a.centroid_id = sf.centroid_id
+        )
+        SELECT vec_id, centroid_id, sub_id FROM post
+        WHERE vec_id % {DEL_MOD} <> {DEL_REM}
+    """,
+    tags=("ext-sim", "opt-partition-pruning"),
+)
+def ann_split_index_delete_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-index-read takedown on the SPLIT layout — with this the
+    lookup-driven locate serves every materialized shape (flat r10,
+    two-level + split r11): the lookup rows carry (centroid_id, sub_id),
+    locate is a bucket-pruned point read yielding complete nested victim
+    tuples, ivf_index_delete consumes them via ``touched=`` with no index
+    scan, and the refresh rebuilds only the deleted ids' hash buckets.
+    The returned frame is the post-delete LOOKUP read back from disk,
+    hashed against the split chain minus the takedown class — consistency
+    of the derived table with the richest layout, driver-checked."""
+    import os
+
+    from ..io import materialization_is_fresh
+    from ..operators.ann_lookup import build_lookup, locate, refresh_lookup_buckets
+
+    cols = ("centroid_id", "sub_id")
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, sub_id bigint"
+        )
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    k = auto_centroids(vecs.filter(~is_add).count())
+    path = os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"splitdellk_lloyd1_c{k}"
+    )
+    marker = os.path.join(path, "_DELLK_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not (
+        all(
+            materialization_is_fresh(os.path.join(path, d), src)
+            for d in ("vectors", "centroids", "sub_centroids")
+        )
+        and _incr_marker_fresh(marker, sf_dir)
+    ):
+        split_build_index(spark, sf_dir, path)
+        build_lookup(spark, path, partition_cols=cols)
+        dels = vecs.filter(
+            F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM
+        ).select("vec_id")
+        touched = sorted(
+            (r["centroid_id"], r["sub_id"])
+            for r in locate(spark, path, dels, partition_cols=cols)
+            .select(*cols)
+            .distinct()
+            .collect()
+        )
+        ivf_index_delete(
+            spark, path, dels, partition_cols=cols, touched=touched
+        )
+        refresh_lookup_buckets(spark, path, dels, partition_cols=cols)
+        open(marker, "w").close()
+    lk = spark.read.parquet(os.path.join(path, "lookup"))
+    return lk.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("sub_id").cast("bigint").alias("sub_id"),
+    )
+
+
 # --- Embedding/PQ quality metrics --------------------------------------------
 
 #: Outliers reported per label: the top-N vectors most distant from their
