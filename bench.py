@@ -266,6 +266,7 @@ EXT_DEFER = (
 #: this round (budget-gated; any overrun is a visible cold_skipped).
 COLD_KEYS = (
     "ann_global_retrain",
+    "ann_retrain_serve_topk",
     "ann_ivf2_index_delete_lookup",
     "ann_split_index_delete_lookup",
     "ann_lookup_compact",
@@ -818,6 +819,9 @@ def run_scale_stress(spark) -> dict:
         # the incremental-vs-rebuild index maintenance row (r8): the add
         # must cost batch-shaped work, never corpus-shaped work
         "ann_incr_ingest_x10": ext_stress.collect_incremental_ingest,
+        # the salted-compaction parallelism row (r11): a hot partition
+        # must compact across ceil(rows/max_records) tasks, not one
+        "compaction_salt_x10": ext_stress.collect_compaction_salt,
         # many-bands range join (r8): grid equi-join vs the forced NLJ on
         # x10 events × 20k bands — the dispatch's reason, measured
         "range_join_bands_x10": ext_stress.collect_range_join_bands,

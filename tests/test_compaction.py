@@ -114,8 +114,10 @@ def test_compact_respects_max_records_per_file_and_salts_hot_keys(spark, tmp_pat
     ]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     ivf_build_index_frame(vecs, path, n_centroids=2)
-    # 12 single-row adds fragment cluster A far past ceil(rows/maxrec)
-    for j in range(12):
+    # 18 single-row adds: cluster A reaches 24 rows in 19 files; with
+    # max_records_per_file=3 the right-sized layout is 8 files, so 19
+    # clears the 2× selection threshold (16)
+    for j in range(18):
         ivf_index_incremental_add(
             spark,
             path,
@@ -135,12 +137,12 @@ def test_compact_respects_max_records_per_file_and_salts_hot_keys(spark, tmp_pat
     prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        report = compact_partitions(spark, vectors, max_records_per_file=2)
+        report = compact_partitions(spark, vectors, max_records_per_file=3)
     finally:
         spark.conf.set(coalesce_key, prev)
-    hot = [r for r in report if r["files_before"] >= 13]
-    assert hot, "cluster A (build + 12 adds) must have been selected"
-    # (a) every output file of the hot key holds <= 2 rows
+    hot = [r for r in report if r["files_before"] >= 19]
+    assert hot, "cluster A (build + 18 adds) must have been selected"
+    # (a) every output file of the hot key holds <= 3 rows
     hot_key = hot[0]["key"]
     per_file = (
         spark.read.parquet(vectors)
@@ -149,12 +151,12 @@ def test_compact_respects_max_records_per_file_and_salts_hot_keys(spark, tmp_pat
         .count()
         .collect()
     )
-    assert per_file and all(r["count"] <= 2 for r in per_file)
+    assert per_file and all(r["count"] <= 3 for r in per_file)
     # (b) >1 distinct writer task: parquet part numbers are task ids
     parts = {os.path.basename(r["f"]).split("-")[1] for r in per_file}
     assert len(parts) > 1, "hot-key rewrite ran in a single task"
     # (c) fixed point: nothing re-selected, content intact
-    assert compact_partitions(spark, vectors, max_records_per_file=2) == []
+    assert compact_partitions(spark, vectors, max_records_per_file=3) == []
     assert _content(spark, vectors) == want
 
 

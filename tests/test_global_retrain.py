@@ -132,3 +132,17 @@ def test_empty_decision_is_noop(spark, tmp_path):
     _mk_drifted_index(spark, path)
     empty = spark.createDataFrame([], "index_retrain boolean")
     assert ivf_global_retrain(spark, path, empty) is False
+
+
+def test_retrain_serve_probe_is_partition_pruned(spark, sf_dir):
+    """The post-swap serve must read ONLY the probed bucket — the probe's
+    centroid filter has to reach the scan as a planning-time partition
+    filter, or serving cost scales with the index instead of the bucket."""
+    import re
+
+    from vacancy_analyser_spark.plans.similarity import ann_retrain_serve_topk
+
+    df = ann_retrain_serve_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid_id" in p for p in pfs)

@@ -435,6 +435,111 @@ def collect_incremental_ingest(spark) -> dict:
     return out
 
 
+def collect_compaction_salt(spark) -> dict:
+    """The salted-compaction parallelism row (r11): a hot partition far
+    past maxRecordsPerFile must compact across ~ceil(rows/max_records)
+    tasks, not serialize in one. Fixture: every ×REPLICAS vector filed
+    under ONE centroid partition, fragmented into one file per replica
+    slice (the shape a resident ingest stream leaves behind a hot cell).
+    Measured: compact_partitions (per-key salted rewrite, current code)
+    vs the one-task counterfactual (repartition by key alone, same
+    maxRecordsPerFile) on an identical copy — same output contract, the
+    salt buys the parallelism. Also records the distinct writer-task
+    count salvaged from the output part-file names, so the artifact
+    shows the plan shape, not just the wall."""
+    from vacancy_analyser_spark.operators.compaction import (
+        compact_partitions,
+        partition_file_census,
+    )
+
+    emb_dir = build_embeddings(spark)
+    emb = spark.read.parquet(os.path.join(emb_dir, "embeddings.parquet"))
+    out: dict[str, object] = {"replicas": REPLICAS}
+    # densify the hot cell well past the ×REPLICAS table: the claim under
+    # measure is a single partition holding MANY right-sized files' worth
+    # of rows, where a one-task rewrite serializes the whole partition's
+    # row encoding; at toy row counts fixed overhead hides that wall
+    dense = spark.range(25).select(F.col("id").cast("bigint").alias("d"))
+    hot = (
+        emb.crossJoin(F.broadcast(dense))
+        .select(
+            (F.col("vec_id") + F.col("d") * 100_000_000_000).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.lit(0).cast("int").alias("centroid_id"),
+        )
+    )
+    n_rows = hot.count()
+    out["hot_rows"] = n_rows
+    # scale the record bound to the fixture so the hot partition spans ~8
+    # right-sized files — the production regime (rows >> max_records)
+    # surrogate at this corpus size; both variants use the same bound
+    mrpf = max(1000, n_rows // 16)
+    out["max_records_per_file"] = mrpf
+
+    def _mk(table_dir: str) -> None:
+        shutil.rmtree(table_dir, ignore_errors=True)
+        # one append per slice -> 40 small files in the partition (must
+        # exceed the ~16-file right-sized layout to count as fragmented)
+        for r in range(40):
+            hot.filter(
+                F.pmod(F.col("vec_id"), F.lit(40)) == r
+            ).coalesce(1).write.mode("append").partitionBy("centroid_id").parquet(
+                table_dir
+            )
+
+    def _tasks(table_dir: str) -> int:
+        files = [
+            f
+            for f in os.listdir(os.path.join(table_dir, "centroid_id=0"))
+            if f.startswith("part-")
+        ]
+        return len({f.split("-")[1] for f in files})
+
+    salted = os.path.join(STRESS_DIR, "compact_salt")
+    _mk(salted)
+    before = partition_file_census(spark, salted, ("centroid_id",))
+    out["files_before"] = before[(0,)][0]
+    # AQE coalescing folds toy-sized shuffle partitions into one task
+    # regardless of the salt; at real sizes the advisory byte target
+    # keeps the salted tasks apart, so disable coalescing to surface the
+    # intended plan (the unit test's rationale, applied to the measure)
+    ck = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(ck, "true")
+    spark.conf.set(ck, "false")
+    try:
+        t0 = time.monotonic()
+        report = compact_partitions(spark, salted, max_records_per_file=mrpf)
+        out["salted_sec"] = round(time.monotonic() - t0, 3)
+    finally:
+        spark.conf.set(ck, prev)
+    out["salted_files_after"] = report[0]["files_after"] if report else None
+    out["salted_writer_tasks"] = _tasks(salted)
+
+    single = os.path.join(STRESS_DIR, "compact_single")
+    _mk(single)
+    t0 = time.monotonic()
+    rows = (
+        spark.read.parquet(single)
+        .filter(F.col("centroid_id") == 0)
+        .localCheckpoint(eager=True)
+    )
+    (
+        rows.repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", mrpf)
+        .partitionBy("centroid_id")
+        .parquet(single)
+    )
+    out["single_task_sec"] = round(time.monotonic() - t0, 3)
+    out["single_writer_tasks"] = _tasks(single)
+    if out["single_task_sec"]:
+        out["salted_vs_single"] = round(out["salted_sec"] / out["single_task_sec"], 2)
+    shutil.rmtree(salted, ignore_errors=True)
+    shutil.rmtree(single, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import tools.scale_stress as dstress
     from vacancy_analyser_spark.plans.registry import queries

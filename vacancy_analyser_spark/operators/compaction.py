@@ -18,10 +18,10 @@ wherever the table lives — HDFS/S3A/file:):
   Driver-side, but metadata-sized — (path, length) per file, the same
   listing any query planner over this table performs.
 - SELECT: a partition is fragmented when its file count exceeds what the
-  REWRITE could produce for it — ``max(ceil(bytes / target_file_bytes),
-  ceil(rows / max_records_per_file))``, plus one file of slack for
-  multi-file expectations (the salted rewrite's worst case — see
-  ``fragmented_keys``). Both bounds matter: selecting on
+  REWRITE could produce for it — beyond ``max(ceil(bytes /
+  target_file_bytes), ceil(rows / max_records_per_file))``, with 2×
+  slack for multi-file expectations (the salted rewrite's reachable
+  worst case — see ``fragmented_keys``). Both bounds matter: selecting on
   bytes alone re-flags every partition whose rows exceed the per-file
   record bound but whose bytes fit one file (typical embedding rows are
   well under 2.5 KB, so 50k rows is far below 128 MB), rewriting it into
@@ -178,12 +178,19 @@ def fragmented_keys(
         e = expected_files(
             n_bytes, rc.get(k, 0), target_file_bytes, max_records_per_file
         )
-        # +1 slack for multi-file partitions: the salted rewrite's hash
-        # buckets can overfill one bucket past the record bound and emit
-        # e+1 files — without the slack that output would be re-selected
-        # (and deterministically re-produced) forever. Single-file
-        # expectations stay exact: nothing below 2 files is ever touched.
-        if n_files > (e + 1 if e > 1 else e):
+        # Multi-file expectations trigger at 2× the right-sized count:
+        # the salted rewrite hashes rows into e buckets, and when the
+        # partition sits at an exact multiple of the record bound roughly
+        # half the buckets overfill by one file — outputs up to ~2e are
+        # reachable, and any reachable output must NOT be re-selected
+        # (it would be deterministically re-produced forever). 2e is the
+        # rewrite's hard ceiling short of a pathologically skewed hash
+        # (a bucket >2× the bound), so the fixed point holds and a
+        # stream must double a partition's file count past right-size
+        # before compaction touches it again — the standard trigger
+        # laziness for maintenance sweeps. Single-file expectations stay
+        # exact: anything beyond 1 file is fragmentation there.
+        if n_files > (2 * e if e > 1 else 1):
             out.append(k)
     return sorted(out)
 

@@ -3847,6 +3847,166 @@ def ann_global_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_retrain_serve_topk",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   round(list_cosine_similarity(v.emb, c.c_emb), 9) AS c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        ),
+        assigned AS (
+            SELECT vec_id, centroid_id, c_sim,
+                   CAST(vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1} AS INT) AS is_add
+            FROM ranked WHERE rn = 1
+        ),
+        rep AS (
+            SELECT centroid_id,
+                   COUNT(*) FILTER (WHERE is_add = 1) AS n_added,
+                   CASE WHEN COUNT(*) FILTER (WHERE is_add = 0) = 0
+                             OR COUNT(*) FILTER (WHERE is_add = 1) = 0 THEN NULL
+                        ELSE round(
+                            round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 0) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 0), 6)
+                          - round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 1) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 1), 6), 6) END
+                       AS sim_gap
+            FROM assigned
+            GROUP BY centroid_id
+        ),
+        verdict AS (
+            SELECT round(CAST(SUM(CASE WHEN sim_gap IS NULL THEN 0
+                                       ELSE CAST(round(sim_gap * 1e6) AS BIGINT) * n_added
+                                  END) AS DOUBLE) / 1e6
+                         / SUM(CASE WHEN sim_gap IS NULL THEN 0 ELSE n_added END),
+                         6) > {RETRAIN_INDEX_GAP_T} AS g
+            FROM rep
+        ),
+        {_lloyd_chain_sql(prefix="r", src="vecs")},
+        ranked_new AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN rc1 c
+        ),
+        eff AS (
+            SELECT vec_id, centroid_id FROM ranked_new
+            WHERE rn = 1 AND (SELECT g FROM verdict)
+            UNION ALL
+            SELECT vec_id, centroid_id FROM assigned
+            WHERE NOT (SELECT g FROM verdict)
+        ),
+        effc AS (
+            SELECT centroid_id, c_emb FROM rc1 WHERE (SELECT g FROM verdict)
+            UNION ALL
+            SELECT centroid_id, c_emb FROM c1 WHERE NOT (SELECT g FROM verdict)
+        ),
+        q AS (SELECT emb AS q_emb FROM vecs WHERE vec_id = 0),
+        probe AS (
+            SELECT centroid_id FROM (
+                SELECT c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY round(list_cosine_similarity(c.c_emb, q.q_emb), 9) DESC,
+                                    c.centroid_id
+                       ) AS prn
+                FROM effc c CROSS JOIN q
+            ) WHERE prn = 1
+        )
+        SELECT vec_id, sim FROM (
+            SELECT v.vec_id,
+                   round(list_cosine_similarity(v.emb, q.q_emb), 6) AS sim,
+                   ROW_NUMBER() OVER (
+                       ORDER BY round(list_cosine_similarity(v.emb, q.q_emb), 6) DESC,
+                                v.vec_id
+                   ) AS rn
+            FROM vecs v
+            JOIN eff e ON v.vec_id = e.vec_id
+            CROSS JOIN q
+            WHERE e.centroid_id = (SELECT centroid_id FROM probe)
+              AND v.vec_id <> 0
+        ) WHERE rn <= {IVF_K}
+    """,
+    tags=("ext-sim", "pipeline", "opt-partition-pruning"),
+)
+def ann_retrain_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE through the retrained index — the chain the lifecycle ends
+    on: decision → global retrain → swap → answer queries from the
+    published index. The fixture is ann_global_retrain's (idempotent —
+    after its marker this key pays one partition-pruned probe, nothing
+    else); serving is TRAIN-FREE and reads ONLY the stored artifacts the
+    swap published: the query ranks against the swapped ``centroids/``
+    table (centroid-count rows), its nprobe=1 bucket is read under a
+    planning-time partition filter, exact top-k inside.
+
+    The oracle replays the WHOLE chain conditionally — drift verdict,
+    the branch's effective centroids AND assignment, the probe argmax,
+    the in-bucket top-k — so a serve that read a stale (pre-swap) index,
+    a half-published staging dir, or an unrefreshed assignment
+    hash-mismatches. With ann_global_retrain hashing the swapped index
+    itself, the pair proves publish + serve agree end to end."""
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    n_base = vecs.filter(~is_add).count()
+    if n_base == 0:
+        return spark.createDataFrame([], "vec_id bigint, sim double")
+    # ensure the decision->retrain->swap fixture (idempotent per sf_dir)
+    ann_global_retrain(spark, sf_dir)
+    k = auto_centroids(n_base)
+    path = os.path.join(
+        os.path.dirname(_ivf_index_path(sf_dir, k)), f"gretrain_lloyd1_c{k}"
+    )
+    q_row = vecs.filter(F.col("vec_id") == 0).select("embedding").head()
+    if q_row is None:
+        return spark.createDataFrame([], "vec_id bigint, sim double")
+    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    q = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    probe = [
+        r["centroid_id"]
+        for r in cent_r.crossJoin(q)
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("c_emb"), F.col("q_emb")), 9).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "centroid_id")
+        .limit(1)
+        .collect()
+    ]
+    q_emb = q_row[0]
+    qc = F.array(*[F.lit(float(x)) for x in q_emb])
+    idx = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("centroid_id").isin(probe))
+        .filter(F.col("vec_id") != 0)
+    )
+    sim = F.round(cosine(F.col("embedding").cast("array<double>"), qc), 6)
+    return (
+        idx.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(IVF_K)
+    )
+
+
 def _split_ctes(where: str = "TRUE") -> str:
     """The selective-split CTE chain (decision -> flagged -> per-cell
     2-means -> split_final), shared verbatim by ann_cell_split_retrain,
