@@ -272,6 +272,7 @@ COLD_KEYS = (
     "ann_lookup_compact",
     "state_store_compact",
     "ann_stream_delete_ivf2",
+    "ann_apply_log_replay",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

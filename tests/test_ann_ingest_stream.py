@@ -524,3 +524,73 @@ def test_concurrent_ingest_and_takedown_streams_serialize_via_lease(
 
     assert ixlock.try_acquire(spark, path, "post")
     ixlock.release(spark, path)
+
+
+def test_apply_stream_one_owner_add_delete_compact(spark, sf_dir, tmp_path):
+    """The unified command log (start_ann_apply_stream): one foreachBatch
+    owner applies adds THEN deletes per trigger and runs the in-loop
+    compaction sweep — the mechanics the driver oracle can't see: the
+    within-batch ordering contract (an id added and deleted in one
+    trigger lands deleted), the post-drain defragmented census, and the
+    lease released."""
+    from vacancy_analyser_spark.operators import ixlock
+    from vacancy_analyser_spark.operators.compaction import (
+        fragmented_keys,
+        partition_file_census,
+        partition_row_counts,
+    )
+    from vacancy_analyser_spark.streaming.ann_ingest import start_ann_apply_stream
+
+    vecs = _vectors(spark, sf_dir)
+    part = F.pmod(F.col("vec_id"), F.lit(4))
+    base = vecs.filter(part < 2)
+    arrivals = vecs.filter(part >= 2)
+    path = str(tmp_path / "apply_idx")
+    ivf_build_index_frame(base, path, n_centroids=auto_centroids(base.count()))
+
+    max_id = vecs.agg(F.max("vec_id")).first()[0]
+    ghost_id = max_id + 1000
+    some_emb = vecs.select("embedding").head()[0]
+    add = arrivals.select(F.lit("add").alias("op"), "vec_id", "embedding")
+    ghost_add = spark.createDataFrame(
+        [("add", ghost_id, some_emb)], "op string, vec_id bigint, embedding array<double>"
+    )
+    del_ids = base.filter(F.pmod(F.col("vec_id"), F.lit(8)) == 1).select("vec_id")
+    dels = del_ids.select(
+        F.lit("del").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    ghost_del = spark.createDataFrame(
+        [("del", ghost_id, None)], "op string, vec_id bigint, embedding array<double>"
+    )
+    # ONE trigger carrying adds, the ghost add+del pair, and takedowns
+    src = str(tmp_path / "log")
+    add.unionByName(ghost_add).unionByName(dels).unionByName(ghost_del).coalesce(
+        1
+    ).write.parquet(src)
+
+    q = start_ann_apply_stream(
+        spark.readStream.schema("op string, vec_id bigint, embedding array<double>")
+        .parquet(src),
+        path,
+        str(tmp_path / "ck_apply"),
+        compact_every=1,
+    )
+    q.awaitTermination(180)
+
+    got_ids = {v for v, _c in _index_assignment(spark, path)}
+    removed = {r["vec_id"] for r in del_ids.collect()}
+    want = (
+        {r["vec_id"] for r in base.select("vec_id").collect()} - removed
+    ) | {r["vec_id"] for r in arrivals.select("vec_id").collect()}
+    assert ghost_id not in got_ids  # add-then-delete in one trigger = deleted
+    assert got_ids == want
+    # in-loop compaction ran: nothing left fragmented
+    vectors = os.path.join(path, "vectors")
+    census = partition_file_census(spark, vectors, ("centroid_id",))
+    counts = partition_row_counts(spark, vectors, ("centroid_id",))
+    assert fragmented_keys(census, row_counts=counts) == []
+    # the owner released the lease
+    assert ixlock.try_acquire(spark, path, "post")
+    ixlock.release(spark, path)

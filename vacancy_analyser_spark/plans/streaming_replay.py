@@ -684,3 +684,119 @@ def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _cleanup(root)
     return out
+
+
+def _ann_apply_log_oracle() -> str:
+    """The command log's net effect: Lloyd-train on the standing slice
+    (vec_id % 3 = 0), assign EVERYTHING against those frozen centroids,
+    minus the takedown class — adds' rebuild equivalence and deletes'
+    minus statement composed, order made irrelevant by the log replaying
+    adds before deletes."""
+    from .similarity import DEL_MOD, DEL_REM, _lloyd_chain_sql
+
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (SELECT vec_id, emb FROM vecs WHERE vec_id % 3 = 0),
+        {_lloyd_chain_sql(src="base")},
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN c1 c
+        )
+        SELECT vec_id, centroid_id FROM ranked
+        WHERE rn = 1 AND vec_id % {DEL_MOD} <> {DEL_REM}
+    """
+
+
+@register(
+    "ann_apply_log_replay",
+    oracle=_ann_apply_log_oracle(),
+    tags=("ext-streaming", "ext-sim", "replay", "opt-partition-pruning"),
+)
+def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINGLE-OWNER maintenance loop, driver-checked end to end: one
+    command log — (op, vec_id, embedding) rows, op ∈ {add, del} — drives
+    ingest AND takedown through start_ann_apply_stream's one foreachBatch
+    owner (streaming/ann_ingest.py), the architecture that removes the
+    concurrent-writers hazard outright: ordering between an add and a
+    takedown is the log's order, not a race the lease must referee.
+
+    Fixture: batch 0 (vec_id % 3 = 0) builds the standing index; the log
+    then replays as five mtime-ordered triggers — adds for the other two
+    corpus slices, a REDELIVERED add batch for the standing slice (the
+    skip_existing no-op, on the driver's own check), a delete batch for
+    the takedown class (vec_id ≡ 5 mod 16), and a REDELIVERED delete
+    batch (the idempotent-delete no-op). The returned frame is the final
+    on-disk index; the oracle is the composed net effect: everything
+    assigned against the standing slice's frozen centroids, minus the
+    takedown class. A loop that raced its phases, double-applied a
+    redelivery, or dropped a log entry hash-mismatches."""
+    import glob
+    import time
+
+    from ..plans.similarity import (
+        DEL_MOD,
+        DEL_REM,
+        _vectors,
+        auto_centroids,
+        ivf_build_index_frame,
+    )
+    from ..streaming.ann_ingest import start_ann_apply_stream
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    base = vecs.filter((F.col("vec_id") % 3) == 0)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame([], "vec_id bigint, centroid_id bigint")
+    root = tempfile.mkdtemp(prefix="ann_apply_log_")
+    index = os.path.join(root, "index")
+    src = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        ivf_build_index_frame(base, index, n_centroids=auto_centroids(n_base))
+        add = vecs.select(F.lit("add").alias("op"), "vec_id", "embedding")
+        dels = (
+            vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM)
+            .select(
+                F.lit("del").alias("op"),
+                "vec_id",
+                F.lit(None).cast("array<double>").alias("embedding"),
+            )
+        )
+        batches = [
+            add.filter((F.col("vec_id") % 3) == 1),
+            add.filter((F.col("vec_id") % 3) == 2),
+            add.filter((F.col("vec_id") % 3) == 0),  # redelivered adds
+            dels,
+            dels,  # redelivered takedowns
+        ]
+        t_now = time.time()
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(src)
+            stamp = t_now - (len(batches) - i) * 1.0
+            for f in glob.glob(os.path.join(src, "*")):
+                if os.path.getmtime(f) > stamp:
+                    os.utime(f, (stamp, stamp))
+        stream = (
+            spark.readStream.schema("op string, vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ann_apply_stream(stream, index, ckpt, available_now=True)
+        _await(q)
+        out = (
+            spark.read.parquet(os.path.join(index, "vectors"))
+            .select(
+                "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _cleanup(root)
+    return out

@@ -232,6 +232,76 @@ def start_ann_split_ingest_stream(
     return writer.start()
 
 
+def start_ann_apply_stream(
+    commands: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    compact_every: int | None = None,
+    partition_cols: tuple[str, ...] = ("centroid_id",),
+) -> StreamingQuery:
+    """ONE loop owns the index: a unified command log — rows
+    ``(op, vec_id, embedding)`` with op ∈ {'add', 'del'} — folds adds,
+    takedowns AND in-loop compaction through a single foreachBatch owner.
+    This is the strongest answer to the concurrent-writers hazard: where
+    separate ingest/takedown streams need the maintenance lease to
+    serialize (they take it per fold), the command log removes the second
+    writer entirely — ordering between an add and a takedown becomes the
+    LOG's order, not a race. The fold still takes the lease so an
+    out-of-band compact or migration can't interleave either.
+
+    Per micro-batch, in order:
+      1. adds fold via the frozen-centroid incremental add
+         (``skip_existing=True`` — replay idempotent),
+      2. deletes fold via the generic partition-scoped delete
+         (idempotent by construction),
+      3. every ``compact_every``-th trigger sweeps fragmented partitions.
+
+    Within one batch adds apply BEFORE deletes, so a command log that
+    inserts and removes the same id in one trigger lands deleted — the
+    same outcome as applying the log serially. A replayed trigger re-runs
+    the same fold in the same order, so at-least-once delivery is safe;
+    the checkpointed source guarantees a batch is never re-delivered
+    AFTER later batches committed (which is what makes cross-batch
+    add-then-delete stable under recovery).
+
+    ``partition_cols`` names the served layout's partition key exactly as
+    for start_ann_delete_stream; the add path currently serves the flat
+    layout (('centroid_id',)) — nested layouts compose the same fold from
+    their own adds."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be a positive trigger count")
+
+    import os
+
+    from ..operators.compaction import compact_partitions
+    from ..plans.similarity import ivf_index_delete, ivf_index_incremental_add
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # one materialization: the op split reads the batch twice
+        batch_df = batch_df.localCheckpoint(eager=True)
+        adds = batch_df.filter(batch_df["op"] == "add").select("vec_id", "embedding")
+        if not adds.isEmpty():
+            ivf_index_incremental_add(spark, index_path, adds, skip_existing=True)
+        dels = batch_df.filter(batch_df["op"] == "del").select("vec_id")
+        if not dels.isEmpty():
+            ivf_index_delete(spark, index_path, dels, partition_cols=partition_cols)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitions(
+                spark, os.path.join(index_path, "vectors"), partition_cols
+            )
+
+    return _start_fold_stream(
+        commands,
+        checkpoint,
+        _leased(index_path, "ann-apply", _fold, DEFAULT_LEASE_TIMEOUT),
+        available_now,
+        processing_time,
+    )
+
+
 def _start_fold_stream(
     batches: DataFrame,
     checkpoint: str,
