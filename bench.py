@@ -273,6 +273,7 @@ COLD_KEYS = (
     "state_store_compact",
     "ann_stream_delete_ivf2",
     "ann_apply_log_replay",
+    "ann_apply_log_ivf2",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext
@@ -710,10 +711,13 @@ def main() -> None:
 
     # cold-key slot: first-ever timed rows for the rotating cohort —
     # single sample, under its own independent wall budget (checked
-    # before each key, so the first key always runs)
+    # before each key, so the first key always runs). 360 s since r11:
+    # the 9-key r11 cohort is maintenance-heavy (several keys rebuild a
+    # full index per call by design) and measured ~160-190 s on the
+    # builder host — 240 would graze it on a slow day
     cold_timings: dict[str, float] = {}
     cold_skipped: dict[str, str] = {}
-    cold_budget = float(os.environ.get("SPARK_GRAFT_COLD_BUDGET", "240"))
+    cold_budget = float(os.environ.get("SPARK_GRAFT_COLD_BUDGET", "360"))
     cold_t0 = time.monotonic()
     for name in COLD_KEYS:
         if name not in qs:

@@ -800,3 +800,133 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _cleanup(root)
     return out
+
+
+def _ann_apply_log_ivf2_oracle() -> str:
+    """The nested command log's net effect: both quantizer levels trained
+    on the standing slice (vec_id % 3 = 0), everything assigned against
+    the frozen fine centroids, nested coarse key joined on, minus the
+    takedown class."""
+    from .similarity import DEL_MOD, DEL_REM, _ivf2_chain_sql, _lloyd_chain_sql
+
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (SELECT vec_id, emb FROM vecs WHERE vec_id % 3 = 0),
+        {_lloyd_chain_sql(src="base")},
+        {_ivf2_chain_sql(src="base")},
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned a JOIN f2c f ON a.centroid_id = f.centroid_id
+        WHERE a.vec_id % {DEL_MOD} <> {DEL_REM}
+    """
+
+
+@register(
+    "ann_apply_log_ivf2",
+    oracle=_ann_apply_log_ivf2_oracle(),
+    tags=("ext-streaming", "ext-sim", "replay", "opt-partition-pruning"),
+)
+def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-owner command log over the NESTED layout: the same
+    five-trigger replay as ann_apply_log_replay (two add slices, a
+    redelivered add batch, a delete batch, a redelivered delete batch)
+    folded with layout='ivf2' — adds assign once against the STORED fine
+    table (the nested partition key rides the stored coarse_id, zero
+    coarse-level work per trigger), deletes rewrite only the victim
+    (coarse_id, centroid_id) directories, every fold under the lease.
+    One applier serves every materialized shape; this key pins the
+    nested one end to end against the composed net-effect oracle."""
+    import glob
+    import time
+
+    from ..plans.similarity import (
+        DEL_MOD,
+        DEL_REM,
+        _vectors,
+        auto_centroids,
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+    )
+    from ..streaming.ann_ingest import start_ann_apply_stream
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    base = vecs.filter((F.col("vec_id") % 3) == 0)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, coarse_id bigint"
+        )
+    k = auto_centroids(n_base)
+    kc = coarse_centroid_count(k)
+    root = tempfile.mkdtemp(prefix="ann_apply_log2_")
+    index = os.path.join(root, "index")
+    src = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        ivf2_build_index_frame(base, index, k, kc)
+        add = vecs.select(F.lit("add").alias("op"), "vec_id", "embedding")
+        dels = (
+            vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM)
+            .select(
+                F.lit("del").alias("op"),
+                "vec_id",
+                F.lit(None).cast("array<double>").alias("embedding"),
+            )
+        )
+        batches = [
+            add.filter((F.col("vec_id") % 3) == 1),
+            add.filter((F.col("vec_id") % 3) == 2),
+            add.filter((F.col("vec_id") % 3) == 0),  # redelivered adds
+            dels,
+            dels,  # redelivered takedowns
+        ]
+        t_now = time.time()
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(src)
+            stamp = t_now - (len(batches) - i) * 1.0
+            for f in glob.glob(os.path.join(src, "*")):
+                if os.path.getmtime(f) > stamp:
+                    os.utime(f, (stamp, stamp))
+        stream = (
+            spark.readStream.schema("op string, vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ann_apply_stream(
+            stream, index, ckpt, available_now=True, layout="ivf2"
+        )
+        _await(q)
+        out = (
+            spark.read.parquet(os.path.join(index, "vectors"))
+            .select(
+                "vec_id",
+                F.col("centroid_id").cast("bigint").alias("centroid_id"),
+                F.col("coarse_id").cast("bigint").alias("coarse_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _cleanup(root)
+    return out

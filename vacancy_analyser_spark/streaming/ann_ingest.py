@@ -239,7 +239,8 @@ def start_ann_apply_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     compact_every: int | None = None,
-    partition_cols: tuple[str, ...] = ("centroid_id",),
+    layout: str = "flat",
+    partition_cols: tuple[str, ...] | None = None,
 ) -> StreamingQuery:
     """ONE loop owns the index: a unified command log — rows
     ``(op, vec_id, embedding)`` with op ∈ {'add', 'del'} — folds adds,
@@ -266,17 +267,30 @@ def start_ann_apply_stream(
     AFTER later batches committed (which is what makes cross-batch
     add-then-delete stable under recovery).
 
-    ``partition_cols`` names the served layout's partition key exactly as
-    for start_ann_delete_stream; the add path currently serves the flat
-    layout (('centroid_id',)) — nested layouts compose the same fold from
-    their own adds."""
+    ``layout`` selects the add fold and implies the partition key, so ONE
+    command-log applier serves every materialized shape: 'flat'
+    (('centroid_id',), flat IVF), 'ivfpq' (('centroid_id',), codes from
+    the stored codebook), 'ivf2' (('coarse_id', 'centroid_id')), 'split'
+    (('centroid_id', 'sub_id')). ``partition_cols`` may override the
+    implied key (rarely needed)."""
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be a positive trigger count")
 
     import os
 
     from ..operators.compaction import compact_partitions
-    from ..plans.similarity import ivf_index_delete, ivf_index_incremental_add
+    from ..plans import similarity as S
+
+    adders = {
+        "flat": (S.ivf_index_incremental_add, ("centroid_id",)),
+        "ivfpq": (S.ivfpq_index_incremental_add, ("centroid_id",)),
+        "ivf2": (S.ivf2_index_incremental_add, ("coarse_id", "centroid_id")),
+        "split": (S.split_index_incremental_add, ("centroid_id", "sub_id")),
+    }
+    if layout not in adders:
+        raise ValueError(f"unknown layout {layout!r}; one of {sorted(adders)}")
+    add_fn, implied_cols = adders[layout]
+    cols = partition_cols if partition_cols is not None else implied_cols
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -284,14 +298,12 @@ def start_ann_apply_stream(
         batch_df = batch_df.localCheckpoint(eager=True)
         adds = batch_df.filter(batch_df["op"] == "add").select("vec_id", "embedding")
         if not adds.isEmpty():
-            ivf_index_incremental_add(spark, index_path, adds, skip_existing=True)
+            add_fn(spark, index_path, adds, skip_existing=True)
         dels = batch_df.filter(batch_df["op"] == "del").select("vec_id")
         if not dels.isEmpty():
-            ivf_index_delete(spark, index_path, dels, partition_cols=partition_cols)
+            S.ivf_index_delete(spark, index_path, dels, partition_cols=cols)
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_partitions(
-                spark, os.path.join(index_path, "vectors"), partition_cols
-            )
+            compact_partitions(spark, os.path.join(index_path, "vectors"), cols)
 
     return _start_fold_stream(
         commands,
