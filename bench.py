@@ -274,6 +274,7 @@ COLD_KEYS = (
     "ann_stream_delete_ivf2",
     "ann_apply_log_replay",
     "ann_apply_log_ivf2",
+    "ann_ivf2_global_retrain",
 )
 
 #: Ext-block regression gate (r4 verdict item 7): the first full ext

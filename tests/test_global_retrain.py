@@ -146,3 +146,53 @@ def test_retrain_serve_probe_is_partition_pruned(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("centroid_id" in p for p in pfs)
+
+
+def test_ivf2_global_retrain_rebuilds_both_levels_and_swaps(spark, tmp_path):
+    """The nested twin: both quantizer levels must retrain on current
+    content and the swap must publish a complete nested index (vectors +
+    fine + coarse), with no staging state left behind."""
+    from vacancy_analyser_spark.plans.similarity import (
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+        ivf2_global_retrain,
+        ivf2_index_incremental_add,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0, (i % 5) * 0.01]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    drift = spark.createDataFrame(
+        [(100 + i, [0.0, 1.0, (i % 5) * 0.01]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx2l")
+    ivf2_build_index_frame(base, path, 2, coarse_centroid_count(2))
+    ivf2_index_incremental_add(spark, path, drift)
+    content = base.unionByName(drift)
+
+    assert ivf2_global_retrain(spark, path, _verdict(spark, True)) is True
+    assert not os.path.exists(path + "__rebuild")
+    assert not os.path.exists(path + "__retired")
+    for d in ("vectors", "fine", "coarse"):
+        assert os.path.exists(os.path.join(path, d)), d
+
+    k = auto_centroids(content.count())
+    ref = str(tmp_path / "ref2l")
+    ivf2_build_index_frame(content, ref, k, coarse_centroid_count(k))
+
+    def _nested(p):
+        return {
+            (r["vec_id"], r["centroid_id"], r["coarse_id"])
+            for r in spark.read.parquet(os.path.join(p, "vectors"))
+            .select("vec_id", "centroid_id", "coarse_id")
+            .collect()
+        }
+
+    assert _nested(path) == _nested(ref)
+
+    # false verdict after the swap: provable no-op
+    before = _tree_digest(path)
+    assert ivf2_global_retrain(spark, path, _verdict(spark, False)) is False
+    assert _tree_digest(path) == before

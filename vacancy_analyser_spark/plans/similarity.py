@@ -5250,15 +5250,21 @@ def ivf2_centroids(vecs: DataFrame, k: int, kc: int) -> tuple[DataFrame, DataFra
     return fine, coarse
 
 
-def _ivf2_chain_sql(src: str = "vecs") -> str:
+def _ivf2_chain_sql(src: str = "vecs", prefix: str = "") -> str:
     """The coarse trainer's source CTE + chain, spliced by every ivf2
     oracle AFTER a _lloyd_chain_sql over ``src`` (fine = its c1): fine
-    re-labeled as vectors, then the SAME trainer at the src-derived kc."""
+    re-labeled as vectors, then the SAME trainer at the src-derived kc.
+    ``prefix`` namespaces the whole chain (fine/cfv/coarse and the inner
+    g-chain) where one query needs TWO two-level trainings — the nested
+    global-retrain oracle replays the base-trained chain AND the
+    retrained-on-everything chain side by side. The default produces
+    byte-identical SQL to the historical un-prefixed form."""
+    p = prefix
     return f"""
-        fine AS (SELECT centroid_id, c_emb FROM c1),
-        cfv AS (SELECT centroid_id AS vec_id, c_emb AS emb FROM c1),
-        {_lloyd_chain_sql(k_sql=_kc_sql(src), prefix="g", src="cfv")},
-        coarse AS (SELECT centroid_id AS coarse_id, c_emb AS g_emb FROM gc1)"""
+        {p}fine AS (SELECT centroid_id, c_emb FROM {p}c1),
+        {p}cfv AS (SELECT centroid_id AS vec_id, c_emb AS emb FROM {p}c1),
+        {_lloyd_chain_sql(k_sql=_kc_sql(src), prefix=f"{p}g", src=f"{p}cfv")},
+        {p}coarse AS (SELECT centroid_id AS coarse_id, c_emb AS g_emb FROM {p}gc1)"""
 
 
 #: The common whole-corpus form.
@@ -5877,6 +5883,189 @@ def ann_ivf2_index_delete_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(marker, "w").close()
     lk = spark.read.parquet(os.path.join(path, "lookup"))
     return lk.select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col("coarse_id").cast("bigint").alias("coarse_id"),
+    )
+
+
+def ivf2_global_retrain(
+    spark: SparkSession, index_path: str, decision: DataFrame
+) -> bool:
+    """The TWO-LEVEL twin of ivf_global_retrain: when the whole-index
+    verdict fires, BOTH quantizer levels retrain on the index's current
+    content (fine = the deterministic Lloyd trainer over the corpus,
+    coarse = the same trainer over the new fine table — exactly the
+    build's recipe, so the oracle can replay it), staged rebuild, atomic
+    rename swap, and the id→partition lookup rebuilt with the nested key
+    if one is maintained. Same swap sequence and crash-state contract as
+    the flat consumer (every intermediate is a recoverable directory);
+    same single-writer expectation (run under the maintenance lease when
+    any other loop may be live). Returns True iff the retrain ran."""
+    import os
+
+    from ..operators import fsutil
+    from ..operators.ann_lookup import build_lookup
+
+    row = decision.select("index_retrain").first()
+    if row is None or not row["index_retrain"]:
+        return False
+    staging, retired = f"{index_path}__rebuild", f"{index_path}__retired"
+    fsutil.delete_dir(spark, staging, if_exists=True)
+    fsutil.delete_dir(spark, retired, if_exists=True)
+    cur = (
+        spark.read.parquet(os.path.join(index_path, "vectors"))
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    k = auto_centroids(cur.count())
+    ivf2_build_index_frame(cur, staging, k, coarse_centroid_count(k))
+    if fsutil.exists(spark, os.path.join(index_path, "lookup")):
+        build_lookup(spark, staging, partition_cols=("coarse_id", "centroid_id"))
+    fsutil.rename(spark, index_path, retired)
+    fsutil.rename(spark, staging, index_path)
+    fsutil.delete_dir(spark, retired)
+    return True
+
+
+@register(
+    "ann_ivf2_global_retrain",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, emb FROM vecs WHERE vec_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1}
+        ),
+        {_lloyd_chain_sql(src="base")},
+        {_ivf2_chain_sql(src="base")},
+        f2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM fine f CROSS JOIN coarse g
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.centroid_id,
+                   round(list_cosine_similarity(v.emb, c.c_emb), 9) AS c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN fine c
+        ),
+        assigned AS (
+            SELECT vec_id, centroid_id, c_sim,
+                   CAST(vec_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1} AS INT) AS is_add
+            FROM ranked WHERE rn = 1
+        ),
+        rep AS (
+            SELECT centroid_id,
+                   COUNT(*) FILTER (WHERE is_add = 1) AS n_added,
+                   CASE WHEN COUNT(*) FILTER (WHERE is_add = 0) = 0
+                             OR COUNT(*) FILTER (WHERE is_add = 1) = 0 THEN NULL
+                        ELSE round(
+                            round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 0) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 0), 6)
+                          - round(CAST(SUM(CAST(c_sim AS DECIMAL(38,9)))
+                                      FILTER (WHERE is_add = 1) AS DOUBLE)
+                                  / COUNT(*) FILTER (WHERE is_add = 1), 6), 6) END
+                       AS sim_gap
+            FROM assigned
+            GROUP BY centroid_id
+        ),
+        verdict AS (
+            SELECT round(CAST(SUM(CASE WHEN sim_gap IS NULL THEN 0
+                                       ELSE CAST(round(sim_gap * 1e6) AS BIGINT) * n_added
+                                  END) AS DOUBLE) / 1e6
+                         / SUM(CASE WHEN sim_gap IS NULL THEN 0 ELSE n_added END),
+                         6) > {RETRAIN_INDEX_GAP_T} AS g
+            FROM rep
+        ),
+        {_lloyd_chain_sql(prefix="r", src="vecs")},
+        {_ivf2_chain_sql(src="vecs", prefix="r")},
+        rf2c AS (
+            SELECT centroid_id, coarse_id FROM (
+                SELECT f.centroid_id, g.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.centroid_id
+                           ORDER BY round(list_cosine_similarity(f.c_emb, g.g_emb), 9) DESC,
+                                    g.coarse_id
+                       ) AS rn
+                FROM rfine f CROSS JOIN rcoarse g
+            ) WHERE rn = 1
+        ),
+        ranked_new AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(v.emb, c.c_emb), 9) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN rfine c
+        ),
+        assigned_new AS (SELECT vec_id, centroid_id FROM ranked_new WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned_new a JOIN rf2c f ON a.centroid_id = f.centroid_id
+        WHERE (SELECT g FROM verdict)
+        UNION ALL
+        SELECT a.vec_id, a.centroid_id, f.coarse_id
+        FROM assigned a JOIN f2c f ON a.centroid_id = f.centroid_id
+        WHERE NOT (SELECT g FROM verdict)
+    """,
+    tags=("ext-sim", "pipeline"),
+)
+def ann_ivf2_global_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-index retrain executed on the NESTED layout — the
+    lifecycle's corpus-scale op now serves both served shapes: build the
+    two-level index from the base slice, fold the add batch in against
+    the frozen fine table (the shared drift fixture — and the fine level
+    IS the flat chain's c1, so ann_retrain_decision's measured verdict
+    prices this index's fit exactly), then hand the decision to
+    ivf2_global_retrain: both quantizer levels retrained on current
+    content, staged rebuild, atomic swap. The returned frame is the
+    post-swap nested index; the oracle replays BOTH two-level chains
+    (base-trained and retrained-on-everything) and the drift verdict, and
+    selects the branch the verdict dictates — a consumer that retrained
+    only one level, ignored the verdict, or published a stale build
+    hash-mismatches on either the fine or the coarse key."""
+    import os
+
+    from ..io import materialization_is_fresh
+
+    vecs = _vectors(spark, sf_dir)
+    is_add = F.pmod(F.col("vec_id"), F.lit(INCR_BATCH_MOD)) == INCR_BATCH_MOD - 1
+    base = vecs.filter(~is_add)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, coarse_id bigint"
+        )
+    k = auto_centroids(n_base)
+    kc = coarse_centroid_count(k)
+    path = os.path.join(
+        os.path.dirname(_ivf2_index_path(sf_dir, k, kc)), f"gretrain_lloyd1_c{k}_g{kc}"
+    )
+    marker = os.path.join(path, "_GR_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fresh = all(
+        materialization_is_fresh(os.path.join(path, d), src)
+        for d in ("vectors", "fine", "coarse")
+    ) and _incr_marker_fresh(marker, sf_dir)
+    if not fresh:
+        ivf2_build_index_frame(base, path, k, kc)
+        ivf2_index_incremental_add(spark, path, vecs.filter(is_add))
+        ivf2_global_retrain(spark, path, ann_retrain_decision(spark, sf_dir))
+        open(marker, "w").close()
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    return idx.select(
         "vec_id",
         F.col("centroid_id").cast("bigint").alias("centroid_id"),
         F.col("coarse_id").cast("bigint").alias("coarse_id"),
