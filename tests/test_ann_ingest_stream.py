@@ -594,3 +594,59 @@ def test_apply_stream_one_owner_add_delete_compact(spark, sf_dir, tmp_path):
     # the owner released the lease
     assert ixlock.try_acquire(spark, path, "post")
     ixlock.release(spark, path)
+
+
+def test_apply_stream_del_then_readd_in_one_batch(spark, sf_dir, tmp_path):
+    """Micro-batch boundaries are arbitrary, so a del and its re-add MAY
+    land in one trigger. The fold must resolve the batch to its per-id
+    net effect in LOG order: del→add(e2) ends present with e2 (not
+    absent — the lost re-add of the r11 advisory — and not the old
+    embedding via a skip_existing skip), and add(e1)→del→add(e3) ends
+    with e3 (first add after the last del, serial skip semantics)."""
+    from vacancy_analyser_spark.streaming.ann_ingest import start_ann_apply_stream
+
+    vecs = _vectors(spark, sf_dir)
+    base = vecs.filter(F.pmod(F.col("vec_id"), F.lit(4)) < 3)
+    path = str(tmp_path / "netfx_idx")
+    ivf_build_index_frame(base, path, n_centroids=auto_centroids(base.count()))
+
+    x = base.select("vec_id").head()[0]  # exists in the index
+    max_id = vecs.agg(F.max("vec_id")).first()[0]
+    y = max_id + 1000  # never indexed
+    dim = len(vecs.select("embedding").head()[0])
+    e2 = [7.0] + [0.0] * (dim - 1)
+    e1 = [0.0] * (dim - 1) + [5.0]
+    e3 = [3.0] + [0.0] * (dim - 2) + [3.0]
+    none = None
+    log = spark.createDataFrame(
+        [  # explicit seq column: exact log order however files split
+            ("del", x, none, 0),
+            ("add", x, e2, 1),
+            ("add", y, e1, 2),
+            ("del", y, none, 3),
+            ("add", y, e3, 4),
+            ("add", y, e1, 5),  # present → serially skipped; e3 must win
+        ],
+        "op string, vec_id bigint, embedding array<double>, seq bigint",
+    )
+    src = str(tmp_path / "netfx_log")
+    log.coalesce(1).write.parquet(src)
+
+    q = start_ann_apply_stream(
+        spark.readStream.schema(
+            "op string, vec_id bigint, embedding array<double>, seq bigint"
+        ).parquet(src),
+        path,
+        str(tmp_path / "netfx_ck"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("vec_id").isin([x, y]))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert got[x] == e2  # re-add survived AND replaced the old embedding
+    assert got[y] == e3  # first add after the last del, not e1

@@ -118,6 +118,86 @@ def test_leftover_crash_dirs_are_swept(spark, tmp_path):
     assert _assignment(spark, path) == _assignment(spark, ref)
 
 
+def test_crash_between_renames_recovers_from_rebuild(spark, tmp_path):
+    """The between-renames crash state (step 2 done, step 3 not): live
+    index missing, BOTH __rebuild and __retired are complete. A rerun
+    must complete the interrupted publish — NOT sweep the two surviving
+    copies and then fail on the missing live path (total index loss on
+    the documented recovery path)."""
+    path = str(tmp_path / "idxcr")
+    content = _mk_drifted_index(spark, path)
+    # stage a complete rebuild, then simulate the crash exactly between
+    # rename(live -> retired) and rename(rebuild -> live)
+    ivf_build_index_frame(
+        content, path + "__rebuild", n_centroids=auto_centroids(content.count())
+    )
+    os.rename(path, path + "__retired")
+    assert not os.path.exists(path)
+
+    assert ivf_global_retrain(spark, path, _verdict(spark, True)) is True
+    assert not os.path.exists(path + "__rebuild")
+    assert not os.path.exists(path + "__retired")
+    ref = str(tmp_path / "refcr")
+    ivf_build_index_frame(content, ref, n_centroids=auto_centroids(content.count()))
+    assert _assignment(spark, path) == _assignment(spark, ref)
+
+
+def test_crash_with_only_retired_recovers(spark, tmp_path):
+    """Live index missing and only __retired survives (staging lost or
+    never completed): the retired copy must be renamed back into place,
+    never deleted."""
+    path = str(tmp_path / "idxrt")
+    _mk_drifted_index(spark, path)
+    before = _assignment(spark, path)
+    os.rename(path, path + "__retired")
+
+    # even on a FALSE verdict the crash state heals: the index is
+    # restored and the function is then the usual no-op
+    assert ivf_global_retrain(spark, path, _verdict(spark, False)) is False
+    assert os.path.exists(os.path.join(path, "vectors"))
+    assert not os.path.exists(path + "__retired")
+    # the restore is byte-for-byte the pre-crash index, not a rebuild
+    assert _assignment(spark, path) == before
+
+
+def test_crash_with_nothing_to_recover_raises(spark, tmp_path):
+    """No live index and no surviving swap directory is NOT recoverable —
+    the retrain must say so instead of failing downstream on a missing
+    parquet path after sweeping."""
+    import pytest
+
+    path = str(tmp_path / "idxgone")
+    with pytest.raises(IOError, match="nothing to recover"):
+        ivf_global_retrain(spark, path, _verdict(spark, True))
+
+
+def test_ivf2_crash_between_renames_recovers(spark, tmp_path):
+    """The nested twin shares the crash-state contract: between-renames
+    state must heal, not sweep the survivors."""
+    from vacancy_analyser_spark.plans.similarity import (
+        coarse_centroid_count,
+        ivf2_build_index_frame,
+        ivf2_global_retrain,
+    )
+
+    content = spark.createDataFrame(
+        [(i, [1.0 if i < 12 else 0.0, 0.0 if i < 12 else 1.0, (i % 5) * 0.01])
+         for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx2lcr")
+    k = auto_centroids(content.count())
+    ivf2_build_index_frame(content, path, k, coarse_centroid_count(k))
+    ivf2_build_index_frame(content, path + "__rebuild", k, coarse_centroid_count(k))
+    os.rename(path, path + "__retired")
+
+    assert ivf2_global_retrain(spark, path, _verdict(spark, True)) is True
+    assert not os.path.exists(path + "__rebuild")
+    assert not os.path.exists(path + "__retired")
+    for d in ("vectors", "fine", "coarse"):
+        assert os.path.exists(os.path.join(path, d)), d
+
+
 def test_no_lookup_no_lookup_created(spark, tmp_path):
     """An index that never maintained a lookup must not grow one as a
     retrain side effect."""

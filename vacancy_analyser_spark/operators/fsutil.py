@@ -75,6 +75,39 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename {src} -> {dst} failed; index swap aborted")
 
 
+def recover_swap(spark: SparkSession, live: str, staging: str, retired: str) -> bool:
+    """Heal an interrupted staged-rename swap (build ``staging`` → rename
+    ``live``→``retired`` → rename ``staging``→``live`` → delete
+    ``retired``) before a new attempt sweeps its directories. Crash
+    states, by what survives:
+
+    - ``live`` present: any leftover staging/retired is stale residue of
+      a completed or abandoned attempt — the caller may sweep it freely.
+    - ``live`` missing, ``staging`` present: the crash hit between the
+      two renames. The staging build is complete (it finished before the
+      retire rename started), so finish the interrupted publish.
+    - ``live`` missing, only ``retired`` present: restore the retired
+      copy — the pre-swap index is complete and is the only survivor.
+
+    Sweeping staging/retired *without* this check in the live-missing
+    states would delete the only complete copies on disk — total index
+    loss on what the swap sequence documents as a recoverable state.
+    Returns True iff a recovery rename ran."""
+    fs, live_p = _fs_path(spark, live)
+    if fs.exists(live_p):
+        return False
+    if exists(spark, staging):
+        rename(spark, staging, live)
+        return True
+    if exists(spark, retired):
+        rename(spark, retired, live)
+        return True
+    raise IOError(
+        f"no live index at {live} and neither {staging} nor {retired} "
+        "survives — nothing to recover from"
+    )
+
+
 def prune_empty_parents(spark: SparkSession, start: str, root: str) -> None:
     """Remove empty ancestor directories of ``start`` (exclusive) up to
     ``root`` (exclusive) — a nested partition layout can leave a hollow

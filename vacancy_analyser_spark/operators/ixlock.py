@@ -25,9 +25,22 @@ overwrite=false)``. Semantics and limits, stated plainly:
   resident loops on one index), not a distributed lock. Deployments
   needing hard mutual exclusion on object stores should point the lease
   at an HDFS/ZK path — the API takes any scheme.
-- A crashed holder leaves its marker behind; ``break_after`` seconds of
-  staleness lets the next acquirer reclaim it (the holder's heartbeat is
-  the marker's mtime, rewritten on acquire).
+- The marker carries the holder's unique OWNER TOKEN, and release is
+  conditional on it: a holder whose lease was reclaimed (its marker
+  replaced by another writer's) raises :class:`LeaseLost` instead of
+  silently deleting the new holder's marker — the r11 advisory's
+  lost-lease cascade (A's stale release deletes B's lease, admitting C
+  mid-write) cannot happen.
+- A live holder HEARTBEATS: ``maintenance_lease`` refreshes the marker
+  mtime from a daemon thread every ``break_after/4`` seconds, so a hold
+  longer than ``break_after`` (global retrain is deliberately
+  corpus-scale) is never mistaken for a crash. Only a holder that
+  actually stopped heartbeating (crashed process, hung JVM) goes stale.
+- A crashed holder's marker is reclaimed after ``break_after`` seconds
+  of mtime staleness — and the reclaim is CONDITIONAL: the stale marker
+  is renamed aside (atomic) and its token re-verified before the sweep,
+  so a fresh lease created between the staleness check and the reclaim
+  is never deleted (the unconditional stat-then-delete race of r11).
 
 The streaming loops in streaming/ann_ingest.py take this lease around
 every fold by default, so an ingest stream, a takedown stream and an
@@ -41,6 +54,7 @@ single-writer requirement; wrap out-of-band maintenance in
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -53,9 +67,9 @@ from . import fsutil
 LEASE_NAME = "_MAINTENANCE_LEASE"
 
 #: Default seconds of marker staleness after which a lease is presumed
-#: abandoned by a crashed holder and may be reclaimed. Generous on
-#: purpose: reclaiming a *live* holder's lease reintroduces the lost-
-#: update race the lease exists to prevent.
+#: abandoned by a crashed holder and may be reclaimed. A LIVE holder
+#: refreshes the marker mtime every ``break_after/4`` seconds from the
+#: heartbeat thread, so staleness really does mean "holder stopped".
 DEFAULT_BREAK_AFTER = 30 * 60
 
 
@@ -63,8 +77,36 @@ class LeaseHeld(RuntimeError):
     """Another writer holds the table's maintenance lease."""
 
 
+class LeaseLost(RuntimeError):
+    """The caller's lease marker is gone or owned by another writer —
+    the hold was reclaimed mid-write. The work committed under it may
+    have raced the new holder; surfacing that beats silently deleting
+    the new holder's marker and admitting a third writer."""
+
+
 def _lease_path(table_path: str) -> str:
     return os.path.join(table_path, LEASE_NAME)
+
+
+def _read_token(spark: SparkSession, fs, p) -> str | None:
+    """First line of the marker (the holder's token); None if unreadable
+    (vanished between stat and open — treated as 'not ours')."""
+    jvm = spark.sparkContext._jvm
+    try:
+        stream = fs.open(p)
+    except Exception:
+        return None
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream))
+        line = reader.readLine()
+        return None if line is None else str(line)
+    except Exception:
+        return None
+    finally:
+        try:
+            stream.close()
+        except Exception:
+            pass
 
 
 def try_acquire(
@@ -73,19 +115,49 @@ def try_acquire(
     owner: str,
     break_after: float = DEFAULT_BREAK_AFTER,
 ) -> bool:
-    """Attempt to take the lease; True on success. Reclaims a marker
-    whose mtime is older than ``break_after`` seconds (crashed holder)."""
+    """Attempt to take the lease; True on success. ``owner`` must be a
+    UNIQUE token (``maintenance_lease`` generates one) — it is written
+    into the marker and verified by :func:`release` and the reclaim path.
+
+    Reclaim protocol for a marker whose mtime is older than
+    ``break_after`` seconds: rename it aside (atomic — exactly one
+    reclaimer wins, and a fresh marker created by a racing acquirer has
+    a different identity), re-read the token from the renamed file, and
+    only if it still matches the stale token observed is the reclaim
+    committed. A mismatch means the rename grabbed a FRESH lease created
+    in the race window — it is renamed back into place and the acquire
+    fails. (If the rename-back itself loses a race, the aside file is
+    left for the displaced holder's release to detect via
+    :class:`LeaseLost` — surfaced, never silent.)"""
     fs, p = fsutil._fs_path(spark, _lease_path(table_path))
     root = p.getParent()
     if not fs.exists(root):
         fs.mkdirs(root)
     if fs.exists(p):
-        age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+        try:
+            age = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+        except Exception:
+            return False  # vanished mid-check: its holder is active
         if age <= break_after:
             return False
-        # stale marker from a crashed holder — sweep and fall through to
-        # the atomic create (a racing reclaimer loses there, not here)
-        fs.delete(p, False)
+        stale_tok = _read_token(spark, fs, p)
+        jvm = spark.sparkContext._jvm
+        aside = jvm.org.apache.hadoop.fs.Path(
+            str(p) + f".reclaim-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            if not fs.rename(p, aside):
+                return False  # marker replaced/removed concurrently
+        except Exception:
+            return False
+        if _read_token(spark, fs, aside) != stale_tok:
+            # grabbed a fresh lease created in the race window — restore
+            try:
+                fs.rename(aside, p)
+            except Exception:
+                pass  # displaced holder's release raises LeaseLost
+            return False
+        fs.delete(aside, False)
     try:
         out = fs.create(p, False)  # overwrite=false → atomic exclusive
         try:
@@ -97,7 +169,43 @@ def try_acquire(
         return False
 
 
-def release(spark: SparkSession, table_path: str) -> None:
+def heartbeat(spark: SparkSession, table_path: str, owner: str) -> None:
+    """Refresh the held marker's mtime (the holder's liveness signal).
+    Raises :class:`LeaseLost` if the marker is gone or carries another
+    owner's token — the hold was reclaimed and the op should stop
+    instead of racing the new holder."""
+    fs, p = fsutil._fs_path(spark, _lease_path(table_path))
+    if not fs.exists(p) or _read_token(spark, fs, p) != owner:
+        raise LeaseLost(
+            f"maintenance lease on {table_path} no longer belongs to "
+            f"{owner!r} — reclaimed by another writer mid-hold"
+        )
+    now = int(time.time() * 1000)
+    fs.setTimes(p, now, now)
+
+
+def release(spark: SparkSession, table_path: str, owner: str | None = None) -> None:
+    """Drop the lease. With ``owner`` (always passed by
+    ``maintenance_lease``) the delete is conditional on the marker still
+    carrying that token; a mismatch raises :class:`LeaseLost` WITHOUT
+    deleting — the marker belongs to the writer that reclaimed the
+    hold, and removing it would admit a third writer mid-write.
+    ``owner=None`` is the unconditional administrative sweep (breaking a
+    known-dead lease by hand) and should not appear in op code."""
+    fs, p = fsutil._fs_path(spark, _lease_path(table_path))
+    if owner is not None:
+        if not fs.exists(p):
+            raise LeaseLost(
+                f"maintenance lease marker on {table_path} vanished during "
+                f"{owner!r}'s hold — reclaimed (and released) by another writer"
+            )
+        tok = _read_token(spark, fs, p)
+        if tok != owner:
+            raise LeaseLost(
+                f"maintenance lease on {table_path} is now held by {tok!r}, "
+                f"not {owner!r} — the hold was reclaimed mid-write; leaving "
+                "the new holder's marker in place"
+            )
     fsutil.delete_dir(spark, _lease_path(table_path), if_exists=True)
 
 
@@ -115,8 +223,17 @@ def maintenance_lease(
     ``timeout=0`` fails fast with :class:`LeaseHeld` when the lease is
     taken (the right default inside a foreachBatch fold — backpressure
     belongs to the stream's trigger, not a hidden sleep); a positive
-    timeout polls every ``poll`` seconds before giving up."""
-    who = owner or f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    timeout polls every ``poll`` seconds before giving up.
+
+    While held, a daemon thread refreshes the marker mtime every
+    ``break_after/4`` seconds so a long hold (global retrain, full
+    compaction) is never reclaimed as stale. On exit the release
+    verifies the marker still carries this hold's token and raises
+    :class:`LeaseLost` if not — unless the block itself raised, in
+    which case the original error propagates and the lost lease is
+    swallowed (it is a consequence, not the cause)."""
+    base = owner or f"{os.getpid()}"
+    who = f"{base}-{uuid.uuid4().hex[:12]}"
     deadline = time.monotonic() + timeout
     while not try_acquire(spark, table_path, who, break_after):
         if time.monotonic() >= deadline:
@@ -126,7 +243,30 @@ def maintenance_lease(
                 "updates — serialize writers or raise the timeout"
             )
         time.sleep(poll)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(max(1.0, break_after / 4.0)):
+            try:
+                heartbeat(spark, table_path, who)
+            except LeaseLost:
+                return  # release() will surface it with full context
+            except Exception:
+                continue  # transient FS error: retry at the next tick
+
+    t = threading.Thread(target=_beat, name=f"lease-heartbeat-{base}", daemon=True)
+    t.start()
     try:
         yield
-    finally:
-        release(spark, table_path)
+    except BaseException:
+        stop.set()
+        t.join(timeout=5.0)
+        try:
+            release(spark, table_path, owner=who)
+        except LeaseLost:
+            pass  # the body's error is the story; the lost lease is fallout
+        raise
+    else:
+        stop.set()
+        t.join(timeout=5.0)
+        release(spark, table_path, owner=who)

@@ -3690,11 +3690,15 @@ def ivf_global_retrain(
       1. build ``<index>__rebuild``   (crash → stale staging; next run
          deletes and rebuilds it — the live index never stopped serving)
       2. rename <index> → <index>__retired   (crash → no live index, but
-         both complete states exist; recovery = finish step 3 by hand or
-         rerun, which rebuilds from __retired... — never a half state)
+         both complete states exist; the next run DETECTS that state —
+         live missing, __rebuild/__retired present — and completes the
+         interrupted publish by renaming a survivor back into place
+         (fsutil.recover_swap) BEFORE any sweep; sweeping first would
+         delete the only complete copies — never a half state)
       3. rename __rebuild → <index>          (the publish — one rename)
       4. delete __retired                    (crash → harmless leftover,
-         swept at the next retrain's start)
+         swept at the next retrain's start, AFTER recovery has verified
+         the live index exists)
 
     Single-writer: like every read-then-publish op here, run it under the
     index's maintenance lease (operators/ixlock.py) when any other
@@ -3712,10 +3716,14 @@ def ivf_global_retrain(
     from ..operators import fsutil
     from ..operators.ann_lookup import build_lookup
 
+    staging, retired = f"{index_path}__rebuild", f"{index_path}__retired"
+    # heal a crashed prior swap FIRST: with no live index, __rebuild /
+    # __retired are the only complete copies — the sweep below would
+    # destroy them (total index loss) if it ran before recovery
+    fsutil.recover_swap(spark, index_path, staging, retired)
     row = decision.select("index_retrain").first()
     if row is None or not row["index_retrain"]:
         return False
-    staging, retired = f"{index_path}__rebuild", f"{index_path}__retired"
     fsutil.delete_dir(spark, staging, if_exists=True)
     fsutil.delete_dir(spark, retired, if_exists=True)
     cur = (
@@ -5907,10 +5915,14 @@ def ivf2_global_retrain(
     from ..operators import fsutil
     from ..operators.ann_lookup import build_lookup
 
+    staging, retired = f"{index_path}__rebuild", f"{index_path}__retired"
+    # same crash-state contract as the flat consumer: complete an
+    # interrupted swap before sweeping, or the sweep deletes the only
+    # surviving complete copies
+    fsutil.recover_swap(spark, index_path, staging, retired)
     row = decision.select("index_retrain").first()
     if row is None or not row["index_retrain"]:
         return False
-    staging, retired = f"{index_path}__rebuild", f"{index_path}__retired"
     fsutil.delete_dir(spark, staging, if_exists=True)
     fsutil.delete_dir(spark, retired, if_exists=True)
     cur = (

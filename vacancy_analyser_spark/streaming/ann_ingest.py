@@ -253,19 +253,33 @@ def start_ann_apply_stream(
     out-of-band compact or migration can't interleave either.
 
     Per micro-batch, in order:
-      1. adds fold via the frozen-centroid incremental add
-         (``skip_existing=True`` — replay idempotent),
+      1. the batch resolves to its PER-ID NET EFFECT in log order (see
+         below) — the delete set and the surviving add per id,
       2. deletes fold via the generic partition-scoped delete
          (idempotent by construction),
-      3. every ``compact_every``-th trigger sweeps fragmented partitions.
+      3. surviving adds fold via the frozen-centroid incremental add
+         (``skip_existing=True`` — replay idempotent),
+      4. every ``compact_every``-th trigger sweeps fragmented partitions.
 
-    Within one batch adds apply BEFORE deletes, so a command log that
-    inserts and removes the same id in one trigger lands deleted — the
-    same outcome as applying the log serially. A replayed trigger re-runs
-    the same fold in the same order, so at-least-once delivery is safe;
-    the checkpointed source guarantees a batch is never re-delivered
-    AFTER later batches committed (which is what makes cross-batch
-    add-then-delete stable under recovery).
+    Within-batch ordering is the LOG's order, exactly as if the commands
+    were applied one at a time: per id, any ``del`` removes it, and the
+    surviving add is the FIRST ``add`` after the id's LAST ``del`` (the
+    serial skip-existing semantics — a second add of a present id is a
+    no-op). So add→del in one trigger lands deleted, del→re-add lands
+    present with the re-added embedding (micro-batch boundaries are
+    arbitrary under backlog, so a del and its re-add MAY share a
+    trigger — the net-effect resolution is what keeps that equal to the
+    serial outcome). Log order comes from a ``seq`` column when the
+    command schema carries one (exact, recommended for multi-file
+    triggers); otherwise it is synthesized from batch row order
+    (file/row order for file sources — exact within a file). Deletes
+    apply before the surviving adds so a re-added id is never
+    skip-existing-skipped into keeping its pre-delete embedding; a
+    replayed trigger re-runs the same delete-then-add fold, so
+    at-least-once delivery is safe, and the checkpointed source
+    guarantees a batch is never re-delivered AFTER later batches
+    committed (which is what makes cross-batch add-then-delete stable
+    under recovery).
 
     ``layout`` selects the add fold and implies the partition key, so ONE
     command-log applier serves every materialized shape: 'flat'
@@ -292,16 +306,49 @@ def start_ann_apply_stream(
     add_fn, implied_cols = adders[layout]
     cols = partition_cols if partition_cols is not None else implied_cols
 
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # one materialization: the op split reads the batch twice
+        if "seq" not in batch_df.columns:
+            # batch row order (partition-major = file order for file
+            # sources); frozen by the checkpoint below so every read of
+            # the batch sees the same ordering
+            batch_df = batch_df.withColumn("seq", F.monotonically_increasing_id())
+        # one materialization: the net-effect resolution reads the batch twice
         batch_df = batch_df.localCheckpoint(eager=True)
-        adds = batch_df.filter(batch_df["op"] == "add").select("vec_id", "embedding")
-        if not adds.isEmpty():
-            add_fn(spark, index_path, adds, skip_existing=True)
-        dels = batch_df.filter(batch_df["op"] == "del").select("vec_id")
-        if not dels.isEmpty():
-            S.ivf_index_delete(spark, index_path, dels, partition_cols=cols)
+        adds = batch_df.filter(batch_df["op"] == "add").select(
+            "vec_id", "embedding", "seq"
+        )
+        last_del = (
+            batch_df.filter(batch_df["op"] == "del")
+            .groupBy("vec_id")
+            .agg(F.max("seq").alias("__last_del"))
+        )
+        if not last_del.isEmpty():
+            # deletes first: a re-added id must not be skip_existing-
+            # skipped into keeping its pre-delete embedding
+            S.ivf_index_delete(
+                spark, index_path, last_del.select("vec_id"), partition_cols=cols
+            )
+            adds = (
+                adds.join(F.broadcast(last_del), "vec_id", "left")
+                .filter(
+                    F.col("__last_del").isNull() | (F.col("seq") > F.col("__last_del"))
+                )
+                .drop("__last_del")
+            )
+        # serial skip-existing semantics: the FIRST add per id (after its
+        # last del) wins; later duplicates would have been skipped anyway
+        first = Window.partitionBy("vec_id").orderBy("seq")
+        net_adds = (
+            adds.withColumn("__rn", F.row_number().over(first))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "embedding")
+        )
+        if not net_adds.isEmpty():
+            add_fn(spark, index_path, net_adds, skip_existing=True)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitions(spark, os.path.join(index_path, "vectors"), cols)
 
