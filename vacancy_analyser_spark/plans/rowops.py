@@ -247,3 +247,109 @@ def csv_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         (F.col("event_type") == "click").alias("is_click"),
     )
+
+
+#: S4 fixture rules, shared verbatim by the Spark builder and the DuckDB
+#: oracle: every 13th doc (mod 7) renders with NO <article> element (the
+#:   reference's non-200 page — it must be SKIPPED, get_habr.py:62-65),
+#: and every 7th (mod 3) renders an EMPTY title (malformed markup the
+#: parse must survive, not drop).
+_HTML_NO_ARTICLE_MOD, _HTML_NO_ARTICLE_REM = 13, 7
+_HTML_EMPTY_TITLE_MOD, _HTML_EMPTY_TITLE_REM = 7, 3
+
+
+@register(
+    "habr_html_parse",
+    oracle=f"""
+        WITH page AS (
+            SELECT doc_id, n_chars,
+                '<html><head><title>' || source || '</title></head><body>' ||
+                CASE WHEN doc_id % {_HTML_NO_ARTICLE_MOD} = {_HTML_NO_ARTICLE_REM}
+                     THEN '<div class="error">404</div>'
+                     ELSE '<article id="post_' || CAST(doc_id AS VARCHAR) ||
+                          '"><h1 class="tm-title">' ||
+                          CASE WHEN doc_id % {_HTML_EMPTY_TITLE_MOD} = {_HTML_EMPTY_TITLE_REM}
+                               THEN '' ELSE 'Post ' || CAST(doc_id AS VARCHAR) END ||
+                          '</h1><time datetime="2024-' ||
+                          lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+                          lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+                          'T10:00:00Z"></time><div class="article-body"><p>' ||
+                          text || '</p></div></article>'
+                END || '</body></html>' AS html
+            FROM documents
+        ),
+        parsed AS (
+            SELECT
+                TRY_CAST(regexp_extract(html, 'id="post_([0-9]+)"', 1) AS BIGINT)
+                    AS post_id,
+                regexp_extract(html, '<h1 class="tm-title">([^<]*)</h1>', 1) AS title,
+                regexp_extract(html, 'datetime="([^"]+)"', 1) AS published,
+                regexp_extract(html, '<p>([^<]*)</p>', 1) AS body
+            FROM page
+        )
+        SELECT post_id, title, published,
+               CAST(length(body) AS BIGINT) AS body_chars,
+               CAST(len(string_split(body, ' ')) AS BIGINT) AS body_words
+        FROM parsed WHERE post_id IS NOT NULL
+    """,
+    tags=("S4",),
+)
+def habr_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 stored-HTML article parse (get_habr.py:21-43,58-68: the scraper
+    stores the RAW page text per post id; analysis needs the fields back
+    out). The fixture renders a deterministic habr-shaped page per
+    ``documents`` row — including no-article pages (the reference's
+    skipped non-200 fetches) and empty-title markup — then the parse
+    extracts post id, title, publish datetime and body with native
+    ``regexp_extract`` and drops pages with no article, exactly as the
+    scraper skips failed posts.
+
+    Everything is scan-side Column algebra (concat/lpad/regexp_extract —
+    whole-stage codegen, no Python in the row path); at 100 TB this is
+    the shape of a raw-HTML lake scan: one pass, no shuffle, parse cost
+    linear in bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    article = F.concat(
+        F.lit('<article id="post_'), did.cast("string"),
+        F.lit('"><h1 class="tm-title">'),
+        F.when(
+            did % _HTML_EMPTY_TITLE_MOD == _HTML_EMPTY_TITLE_REM, F.lit("")
+        ).otherwise(F.concat(F.lit("Post "), did.cast("string"))),
+        F.lit('</h1><time datetime="2024-'),
+        F.lpad((did % 12 + 1).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit('T10:00:00Z"></time><div class="article-body"><p>'),
+        F.col("text"), F.lit("</p></div></article>"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title></head><body>"),
+        F.when(
+            did % _HTML_NO_ARTICLE_MOD == _HTML_NO_ARTICLE_REM,
+            F.lit('<div class="error">404</div>'),
+        ).otherwise(article),
+        F.lit("</body></html>"),
+    )
+    body = F.regexp_extract(F.col("html"), r"<p>([^<]*)</p>", 1)
+    return (
+        docs.select(html.alias("html"))
+        .select(
+            F.regexp_extract(F.col("html"), r'id="post_([0-9]+)"', 1)
+            .try_cast("bigint")
+            .alias("post_id"),
+            F.regexp_extract(
+                F.col("html"), r'<h1 class="tm-title">([^<]*)</h1>', 1
+            ).alias("title"),
+            F.regexp_extract(F.col("html"), r'datetime="([^"]+)"', 1).alias(
+                "published"
+            ),
+            body.alias("body"),
+        )
+        .filter(F.col("post_id").isNotNull())
+        .select(
+            "post_id", "title", "published",
+            F.length("body").cast("bigint").alias("body_chars"),
+            F.size(F.split(F.col("body"), " ")).cast("bigint").alias("body_words"),
+        )
+    )

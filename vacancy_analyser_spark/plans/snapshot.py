@@ -322,3 +322,88 @@ def state_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(store_schema).parquet(store).select(
         "user_id", "n_a", "n_b", "status"
     )
+
+
+#: D2 fixture windows: the target state was fed through Jan 15 (its
+#: stored high-water-mark), and the re-delivered feed re-offers days
+#: 10..30 — days 10..15 are ALREADY FED and must be skipped by the gate.
+_HWM_CUT = "2024-01-16 00:00:00"
+_FEED_LO = "2024-01-10 00:00:00"
+
+
+@register(
+    "incremental_merge_hwm",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, COUNT(*) AS n
+            FROM events WHERE ts < TIMESTAMP '{_HWM_CUT}'
+            GROUP BY user_id
+        ),
+        h AS (
+            SELECT MAX(date_trunc('day', ts)) AS d
+            FROM events WHERE ts < TIMESTAMP '{_HWM_CUT}'
+        ),
+        f AS (
+            SELECT user_id, COUNT(*) AS n
+            FROM events, h
+            WHERE ts >= TIMESTAMP '{_FEED_LO}'
+              AND ts >= h.d + INTERVAL 1 DAY
+            GROUP BY user_id
+        )
+        SELECT COALESCE(t.user_id, f.user_id) AS user_id,
+               COALESCE(t.n, 0) AS n_before,
+               COALESCE(f.n, 0) AS n_fed,
+               COALESCE(t.n, 0) + COALESCE(f.n, 0) AS n_after,
+               (SELECT d FROM h) AS hwm_day
+        FROM t FULL OUTER JOIN f ON t.user_id = f.user_id
+    """,
+    tags=("D2",),
+)
+def incremental_merge_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 high-water-mark incremental trigger (feeder_postgres.py:203-231
+    ``get_db_max_date`` + the ``csv_dir_date <= max_date_so_far: continue``
+    gate, scheduled by periodic_run.py:31-35): the stored state knows its
+    max fed date; a re-delivered feed that overlaps already-fed days is
+    consumed ONLY above that mark, so nothing double-counts.
+
+    Engine shape: the hwm is ONE control scalar (the reference's
+    ``select max(added_at)...`` — a bounded ``.first()``, not a data-path
+    collect), and the gate becomes a LITERAL pushed into the feed scan via
+    the nanos-domain ts_filters. At 100 TB with a date-partitioned feed
+    that literal is partition pruning — the trigger reads the unfed days,
+    never the feed history. The merge itself is the D1 full-outer fold on
+    the state key."""
+    target = (
+        load_table(spark, sf_dir, "events", ts_filters=[("ts", "<", _HWM_CUT)])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .alias("t")
+    )
+    hwm_day = (
+        load_table(spark, sf_dir, "events", ts_filters=[("ts", "<", _HWM_CUT)])
+        .agg(F.max(F.date_trunc("day", F.col("ts"))))
+        .first()[0]
+    )
+    from datetime import timedelta
+
+    gate = (hwm_day + timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S")
+    fed = (
+        load_table(
+            spark, sf_dir, "events",
+            ts_filters=[("ts", ">=", _FEED_LO), ("ts", ">=", gate)],
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .alias("f")
+    )
+    return target.join(
+        fed, F.col("t.user_id") == F.col("f.user_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("t.user_id"), F.col("f.user_id")).alias("user_id"),
+        F.coalesce(F.col("t.n"), F.lit(0)).alias("n_before"),
+        F.coalesce(F.col("f.n"), F.lit(0)).alias("n_fed"),
+        (F.coalesce(F.col("t.n"), F.lit(0)) + F.coalesce(F.col("f.n"), F.lit(0))).alias(
+            "n_after"
+        ),
+        F.lit(hwm_day).alias("hwm_day"),
+    )

@@ -930,3 +930,127 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _cleanup(root)
     return out
+
+
+#: ST1 watermark delay for the late-data replay. Events span ~30 days at
+#: every sf, and each mod-3 batch spans the whole range — so after the
+#: first trigger the watermark sits ~3 days behind the global max and the
+#: later triggers carry REAL late data (windows long closed), which is
+#: the policy under test.
+_LATE_DELAY_DAYS = 3
+
+
+@register(
+    "late_data_policy",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, ts, event_type, value, event_id % 3 AS b
+            FROM events
+        ),
+        bm AS (SELECT b, MAX(ts) AS mt FROM e GROUP BY b),
+        wm AS (
+            -- the engine publishes a batch's event-time stats into the
+            -- offset log one batch later, so the filter in batch k uses
+            -- the mark from batches <= k-2 (measured: trigger 1 drops
+            -- nothing even when trigger 0 carried the global max)
+            SELECT b,
+                   MAX(mt) OVER (ORDER BY b
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                   - INTERVAL {_LATE_DELAY_DAYS} DAY AS w
+            FROM bm
+        ),
+        cls AS (
+            SELECT e.*,
+                   (wm.w IS NOT NULL
+                    AND date_trunc('day', e.ts) + INTERVAL 1 DAY <= wm.w) AS late
+            FROM e JOIN wm ON e.b = wm.b
+        )
+        SELECT date_trunc('day', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM cls WHERE NOT late
+        GROUP BY 1, 2
+        UNION ALL
+        -- the engine's numRowsDroppedByWatermark meters the STATE-STORE
+        -- operator, which sits after the map-side partial aggregate: it
+        -- counts dropped per-batch (window, key) GROUPS, not input rows
+        SELECT TIMESTAMP '1970-01-01', '__late_dropped__',
+               COUNT(*), CAST(0.0 AS DOUBLE)
+        FROM (SELECT DISTINCT b, date_trunc('day', ts), event_type
+              FROM cls WHERE late)
+    """,
+    tags=("ST1", "replay"),
+)
+def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 bounded-lateness policy, driver-visible: where the reference
+    HARD-FAILS on out-of-order input (feeder_postgres.py:156-159), the
+    engine bounds lateness with a watermark — late rows beyond it are
+    dropped BY THE ENGINE and the drop is COUNTED (late_drop_count reads
+    numRowsDroppedByWatermark — which meters the state-store operator
+    AFTER the map-side partial aggregate, so its unit is dropped
+    per-batch (window, key) groups, not input rows), while the on-time
+    aggregate is untouched.
+
+    This replay runs the real machinery: three file micro-batches, the
+    tumbling aggregate under ``withWatermark(ts, 3 days)``, update-mode
+    sink. The result is the final per-window state (per group, the last
+    update — the row with the max monotone count) plus ONE synthetic
+    ``__late_dropped__`` row carrying the engine's drop counter. The
+    oracle replays the prequential watermark in SQL: the late-row filter
+    in batch k uses the max event time of batches ≤ k-2 minus the delay
+    (the engine publishes a batch's event-time stats into the offset log
+    one batch later — measured, and safe: state eviction lags the same
+    way, so a row passing the filter never lands on an evicted window),
+    and a row is late iff its whole window closed before that mark."""
+    from ..streaming.windows import late_drop_count, tumbling_counts
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # withWatermark requires TIMESTAMP (LTZ); the testdata round-trip
+        # can surface NTZ depending on the parquet's isAdjustedToUTC flag,
+        # and the session runs UTC so the cast is value-identical
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    _write_batches(events, "event_id", src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, window="1 day", watermark=f"{_LATE_DELAY_DAYS} days")
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        dropped = late_drop_count(q)
+    finally:
+        _cleanup(src, ckpt)
+    # update mode appends every re-emission of a group; the group's count
+    # only grows, so the final state is the max-count row per group
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    final = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    metric = spark.createDataFrame(
+        [("1970-01-01 00:00:00", "__late_dropped__", dropped, 0.0)],
+        "window_start string, event_type string, n_events bigint, sum_value double",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    return final.unionByName(metric)
