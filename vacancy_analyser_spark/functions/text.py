@@ -84,7 +84,15 @@ def token_ngrams(toks_col: str | Column, n: int) -> Column:
     Spark's sequence(1, 0) auto-steps *descending* to [1, 0], so a
     shorter-than-n document would evaluate element_at past the array end
     and throw; the guard returns an empty array instead (DuckDB's
-    generate_series(1, 0) is empty — oracle replays never hit this)."""
+    generate_series(1, 0) is empty — oracle replays never hit this).
+
+    Second materialization rule (r12, found in repetition_ngram_ratio):
+    a downstream FILTER on the n-gram array (e.g. ``size(grams) >= 1``)
+    gets pushed below the projections into the scan filter with the
+    whole pipeline inlined — the tokenizer then re-evaluates per element
+    inside the filter, O(len²) per row again. Guard on the PRE-ARRAY
+    column instead (``size(toks) >= n`` is equivalent and stays cheap in
+    the pushed filter)."""
     toks = _c(toks_col)
     return F.when(
         F.size(toks) >= n,
