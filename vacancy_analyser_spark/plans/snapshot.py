@@ -386,12 +386,18 @@ def incremental_merge_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from datetime import timedelta
 
-    gate = (hwm_day + timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S")
+    # Empty state ⇒ hwm is NULL ⇒ the oracle's `ts >= h.d + INTERVAL 1 DAY`
+    # comparison is NULL and admits no fed rows. Mirror that: skip the gate
+    # literal and filter the fed side to nothing instead of crashing on
+    # None + timedelta.
+    if hwm_day is None:
+        gate_filters = [("ts", ">=", _FEED_LO)]
+    else:
+        gate = (hwm_day + timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S")
+        gate_filters = [("ts", ">=", _FEED_LO), ("ts", ">=", gate)]
     fed = (
-        load_table(
-            spark, sf_dir, "events",
-            ts_filters=[("ts", ">=", _FEED_LO), ("ts", ">=", gate)],
-        )
+        load_table(spark, sf_dir, "events", ts_filters=gate_filters)
+        .filter(F.lit(hwm_day is not None))
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
         .alias("f")
@@ -405,5 +411,5 @@ def incremental_merge_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("t.n"), F.lit(0)) + F.coalesce(F.col("f.n"), F.lit(0))).alias(
             "n_after"
         ),
-        F.lit(hwm_day).alias("hwm_day"),
+        F.lit(hwm_day).cast("timestamp").alias("hwm_day"),
     )
