@@ -22,9 +22,11 @@ evidence; production use of the operators is the streaming API itself.
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +45,49 @@ from .registry import register
 #: non-trivial at every sf dir; the monitor default of 3σ flags nothing at
 #: sf0.001's 1000 events).
 _Z_LIMIT = 2.0
+
+
+#: Stream-side shuffle width for the replay keys (r12, guide §2.2/§2.4).
+#: A stateful micro-batch pays per-STATE-STORE-INSTANCE overhead on every
+#: trigger (one store open + commit + snapshot per shuffle partition per
+#: stateful operator), and these replays push a few thousand rows per
+#: trigger — at the batch session's width of 32 the per-trigger cost is
+#: almost entirely store bookkeeping, not data (measured on
+#: late_data_policy, 3 triggers at sf0.1: 18.6 s at width 32 → 4.2 s at
+#: width 8; the aggregate itself is partition-count-invariant, so results
+#: are identical). Production streams size state partitions to THROUGHPUT
+#: (rows/trigger ÷ target rows/task), not to the batch scan width — set
+#: $SPARK_GRAFT_STREAM_SHUFFLE to match the deployment's trigger volume.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+@contextmanager
+def _stream_width(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the replay width for the
+    duration of a replay's stream run, restoring the session value after
+    (the checkpoint pins state partitioning at first trigger, and every
+    replay uses a fresh checkpoint, so the scope never fights a resumed
+    stream)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _narrow_stream_width(fn):
+    """Run a registered replay under the narrowed stream width. Applied
+    UNDER @register so the registered callable carries the scope; the
+    lazily-consumed tail (memory-table projections) that executes after
+    return runs at the session width over sink-sized rows — irrelevant."""
+
+    @functools.wraps(fn)
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        with _stream_width(spark):
+            return fn(spark, sf_dir)
+
+    return inner
 
 
 def _write_batches(df: DataFrame, key: str, src: str) -> None:
@@ -128,6 +173,7 @@ def _run_to_memory(
     """,
     tags=("ext-streaming", "replay"),
 )
+@_narrow_stream_width
 def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming MinHash-LSH near-dup operator
     (streaming/neardup.py::streaming_near_dup — per-bucket
@@ -191,6 +237,7 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("ext-streaming", "replay"),
 )
+@_narrow_stream_width
 def streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prequential drift monitor
     (streaming/monitor.py::streaming_zscore — Welford running state per
@@ -260,6 +307,7 @@ def streaming_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("ext-streaming", "replay"),
 )
+@_narrow_stream_width
 def corpus_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch corpus-ingest loop
     (streaming/ingest.py::corpus_ingest_stream — per batch: in-batch exact
@@ -339,6 +387,7 @@ _SNAP_B = ("2024-01-08 00:00:00", "2024-01-31 00:00:00", "2024-01-31")
     """,
     tags=("ext-streaming", "replay", "D2"),
 )
+@_narrow_stream_width
 def snapshot_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The D2 snapshot-directory merge stream
     (streaming/snapshot_stream.py::start_snapshot_merge_stream — file
@@ -422,6 +471,7 @@ def snapshot_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("ext-streaming", "replay"),
 )
+@_narrow_stream_width
 def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL streaming session-window aggregation (ST4's stateful form)
     driven over the events table as a three-batch file stream. The batch
@@ -489,6 +539,7 @@ def _ann_ingest_oracle() -> str:
     oracle=_ann_ingest_oracle(),
     tags=("ext-streaming", "ext-sim", "replay"),
 )
+@_narrow_stream_width
 def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming ANN-ingest loop (streaming/ann_ingest.py — foreachBatch
     over the frozen-centroid incremental add, skip_existing idempotency)
@@ -599,6 +650,7 @@ def _ann_stream_delete_ivf2_oracle() -> str:
     oracle=_ann_stream_delete_ivf2_oracle(),
     tags=("ext-streaming", "ext-sim", "replay", "opt-partition-pruning"),
 )
+@_narrow_stream_width
 def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming takedown queue driven over a NESTED layout,
     driver-checked (r10 verdict: the queue was layout-generic via
@@ -719,6 +771,7 @@ def _ann_apply_log_oracle() -> str:
     oracle=_ann_apply_log_oracle(),
     tags=("ext-streaming", "ext-sim", "replay", "opt-partition-pruning"),
 )
+@_narrow_stream_width
 def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SINGLE-OWNER maintenance loop, driver-checked end to end: one
     command log — (op, vec_id, embedding) rows, op ∈ {add, del} — drives
@@ -848,6 +901,7 @@ def _ann_apply_log_ivf2_oracle() -> str:
     oracle=_ann_apply_log_ivf2_oracle(),
     tags=("ext-streaming", "ext-sim", "replay", "opt-partition-pruning"),
 )
+@_narrow_stream_width
 def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single-owner command log over the NESTED layout: the same
     five-trigger replay as ann_apply_log_replay (two add slices, a
@@ -981,6 +1035,7 @@ _LATE_DELAY_DAYS = 3
     """,
     tags=("ST1", "replay"),
 )
+@_narrow_stream_width
 def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 bounded-lateness policy, driver-visible: where the reference
     HARD-FAILS on out-of-order input (feeder_postgres.py:156-159), the

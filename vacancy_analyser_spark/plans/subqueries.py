@@ -514,8 +514,25 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     does. unit_price is a double quotient of identical inputs on both
     engines, so the MIN-equality cannot drift."""
     li = load_table(spark, sf_dir, "lineitem")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    # r12 (guide §3.2): the p_size=10 filter keeps ~2% of parts, and the
+    # correlated MIN is per-part, so pruning lineitem to surviving partkeys
+    # BEFORE the (partkey, suppkey) aggregate is result-identical — offers
+    # for other parts only ever fed the inner part join that discards them.
+    # The semi-join is unhinted: AQE broadcasts the filtered part keys at
+    # bench SFs (scan-side prune, the aggregate exchange shrinks ~50x); at
+    # 100 TB the key set scales with |part| and AQE keeps sort-merge, where
+    # the post-join aggregate reuses the semi-join's partkey partitioning
+    # (partial-key clustering) and the runtime Bloom filter can prune the
+    # scan — never a forced broadcast of a scaling side.
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 10)
+        .select("p_partkey")
+    )
+    offers = (
+        li.join(part_keys, li.l_partkey == part_keys.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = load_table(spark, sf_dir, "nation")
