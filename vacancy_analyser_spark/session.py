@@ -38,7 +38,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
     # Small dims (taxonomy ≤ 430 rows, region/nation) must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # Scale-dependent, so parameterised rather than constant (r12): the
+    # default matches the local core count ($SPARK_GRAFT_CPUS world), and
+    # AQE coalescing re-sizes small shuffles downward at runtime. On a
+    # cluster set $SPARK_GRAFT_SHUFFLE_PARTITIONS from the data, not the
+    # default: total shuffle bytes / ~200 MB per partition (guide §2.2 —
+    # e.g. a 10 TB shuffle wants ~50k initial partitions, which AQE then
+    # coalesces per-stage), never the executor count alone.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.filterPushdown": "true",
     # Harness testdata stores events.ts as TIMESTAMP(NANOS), which the Spark
