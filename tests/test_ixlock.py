@@ -220,3 +220,37 @@ def test_crashed_holder_replay_reclaims_and_folds(spark, tmp_path):
     assert calls == [3]
     assert try_acquire(spark, path, "after")  # released cleanly
     release(spark, path)
+
+
+def test_concurrent_acquire_admits_exactly_one_winner(spark, tmp_path):
+    """The dual-acquire race on the local scheme: LocalFileSystem.create
+    (overwrite=false) is check-then-create, so two acquirers racing one
+    empty slot could both pass the exists check — the second create then
+    truncates the first holder's marker and the first holder's release
+    reads a torn token (LeaseLost mid-hold with no actual reclaim).
+    Acquisition must be a true mutex on file://: many threads racing one
+    slot admit exactly one winner, and the marker carries that winner's
+    token intact."""
+    import threading
+
+    path = str(tmp_path / "idx")
+    for _ in range(20):
+        winners: list[str] = []
+        barrier = threading.Barrier(8)
+
+        def worker(tok: str) -> None:
+            barrier.wait()
+            if try_acquire(spark, path, tok):
+                winners.append(tok)
+
+        threads = [
+            threading.Thread(target=worker, args=(f"t{i}",)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(winners) == 1
+        marker = tmp_path / "idx" / ixlock.LEASE_NAME
+        assert marker.read_text().strip() == winners[0]
+        release(spark, path, owner=winners[0])

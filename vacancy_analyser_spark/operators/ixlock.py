@@ -14,10 +14,13 @@ and an ingest stream (or an out-of-band nightly compact) were pointed at
 the same table.
 
 This module is that enforcement: a lease marker file beside the table,
-acquired through the Hadoop FileSystem's atomic ``create(path,
-overwrite=false)``. Semantics and limits, stated plainly:
+acquired through an atomic create-exclusive — ``create(path,
+overwrite=false)`` on HDFS, ``java.io.File.createNewFile`` (O_EXCL) on
+the local scheme, where Hadoop's LocalFileSystem create is only
+check-then-create and two racing acquirers could otherwise both
+"succeed" with a torn marker. Semantics and limits, stated plainly:
 
-- On HDFS (and any FS with atomic create-exclusive) acquisition is a
+- On HDFS and file:// acquisition is a
   true mutex. On S3A, create-no-overwrite is check-then-put and two
   near-simultaneous acquirers can both succeed — the lease is then a
   strong advisory guard (it still serializes every well-behaved writer
@@ -158,8 +161,33 @@ def try_acquire(
                 pass  # displaced holder's release raises LeaseLost
             return False
         fs.delete(aside, False)
+    jvm = spark.sparkContext._jvm
+    if (p.toUri().getScheme() or "file") == "file":
+        # LocalFileSystem.create(p, overwrite=false) is check-THEN-create:
+        # two acquirers racing the same empty slot can both pass the check,
+        # and the second create truncates the first holder's marker (and
+        # its .crc), so the first holder's release reads a torn token and
+        # raises LeaseLost — the dual-acquire the lease exists to prevent.
+        # java.io.File.createNewFile is O_CREAT|O_EXCL — a true mutex on
+        # the local scheme. The token write happens after the exclusive
+        # create; no .crc is written, so checksum readers skip verification.
+        f = jvm.java.io.File(p.toUri().getPath())
+        try:
+            if not f.createNewFile():
+                return False
+        except Exception:
+            return False
+        try:
+            out = jvm.java.io.FileOutputStream(f)
+            try:
+                out.write(bytearray(f"{owner}\n".encode()))
+            finally:
+                out.close()
+            return True
+        except Exception:
+            return False
     try:
-        out = fs.create(p, False)  # overwrite=false → atomic exclusive
+        out = fs.create(p, False)  # overwrite=false → atomic on HDFS
         try:
             out.write(bytearray(f"{owner}\n".encode()))
         finally:
