@@ -52,6 +52,42 @@ def _utc_nanos(iso: str) -> int:
 #: only — never rows, so no result can leak across bench runs.
 _SCHEMA_CACHE: dict = {}
 
+#: Mirror of spark.sql.files.openCostInBytes' default: the file-splitting
+#: floor that makes a scan of B bytes yield at most ~B/4MB tasks.
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def spread_small_scan(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin a SMALL table's rows across the cluster's cores before
+    per-row-heavy compute (tokenize, per-token hashing, codec work).
+
+    Scans parallelize at ~openCostInBytes (4 MB) file-split granularity
+    and never beyond the parquet row-group count, so a table smaller than
+    ``cores × 4 MB`` reaches the expensive projection on a handful of
+    tasks — at bench scale literally one, serializing the whole tokenize
+    stage (guide §2.5: input skew from one small/unsplittable file →
+    repartition immediately after the read). The gate is derived from the
+    INPUT SIZE, not a constant: at cluster scale the table outgrows the
+    threshold and this is a no-op, so no extra exchange ever touches a
+    large scan. Non-local paths (hdfs://, s3a://) skip the probe — those
+    deployments split scans across executors anyway."""
+    path = table_path(sf_dir, name)
+    try:
+        import os
+
+        if os.path.isfile(path):
+            n_bytes = os.path.getsize(path)
+        else:
+            n_bytes = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if n_bytes >= cores * _OPEN_COST_BYTES:
+        return df
+    return df.repartition(cores)
+
 
 def load_table(
     spark: SparkSession,

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_ws, token_ngrams, tokens
-from ..io import load_table
+from ..io import load_table, spread_small_scan
 from .registry import register
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -60,7 +60,9 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation — rather than ``.distinct()`` over the exploded table, which
     would exchange every (doc_id, bigram) string pair. Same set, zero
     shuffle (measured: 1.2s → 0.85s for the materialized stage at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     return toks.select("doc_id", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram"))
 
@@ -183,25 +185,20 @@ _REGIME_PROBE_CACHE: dict[str, tuple[int, int, dict[int, int]]] = {}
 
 
 def _regime_probe(g: DataFrame, sf_dir: str) -> tuple[int, int, dict[int, int]]:
-    """(n_vocab, n_docs, vocab-bucket counts) in two jobs.
+    """(n_vocab, n_docs, {}) in ONE group-less aggregate job.
 
-    The vocab scan doubles as the bitmap plan's index-bucket census:
-    counting the distinct bigrams GROUPED by their _VOCAB_IDX_BUCKETS hash
-    bucket costs the same distinct pass and hands the bitmap plan its
-    ranking offsets for free (n_vocab is the sum) — one collected
-    ≤64-row vector instead of a separate job per bitmap build."""
+    Both regime dimensions ride a single two-countDistinct aggregate —
+    each extra probe job is a full driver round-trip + stage schedule,
+    which at bench scale costs more than the aggregate itself (r12; the
+    former per-bucket vocab census went away with the bitmap plan's
+    bucketed ranking — see _bitmap_packed). The third tuple slot is kept
+    so the probe's callers stay unchanged."""
     if sf_dir not in _REGIME_PROBE_CACHE:
-        rows = (
-            g.select("bigram")
-            .distinct()  # also materializes g's cache
-            .groupBy(F.pmod(F.xxhash64("bigram"), F.lit(_VOCAB_IDX_BUCKETS)).cast("int").alias("vb"))
-            .agg(F.count("*").alias("c"))
-            .collect()
-        )
-        bucket_counts = {r["vb"]: r["c"] for r in rows}
-        n_vocab = sum(bucket_counts.values())
-        n_docs = g.select("doc_id").distinct().count()
-        _REGIME_PROBE_CACHE[sf_dir] = (n_vocab, n_docs, bucket_counts)
+        row = g.groupBy().agg(
+            F.countDistinct("bigram").alias("nv"),
+            F.countDistinct("doc_id").alias("nd"),
+        ).first()
+        _REGIME_PROBE_CACHE[sf_dir] = (row["nv"], row["nd"], {})
     return _REGIME_PROBE_CACHE[sf_dir]
 
 
@@ -435,32 +432,22 @@ def _bitmap_packed(
 
     The vocab index only needs to be a bijection into [0, n_vocab) —
     set overlap is a popcount over AND/OR, so the bit ORDER is irrelevant.
-    That frees the indexing from a global row_number() sort (the engine's
-    last `WindowExec: No Partition Defined` source): hash the vocabulary
-    into _VOCAB_IDX_BUCKETS, rank within each bucket in parallel, and add
-    per-bucket offsets computed from a collected bucket-count vector — an
-    aggregate-sized control scalar (≤ _VOCAB_IDX_BUCKETS rows), the same
-    driver-side pattern the high-water-mark merge uses. The census rides
-    the regime probe's own distinct pass when the caller passes
-    ``bucket_counts`` (the registered path) — zero extra jobs there."""
-    vocab = g.select("bigram").distinct().withColumn(
-        "vb", F.pmod(F.xxhash64("bigram"), F.lit(_VOCAB_IDX_BUCKETS)).cast("int")
-    )
-    counts = bucket_counts
-    if counts is None:
-        counts = {
-            r["vb"]: r["c"]
-            for r in vocab.groupBy("vb").agg(F.count("*").alias("c")).collect()
-        }
-    offsets, acc = {}, 0
-    for vb in sorted(counts):
-        offsets[vb] = acc
-        acc += counts[vb]
-    off_map = F.create_map(*[F.lit(x) for vb in offsets for x in (vb, offsets[vb])])
-    wb = Window.partitionBy("vb").orderBy("bigram")
-    idx = vocab.select(
-        "bigram",
-        (F.element_at(off_map, F.col("vb")) + F.row_number().over(wb) - 1).alias("idx"),
+    The rank is ONE global row_number() over the distinct vocabulary:
+    ``_dense_regime`` only admits corpora with n_vocab ≤ MAX_BITMAP_VOCAB
+    (65,536), so the single-partition window sorts at most 65k short
+    strings — microseconds on any hardware this plan can reach — and the
+    bucketed-census ranking it replaces (hash buckets + a collected
+    offset vector + a per-bucket window) cost two extra serial jobs per
+    build, which at bench scale dwarfed the sort it avoided (r12). The
+    ``bucket_counts`` parameter is retained (ignored) for its callers.
+
+    Word expressions are SQL strings: the Column form paid ~6 py4j
+    round-trips per packed word at build time — a measurable slice of the
+    query's wall at bench scale (see _simhash_df). Parsed expressions are
+    identical."""
+    wb = Window.orderBy("bigram")
+    idx = g.select("bigram").distinct().select(
+        "bigram", (F.row_number().over(wb) - 1).alias("idx")
     )
     n_words = max(1, (n_vocab + 63) // 64)
     packed = (
@@ -469,14 +456,13 @@ def _bitmap_packed(
         .agg(
             F.count("*").alias("n"),
             *[
-                F.bit_or(
-                    F.when(
-                        (F.col("idx") / 64).cast("int") == w,
-                        # pyspark's shiftleft() only takes a literal count —
-                        # the SQL form accepts a column expression
-                        F.expr("shiftleft(cast(1 as bigint), cast(idx % 64 as int))"),
-                    ).otherwise(F.lit(0).cast("bigint"))
-                ).alias(f"w{w}")
+                # pyspark's shiftleft() only takes a literal count — the
+                # SQL form accepts a column expression
+                F.expr(
+                    f"bit_or(CASE WHEN CAST(idx / 64 AS INT) = {w} "
+                    "THEN shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)) "
+                    f"ELSE CAST(0 AS BIGINT) END) AS w{w}"
+                )
                 for w in range(n_words)
             ],
         )
@@ -502,10 +488,11 @@ def _bitmap_pairs(packed: DataFrame, n_words: int) -> DataFrame:
     # The a<b condition joins via broadcast nested loop; intersections are
     # evaluated inside the same codegen stage, nothing materializes.
     b = F.broadcast(packed.alias("b"))
-    n_common = sum(
-        (F.bit_count(F.col(f"a.w{w}").bitwiseAND(F.col(f"b.w{w}"))) for w in range(n_words)),
-        start=F.lit(0),
-    ).cast("bigint")
+    n_common = F.expr(
+        "CAST(0 + "
+        + " + ".join(f"bit_count(a.w{w} & b.w{w})" for w in range(n_words))
+        + " AS BIGINT)"
+    )
     return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("a_id"),
         F.col("b.doc_id").alias("b_id"),
@@ -675,11 +662,14 @@ def _minhash_sigs(g: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFram
         *keys,
         F.conv(F.substring(F.md5("bigram"), 1, 7), 16, 10).cast("bigint").alias("h"),
     )
+    # SQL-string aggregates (one F.expr per signature) — the Column
+    # operator form paid ~5 py4j round-trips per permutation at build
+    # time; the parsed expressions are identical (see _simhash_df).
     return gh.groupBy(*keys).agg(
         *[
-            F.min(
-                (F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)
-            ).alias(f"s{s}")
+            F.expr(
+                f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS s{s}"
+            )
             for s in range(N_MINHASH)
         ]
     )
@@ -689,19 +679,14 @@ def _minhash_bands_df(sigs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> D
     """(keys..., band_id, band_val) via one explode over an inline band
     array — NOT a 4-way union, which would recompute the signature input
     once per band. Band encoding mirrors _band_sql (injective s·P + s')."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                (
-                    F.col(f"s{band * BAND_ROWS}") * F.lit(MINHASH_P)
-                    + F.col(f"s{band * BAND_ROWS + 1}")
-                ).alias("band_val"),
-            )
-            for band in range(N_MINHASH // BAND_ROWS)
-        ]
+    band_structs = ", ".join(
+        f"struct({band} AS band_id, "
+        f"s{band * BAND_ROWS} * {MINHASH_P} + s{band * BAND_ROWS + 1} AS band_val)"
+        for band in range(N_MINHASH // BAND_ROWS)
     )
-    return sigs.select(*keys, F.explode(band_structs).alias("bs")).select(
+    return sigs.select(
+        *keys, F.expr(f"explode(array({band_structs})) AS bs")
+    ).select(
         *keys, F.col("bs.band_id").alias("band_id"), F.col("bs.band_val").alias("band_val")
     )
 
@@ -793,7 +778,9 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One aggregate with 32 vote sums instead of exploding 32 bit-rows per
     # token: the explode shuffled |tokens|×32 rows; this shuffles one row per
     # doc (partial aggregation does the vote counting map-side).
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
     # per-doc distinctness via array_distinct (narrow) instead of a
     # .distinct() shuffle over the exploded token table — see _doc_bigrams
     toks = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
@@ -806,17 +793,22 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint").alias("h"),
     )
 
-    def bit(p: int) -> Column:
-        return F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1))
-
+    # The 32 vote aggregates and the 32-term weight are built as SQL strings
+    # (one F.expr each / one for the weight) rather than per-bit Column
+    # operator chains: every Column operator is a py4j driver round-trip,
+    # and the ~400 calls the operator form needed cost more wall time than
+    # EXECUTING the query at bench scale (profiled: 1.77 s build vs 0.44 s
+    # exec). The parsed expressions are identical — same types, same plan.
     votes = hashed.groupBy("doc_id").agg(
-        *[F.sum(2 * bit(p) - 1).alias(f"v{p}") for p in range(32)]
+        *[
+            F.expr(f"sum(2 * (shiftright(h, {p}) & 1) - 1) AS v{p}")
+            for p in range(32)
+        ]
     )
-    weight = sum(
-        (F.when(F.col(f"v{p}") > 0, F.lit(2**p)).otherwise(F.lit(0)) for p in range(32)),
-        start=F.lit(0),
+    weight = " + ".join(
+        f"(CASE WHEN v{p} > 0 THEN {2**p}L ELSE 0L END)" for p in range(32)
     )
-    return votes.select("doc_id", weight.cast("bigint").alias("simhash"))
+    return votes.select("doc_id", F.expr(f"CAST({weight} AS BIGINT) AS simhash"))
 
 
 @register(
