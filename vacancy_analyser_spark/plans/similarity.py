@@ -658,6 +658,36 @@ def _lloyd_chain_sql(
     return head + steps
 
 
+def _memo_read(spark: SparkSession, path: str, memo: dict | None = None) -> DataFrame:
+    """Read an index-interior parquet table, reusing a caller-held schema
+    memo.
+
+    ``spark.read.parquet`` with no schema runs a one-task footer-inference
+    job per call (~50-90 ms quiet, more under load) — a maintenance
+    stream's fold pays it per TRIGGER per table even though the layout
+    under its lease cannot change. A single-owner scope (a foreachBatch
+    stream holding the index's maintenance lease, or a key function that
+    built the index it is reading) passes one dict for its lifetime: the
+    first read infers and memoizes, later reads hand the stored schema to
+    the reader and skip the job.
+
+    This is deliberately NOT a module-level cache keyed on path (the r12
+    hazard note in OPTIMIZATION_r12.md): the memo's lifetime equals its
+    owner's exclusive-write scope, so a layout-changing rewrite by a later
+    owner can never see a stale schema — there is no invalidation to get
+    wrong. The fold's own writes never change the column set or types, so
+    within one scope the memoized schema stays exact. Callers without an
+    ownership scope pass nothing and keep per-call inference."""
+    if memo is None:
+        return spark.read.parquet(path)
+    schema = memo.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        memo[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def ivf_build_index(
     spark: SparkSession, sf_dir: str, path: str, n_centroids: int | None = None
 ) -> None:
@@ -681,17 +711,20 @@ def ivf_build_index(
 
 
 def ivf_build_index_frame(
-    vecs: DataFrame, path: str, n_centroids: int | None = None
+    vecs: DataFrame, path: str, n_centroids: int | None = None,
+    schema_memo: dict | None = None,
 ) -> None:
     """ivf_build_index over an explicit (vec_id, embedding) frame — the
-    incremental-add key builds from its ``base`` slice through this."""
+    incremental-add key builds from its ``base`` slice through this.
+    ``schema_memo`` (see _memo_read) lets a caller that will keep folding
+    into this index reuse the read-back's inferred schema."""
     import os
 
     spark = vecs.sparkSession
     cent = lloyd_centroids(vecs, n_centroids if n_centroids is not None
                            else auto_centroids(vecs.count()))
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_r = _memo_read(spark, os.path.join(path, "centroids"), schema_memo)
     assigned = _ranked_against(vecs, cent_r).filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "centroid_id"
     )
@@ -701,7 +734,8 @@ def ivf_build_index_frame(
 
 
 def ivf_index_incremental_add(
-    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False,
+    schema_memo: dict | None = None,
 ) -> list[int]:
     """Fold an arriving embedding batch into a materialized IVF index
     WITHOUT retraining and WITHOUT touching existing data — the vector
@@ -731,10 +765,11 @@ def ivf_index_incremental_add(
     partition-pruned fraction the batch maps to, never the whole index).
     Streaming ingest (streaming/ann_ingest.py) always sets it.
 
-    Returns the touched centroid ids."""
+    Returns the touched centroid ids. ``schema_memo`` (see _memo_read)
+    lets a single-owner fold loop skip per-trigger schema inference."""
     import os
 
-    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_r = _memo_read(spark, os.path.join(path, "centroids"), schema_memo)
     assigned = (
         _ranked_against(batch, cent_r)
         .filter(F.col("rn") == 1)
@@ -750,7 +785,7 @@ def ivf_index_incremental_add(
         # with the index fraction the batch maps to — AQE promotes it when
         # small and keeps a shuffled join when not
         existing = (
-            spark.read.parquet(os.path.join(path, "vectors"))
+            _memo_read(spark, os.path.join(path, "vectors"), schema_memo)
             .filter(F.col("centroid_id").isin(touched))
             .select("vec_id")
         )
@@ -774,6 +809,7 @@ def ivf_index_delete(
     delete_ids: DataFrame,
     partition_cols: tuple[str, ...] = ("centroid_id",),
     touched: list | None = None,
+    schema_memo: dict | None = None,
 ) -> list:
     """Remove vectors from a materialized IVF index by id — the lifecycle
     op incremental_add is missing (takedown / right-to-be-forgotten: at
@@ -824,7 +860,7 @@ def ivf_index_delete(
     from ..operators import fsutil
 
     vec_dir = os.path.join(path, "vectors")
-    idx = spark.read.parquet(vec_dir)
+    idx = _memo_read(spark, vec_dir, schema_memo)
     # One materialization (changeset-sized by contract) serves the probe,
     # the locate semi-join and the rewrite anti-join — without it the
     # delete_ids lineage is fully evaluated three times per call, and in
@@ -2260,7 +2296,8 @@ def ivfpq_build_index_frame(
 
 
 def ivfpq_index_incremental_add(
-    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False,
+    schema_memo: dict | None = None,
 ) -> list[int]:
     """Fold an embedding batch into a materialized IVFPQ index with BOTH
     trained artifacts frozen: the batch's PQ codes come from the STORED
@@ -2272,8 +2309,8 @@ def ivfpq_index_incremental_add(
     the touched partitions only). Returns the touched centroid ids."""
     import os
 
-    cb_r = spark.read.parquet(os.path.join(path, "codebook"))
-    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
+    cb_r = _memo_read(spark, os.path.join(path, "codebook"), schema_memo)
+    cent_r = _memo_read(spark, os.path.join(path, "centroids"), schema_memo)
     codes_arr = (
         _pq_assign(_pq_subvectors(batch), cb_r)
         .groupBy("vec_id")
@@ -2292,7 +2329,7 @@ def ivfpq_index_incremental_add(
     )
     if skip_existing and touched:
         existing = (
-            spark.read.parquet(os.path.join(path, "vectors"))
+            _memo_read(spark, os.path.join(path, "vectors"), schema_memo)
             .filter(F.col("centroid_id").isin(touched))
             .select("vec_id")
         )
@@ -4432,7 +4469,8 @@ def ann_split_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def split_index_incremental_add(
-    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False,
+    schema_memo: dict | None = None,
 ) -> list[tuple]:
     """Fold an arriving embedding batch into the materialized SPLIT
     layout — the add path ann_cell_split_retrain's output was missing
@@ -4456,8 +4494,8 @@ def split_index_incremental_add(
     touched (centroid_id, sub_id) keys."""
     import os
 
-    cent_r = spark.read.parquet(os.path.join(path, "centroids"))
-    sub_r = spark.read.parquet(os.path.join(path, "sub_centroids"))
+    cent_r = _memo_read(spark, os.path.join(path, "centroids"), schema_memo)
+    sub_r = _memo_read(spark, os.path.join(path, "sub_centroids"), schema_memo)
     a1 = (
         _ranked_against(batch, cent_r)
         .filter(F.col("rn") == 1)
@@ -4488,7 +4526,7 @@ def split_index_incremental_add(
         from ..operators.compaction import keys_filter
 
         existing = (
-            spark.read.parquet(os.path.join(path, "vectors"))
+            _memo_read(spark, os.path.join(path, "vectors"), schema_memo)
             .filter(keys_filter(("centroid_id", "sub_id"), touched))
             .select("vec_id")
         )
@@ -5436,15 +5474,19 @@ def ivf2_build_index(
     ivf2_build_index_frame(_vectors(spark, sf_dir), path, k, kc)
 
 
-def ivf2_build_index_frame(vecs: DataFrame, path: str, k: int, kc: int) -> None:
+def ivf2_build_index_frame(
+    vecs: DataFrame, path: str, k: int, kc: int, schema_memo: dict | None = None
+) -> None:
     """ivf2_build_index over an explicit (vec_id, embedding) frame — the
-    incremental-add key builds from its ``base`` slice through this."""
+    incremental-add key builds from its ``base`` slice through this.
+    ``schema_memo`` (see _memo_read) lets a caller that will keep folding
+    into this index reuse the read-backs' inferred schemas."""
     import os
 
     spark = vecs.sparkSession
     fine, coarse = ivf2_centroids(vecs, k, kc)
     coarse.write.mode("overwrite").parquet(os.path.join(path, "coarse"))
-    coarse_r = spark.read.parquet(os.path.join(path, "coarse"))
+    coarse_r = _memo_read(spark, os.path.join(path, "coarse"), schema_memo)
     wf = Window.partitionBy("centroid_id").orderBy(F.col("cs").desc(), F.col("coarse_id"))
     f2c = (
         fine.crossJoin(F.broadcast(coarse_r))
@@ -5459,7 +5501,7 @@ def ivf2_build_index_frame(vecs: DataFrame, path: str, k: int, kc: int) -> None:
         .select("centroid_id", "c_emb", "coarse_id")
     )
     f2c.write.mode("overwrite").parquet(os.path.join(path, "fine"))
-    fine_r = spark.read.parquet(os.path.join(path, "fine"))
+    fine_r = _memo_read(spark, os.path.join(path, "fine"), schema_memo)
     assigned = (
         _ranked_against(vecs, fine_r.select("centroid_id", "c_emb"))
         .filter(F.col("rn") == 1)
@@ -5476,7 +5518,8 @@ def ivf2_build_index_frame(vecs: DataFrame, path: str, k: int, kc: int) -> None:
 
 
 def ivf2_index_incremental_add(
-    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False
+    spark: SparkSession, path: str, batch: DataFrame, skip_existing: bool = False,
+    schema_memo: dict | None = None,
 ) -> list[int]:
     """Fold an embedding batch into a materialized TWO-LEVEL index: assign
     the batch against the STORED fine centroids (the stored fine/ table
@@ -5487,7 +5530,7 @@ def ivf2_index_incremental_add(
     the one-level and IVFPQ adds. Returns touched fine centroid ids."""
     import os
 
-    fine_r = spark.read.parquet(os.path.join(path, "fine"))
+    fine_r = _memo_read(spark, os.path.join(path, "fine"), schema_memo)
     assigned = (
         _ranked_against(batch, fine_r.select("centroid_id", "c_emb"))
         .filter(F.col("rn") == 1)
@@ -5500,7 +5543,7 @@ def ivf2_index_incremental_add(
     )
     if skip_existing and touched:
         existing = (
-            spark.read.parquet(os.path.join(path, "vectors"))
+            _memo_read(spark, os.path.join(path, "vectors"), schema_memo)
             .filter(F.col("centroid_id").isin(touched))
             .select("vec_id")
         )

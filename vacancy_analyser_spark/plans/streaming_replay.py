@@ -563,6 +563,7 @@ def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus partition-scoped appends — ingest cost tracks the changeset,
     never the corpus; the trainer is outside the steady-state loop."""
     from ..plans.similarity import (
+        _memo_read,
         _vectors,
         auto_centroids,
         ivf_build_index_frame,
@@ -579,14 +580,22 @@ def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "arrivals")
     ckpt = os.path.join(root, "ckpt")
     try:
-        ivf_build_index_frame(base, index, n_centroids=auto_centroids(n_base))
+        # one schema memo for the key's whole index lifetime: this function
+        # owns the fresh tmpdir index end to end, so build read-backs, every
+        # fold trigger and the final read share one inference per table
+        memo: dict = {}
+        ivf_build_index_frame(
+            base, index, n_centroids=auto_centroids(n_base), schema_memo=memo
+        )
         _write_batches(vecs, "vec_id", src)
         stream = (
             spark.readStream.schema(vecs.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = start_ann_ingest_stream(stream, index, ckpt, available_now=True)
+        q = start_ann_ingest_stream(
+            stream, index, ckpt, available_now=True, schema_memo=memo
+        )
         _await(q)
         # localCheckpoint (eager) severs lineage from the fixture files so
         # they can be cleaned before returning, while the assignment stays
@@ -594,7 +603,7 @@ def ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would localize the whole index assignment to the driver (the r9
         # advice finding; two ints per vector is still O(corpus))
         out = (
-            spark.read.parquet(os.path.join(index, "vectors"))
+            _memo_read(spark, os.path.join(index, "vectors"), memo)
             .select(
                 "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
             )
@@ -678,6 +687,7 @@ def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.similarity import (
         DEL_MOD,
         DEL_REM,
+        _memo_read,
         _vectors,
         auto_centroids,
         coarse_centroid_count,
@@ -698,7 +708,10 @@ def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "queue")
     ckpt = os.path.join(root, "ckpt")
     try:
-        ivf2_build_index_frame(vecs, index, k, kc)
+        # one schema memo for the key's whole index lifetime (see
+        # ann_ingest_replay)
+        memo: dict = {}
+        ivf2_build_index_frame(vecs, index, k, kc, schema_memo=memo)
         dels = vecs.filter(
             (F.col("vec_id") % DEL_MOD) == DEL_REM
         ).select("vec_id")
@@ -722,10 +735,11 @@ def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt,
             available_now=True,
             partition_cols=("coarse_id", "centroid_id"),
+            schema_memo=memo,
         )
         _await(q)
         out = (
-            spark.read.parquet(os.path.join(index, "vectors"))
+            _memo_read(spark, os.path.join(index, "vectors"), memo)
             .select(
                 "vec_id",
                 F.col("centroid_id").cast("bigint").alias("centroid_id"),
@@ -796,6 +810,7 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.similarity import (
         DEL_MOD,
         DEL_REM,
+        _memo_read,
         _vectors,
         auto_centroids,
         ivf_build_index_frame,
@@ -812,7 +827,12 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "log")
     ckpt = os.path.join(root, "ckpt")
     try:
-        ivf_build_index_frame(base, index, n_centroids=auto_centroids(n_base))
+        # one schema memo for the key's whole index lifetime (see
+        # ann_ingest_replay)
+        memo: dict = {}
+        ivf_build_index_frame(
+            base, index, n_centroids=auto_centroids(n_base), schema_memo=memo
+        )
         add = vecs.select(F.lit("add").alias("op"), "vec_id", "embedding")
         dels = (
             vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM)
@@ -841,10 +861,12 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = start_ann_apply_stream(stream, index, ckpt, available_now=True)
+        q = start_ann_apply_stream(
+            stream, index, ckpt, available_now=True, schema_memo=memo
+        )
         _await(q)
         out = (
-            spark.read.parquet(os.path.join(index, "vectors"))
+            _memo_read(spark, os.path.join(index, "vectors"), memo)
             .select(
                 "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id")
             )
@@ -918,6 +940,7 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.similarity import (
         DEL_MOD,
         DEL_REM,
+        _memo_read,
         _vectors,
         auto_centroids,
         coarse_centroid_count,
@@ -939,7 +962,10 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "log")
     ckpt = os.path.join(root, "ckpt")
     try:
-        ivf2_build_index_frame(base, index, k, kc)
+        # one schema memo for the key's whole index lifetime (see
+        # ann_ingest_replay)
+        memo: dict = {}
+        ivf2_build_index_frame(base, index, k, kc, schema_memo=memo)
         add = vecs.select(F.lit("add").alias("op"), "vec_id", "embedding")
         dels = (
             vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM)
@@ -969,11 +995,12 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         q = start_ann_apply_stream(
-            stream, index, ckpt, available_now=True, layout="ivf2"
+            stream, index, ckpt, available_now=True, layout="ivf2",
+            schema_memo=memo,
         )
         _await(q)
         out = (
-            spark.read.parquet(os.path.join(index, "vectors"))
+            _memo_read(spark, os.path.join(index, "vectors"), memo)
             .select(
                 "vec_id",
                 F.col("centroid_id").cast("bigint").alias("centroid_id"),

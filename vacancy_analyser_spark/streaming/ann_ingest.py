@@ -61,6 +61,7 @@ def start_ann_ingest_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     compact_every: int | None = None,
+    schema_memo: dict | None = None,
 ) -> StreamingQuery:
     """Fold a streaming (vec_id, embedding) frame into the IVF index at
     ``index_path`` (built by ivf_build_index / ivf_build_index_frame — the
@@ -99,9 +100,16 @@ def start_ann_ingest_stream(
     from ..operators.compaction import compact_partitions
     from ..plans.similarity import ivf_index_incremental_add
 
+    # one schema memo per stream: this loop is the index's single writer
+    # for its lifetime (every fold holds the maintenance lease), so the
+    # interior schemas cannot change under it — the first trigger infers,
+    # later triggers skip the per-table footer-inference job (_memo_read)
+    memo = {} if schema_memo is None else schema_memo
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         ivf_index_incremental_add(
-            batch_df.sparkSession, index_path, batch_df, skip_existing=True
+            batch_df.sparkSession, index_path, batch_df, skip_existing=True,
+            schema_memo=memo,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitions(
@@ -125,6 +133,7 @@ def start_ann_delete_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     partition_cols: tuple[str, ...] = ("centroid_id",),
+    schema_memo: dict | None = None,
 ) -> StreamingQuery:
     """The takedown twin of start_ann_ingest_stream: a stream of vec_ids
     to remove (right-to-be-forgotten requests arrive as a queue, not a
@@ -155,12 +164,16 @@ def start_ann_delete_stream(
 
     from ..plans.similarity import ivf_index_delete
 
+    # single-writer schema memo, same reasoning as start_ann_ingest_stream
+    memo = {} if schema_memo is None else schema_memo
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         ivf_index_delete(
             batch_df.sparkSession,
             index_path,
             batch_df.select("vec_id"),
             partition_cols=partition_cols,
+            schema_memo=memo,
         )
 
     writer = deletions.writeStream.foreachBatch(
@@ -180,6 +193,7 @@ def start_ann_split_ingest_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     compact_every: int | None = None,
+    schema_memo: dict | None = None,
 ) -> StreamingQuery:
     """The split-layout twin of start_ann_ingest_stream: micro-batches
     fold into a selectively-split index (plans/similarity.py
@@ -211,9 +225,13 @@ def start_ann_split_ingest_stream(
     from ..operators.compaction import compact_partitions
     from ..plans.similarity import split_index_incremental_add
 
+    # single-writer schema memo, same reasoning as start_ann_ingest_stream
+    memo = {} if schema_memo is None else schema_memo
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         split_index_incremental_add(
-            batch_df.sparkSession, index_path, batch_df, skip_existing=True
+            batch_df.sparkSession, index_path, batch_df, skip_existing=True,
+            schema_memo=memo,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitions(
@@ -241,6 +259,7 @@ def start_ann_apply_stream(
     compact_every: int | None = None,
     layout: str = "flat",
     partition_cols: tuple[str, ...] | None = None,
+    schema_memo: dict | None = None,
 ) -> StreamingQuery:
     """ONE loop owns the index: a unified command log — rows
     ``(op, vec_id, embedding)`` with op ∈ {'add', 'del'} — folds adds,
@@ -309,6 +328,9 @@ def start_ann_apply_stream(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # single-writer schema memo, same reasoning as start_ann_ingest_stream
+    memo = {} if schema_memo is None else schema_memo
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if "seq" not in batch_df.columns:
@@ -330,7 +352,8 @@ def start_ann_apply_stream(
             # deletes first: a re-added id must not be skip_existing-
             # skipped into keeping its pre-delete embedding
             S.ivf_index_delete(
-                spark, index_path, last_del.select("vec_id"), partition_cols=cols
+                spark, index_path, last_del.select("vec_id"), partition_cols=cols,
+                schema_memo=memo,
             )
             adds = (
                 adds.join(F.broadcast(last_del), "vec_id", "left")
@@ -348,7 +371,7 @@ def start_ann_apply_stream(
             .select("vec_id", "embedding")
         )
         if not net_adds.isEmpty():
-            add_fn(spark, index_path, net_adds, skip_existing=True)
+            add_fn(spark, index_path, net_adds, skip_existing=True, schema_memo=memo)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitions(spark, os.path.join(index_path, "vectors"), cols)
 
@@ -398,6 +421,7 @@ def start_ann_ivfpq_ingest_stream(
     checkpoint: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    schema_memo: dict | None = None,
 ) -> StreamingQuery:
     """Streaming ingest into the COMPRESSED index: each micro-batch's PQ
     codes come from the STORED codebook and its cell from the STORED
@@ -409,9 +433,13 @@ def start_ann_ivfpq_ingest_stream(
     and two-level (start_ann_ivf2_ingest_stream) loops."""
     from ..plans.similarity import ivfpq_index_incremental_add
 
+    # single-writer schema memo, same reasoning as start_ann_ingest_stream
+    memo = {} if schema_memo is None else schema_memo
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         ivfpq_index_incremental_add(
-            batch_df.sparkSession, index_path, batch_df, skip_existing=True
+            batch_df.sparkSession, index_path, batch_df, skip_existing=True,
+            schema_memo=memo,
         )
 
     return _start_fold_stream(
@@ -429,6 +457,7 @@ def start_ann_ivf2_ingest_stream(
     checkpoint: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    schema_memo: dict | None = None,
 ) -> StreamingQuery:
     """Streaming ingest into the TWO-LEVEL index: one broadcast
     assignment per micro-batch against the STORED fine centroids (the
@@ -438,9 +467,13 @@ def start_ann_ivf2_ingest_stream(
     into the nested directories."""
     from ..plans.similarity import ivf2_index_incremental_add
 
+    # single-writer schema memo, same reasoning as start_ann_ingest_stream
+    memo = {} if schema_memo is None else schema_memo
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         ivf2_index_incremental_add(
-            batch_df.sparkSession, index_path, batch_df, skip_existing=True
+            batch_df.sparkSession, index_path, batch_df, skip_existing=True,
+            schema_memo=memo,
         )
 
     return _start_fold_stream(

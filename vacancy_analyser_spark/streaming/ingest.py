@@ -121,16 +121,26 @@ def dedup_gate(
     return b.join(kill, "doc_id", "left_anti").select(*CORPUS_COLUMNS)
 
 
-def _read_corpus(spark, corpus_path: str) -> DataFrame | None:
+def _read_corpus(spark, corpus_path: str, memo: dict | None = None) -> DataFrame | None:
     """Read the durable corpus, or None before the first append. Probed by
     attempting the read — NOT by driver-local os.path checks, which would
     silently report 'no corpus' for hdfs:///s3a:// paths and disable every
-    corpus-side gate on exactly the deployments this loop targets."""
+    corpus-side gate on exactly the deployments this loop targets.
+
+    ``memo`` (one dict per owning stream) skips the per-trigger footer
+    schema-inference job after the first successful read: the ingest loop
+    is the corpus's only writer and appends CORPUS_COLUMNS rows verbatim,
+    so the schema cannot change under the stream's own feet."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    schema = memo.get(corpus_path) if memo is not None else None
     try:
+        if schema is not None:
+            return spark.read.schema(schema).parquet(corpus_path)
         df = spark.read.parquet(corpus_path)
         df.schema  # force analysis so an empty/missing path raises HERE
+        if memo is not None:
+            memo[corpus_path] = df.schema
         return df
     except AnalysisException:
         return None
@@ -151,9 +161,11 @@ def corpus_ingest_stream(
     drops every re-delivered row.
     """
 
+    memo: dict = {}  # per-stream schema memo (see _read_corpus)
+
     def step(batch: DataFrame, _bid: int) -> None:
         spark = batch.sparkSession
-        corpus = _read_corpus(spark, corpus_path)
+        corpus = _read_corpus(spark, corpus_path, memo)
         survivors = dedup_gate(batch, corpus, jaccard_t)
         survivors.write.mode("append").parquet(corpus_path)
 
