@@ -71,7 +71,13 @@ def spread_small_scan(df: DataFrame, spark: SparkSession, sf_dir: str, name: str
     threshold and this is a no-op, so no extra exchange ever touches a
     large scan. Non-local paths (hdfs://, s3a://) skip the probe — those
     deployments split scans across executors anyway."""
-    path = table_path(sf_dir, name)
+    return spread_small_path(df, spark, table_path(sf_dir, name))
+
+
+def spread_small_path(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """spread_small_scan for a frame read from an explicit path (a durable
+    corpus / state directory rather than a named testdata table) — same
+    input-derived gate, same no-op-at-scale contract."""
     try:
         import os
 

@@ -78,7 +78,15 @@ def dedup_gate(
     # let partition scan order pick the surviving text
     from pyspark.sql import Window
 
-    b = _with_artifacts(batch.select("doc_id", "text"))
+    # Round-robin the batch across the cluster BEFORE the per-row text work:
+    # a file-source trigger delivers whole files, so a small-file micro-batch
+    # otherwise reaches the tokenize+md5+shingle projection as ONE task with
+    # every other core idle (guide §2.5 — measured on corpus_ingest_replay:
+    # 2.5-6 s single-task stages per trigger). The exchange carries the
+    # CHANGESET once — never the corpus — and a big backlogged batch is
+    # balanced by the same move, so it is right at every scale.
+    spread = batch.sparkSession.sparkContext.defaultParallelism
+    b = _with_artifacts(batch.select("doc_id", "text").repartition(spread))
     b = (
         b.withColumn(
             "_rn",
@@ -94,6 +102,13 @@ def dedup_gate(
     b = b.join(keep, ["fingerprint", "doc_id"], "left_semi")
     if corpus is None:
         return b.select(*CORPUS_COLUMNS)
+    # b feeds all three corpus gates AND the final anti-join; without a
+    # materialization each consumer re-runs the whole tokenize+md5+shingle
+    # pipeline inline (the executed plan carried THREE copies of it —
+    # measured 2.5-6 s of duplicated single-task text work per trigger).
+    # One changeset-sized localCheckpoint runs it once (the same trick the
+    # ANN add/delete folds use for their read-then-append frames).
+    b = b.localCheckpoint(eager=True)
     c = corpus if "shingles" in corpus.columns else _with_artifacts(
         corpus.select("doc_id", "text")
     )
@@ -130,18 +145,29 @@ def _read_corpus(spark, corpus_path: str, memo: dict | None = None) -> DataFrame
     ``memo`` (one dict per owning stream) skips the per-trigger footer
     schema-inference job after the first successful read: the ingest loop
     is the corpus's only writer and appends CORPUS_COLUMNS rows verbatim,
-    so the schema cannot change under the stream's own feet."""
+    so the schema cannot change under the stream's own feet.
+
+    The returned frame is spread (io.spread_small_path — input-gated,
+    no-op at scale) because a young corpus is a handful of small files
+    whose scan packs into 1-2 tasks, and the gate's three corpus
+    consumers (fingerprint anti-join, shingle explode, sizes) each run
+    their scan-side work at that width with the rest of the cluster
+    idle."""
     from pyspark.errors.exceptions.captured import AnalysisException
+
+    from ..io import spread_small_path
 
     schema = memo.get(corpus_path) if memo is not None else None
     try:
         if schema is not None:
-            return spark.read.schema(schema).parquet(corpus_path)
+            return spread_small_path(
+                spark.read.schema(schema).parquet(corpus_path), spark, corpus_path
+            )
         df = spark.read.parquet(corpus_path)
         df.schema  # force analysis so an empty/missing path raises HERE
         if memo is not None:
             memo[corpus_path] = df.schema
-        return df
+        return spread_small_path(df, spark, corpus_path)
     except AnalysisException:
         return None
 

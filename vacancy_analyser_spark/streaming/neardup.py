@@ -67,10 +67,15 @@ def minhash_banded(docs: DataFrame) -> DataFrame:
     tokens) produce no rows, matching the batch path (their shingle set is
     empty; near-dup over nothing is undefined).
     """
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
-    bg = toks.select("doc_id", F.array_distinct(_bigrams("toks")).alias("bg")).filter(
-        F.size("bg") >= 1
+    # guard on the PRE-array column (bigrams exist iff >= 2 tokens): a
+    # size() filter on the derived bg array gets pushed below upstream
+    # exchanges with the whole tokenize+bigram pipeline inlined into the
+    # filter condition — the token_ngrams rule (functions/text.py), the
+    # same O(len^2)-ish inlining r12 removed from repetition_ngram_ratio
+    toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
     )
+    bg = toks.select("doc_id", F.array_distinct(_bigrams("toks")).alias("bg"))
     hs = bg.select(
         "doc_id",
         F.transform(
@@ -240,7 +245,15 @@ def streaming_near_dup(docs: DataFrame, bucket_salt: int = 1) -> DataFrame:
         state.update((ids, sigs))
         yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
 
-    banded = minhash_banded(docs)
+    # Round-robin each micro-batch across the cluster BEFORE the signature
+    # projection: a file-source trigger delivers whole files, so the
+    # N_MINHASH array_min×transform sweep — this operator's dominant CPU —
+    # otherwise runs at the batch's file-count parallelism (one task for a
+    # one-file trigger, guide §2.5). The exchange carries the CHANGESET's
+    # raw text once; the band explode behind it re-exchanges to the state
+    # store either way, and state keys/width are untouched.
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    banded = minhash_banded(docs.repartition(spread))
     keys = ["band_id", "band_val"]
     if salt > 1:
         shard = (
