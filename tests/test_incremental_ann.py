@@ -517,3 +517,50 @@ def test_split_layout_delete_sweeps_emptied_sub_leaf(spark, tmp_path):
     assert os.path.exists(os.path.join(vectors, "centroid_id=0", "sub_id=0"))
     left = {r["vec_id"] for r in spark.read.parquet(vectors).select("vec_id").collect()}
     assert left == {1, 3}
+
+
+def test_index_delete_duplicate_ids_and_hint_paths(spark, tmp_path):
+    """The r13 fused-locate internals: the delete list is distinct-ed into
+    its materialization (duplicate ids must not distort the per-partition
+    victim/total counts that decide the sweep), and ``n_ids_hint`` — the
+    caller-supplied broadcast bound replacing the probe job — must leave
+    results identical whichever side of the bound the hint lands on."""
+    from vacancy_analyser_spark.plans.similarity import ivf_index_delete
+
+    rows = [(i, [1.0, 0.0, float(i % 3) * 0.01]) for i in range(6)] + [
+        (10 + i, [0.0, 1.0, float(i % 3) * 0.01]) for i in range(3)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def build(name):
+        path = str(tmp_path / name)
+        ivf_build_index_frame(vecs, path, n_centroids=2)
+        return path
+
+    def surviving(path):
+        return {
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(os.path.join(path, "vectors"))
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+
+    # duplicate every id three times; delete must behave as if each id
+    # appeared once — partitions with survivors rewritten, emptied ones
+    # swept (vec_ids 0..5 share one bucket; delete 0..2 leaves 3..5)
+    dels_dup = spark.createDataFrame(
+        [(v,) for v in (0, 1, 2)] * 3, "vec_id long"
+    )
+    p1 = build("dup")
+    t1 = ivf_index_delete(spark, p1, dels_dup)
+    assert t1
+    assert {v for v, _ in surviving(p1)} == {3, 4, 5, 10, 11, 12}
+
+    # hint below the broadcast bound (broadcast path) and a deliberately
+    # oversized hint (shuffled path) must produce identical indexes
+    dels = spark.createDataFrame([(v,) for v in (0, 1, 2)], "vec_id long")
+    p2, p3 = build("hint_small"), build("hint_big")
+    t2 = ivf_index_delete(spark, p2, dels, n_ids_hint=3)
+    t3 = ivf_index_delete(spark, p3, dels, n_ids_hint=10**9)
+    assert t2 == t3 == t1
+    assert surviving(p2) == surviving(p3) == surviving(p1)

@@ -77,16 +77,27 @@ def spread_small_scan(df: DataFrame, spark: SparkSession, sf_dir: str, name: str
 def spread_small_path(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     """spread_small_scan for a frame read from an explicit path (a durable
     corpus / state directory rather than a named testdata table) — same
-    input-derived gate, same no-op-at-scale contract."""
+    input-derived gate, same no-op-at-scale contract.
+
+    A directory containing SUBDIRECTORIES (a partitioned layout) is
+    treated as over-threshold and returned unchanged: the one-level size
+    probe sees ~0 bytes for such a layout, and acting on that reading
+    would bolt a full round-robin exchange onto a table of ANY size —
+    the exact extra shuffle this gate exists to prevent (r12 verdict).
+    Partitioned layouts split their scans across many files anyway, so
+    the single-small-file serialization the spread fixes cannot occur
+    there; skipping is both the safe and the correct reading."""
     try:
         import os
 
         if os.path.isfile(path):
             n_bytes = os.path.getsize(path)
         else:
-            n_bytes = sum(
-                e.stat().st_size for e in os.scandir(path) if e.is_file()
-            )
+            n_bytes = 0
+            for e in os.scandir(path):
+                if e.is_dir():
+                    return df
+                n_bytes += e.stat().st_size
     except OSError:
         return df
     cores = spark.sparkContext.defaultParallelism

@@ -688,6 +688,30 @@ def _memo_read(spark: SparkSession, path: str, memo: dict | None = None) -> Data
     return spark.read.schema(schema).parquet(path)
 
 
+def _collect_touched(assigned: DataFrame, *key_cols: str):
+    """Materialize a changeset-sized assignment frame once for its three
+    consumers (touched-keys collect, skip-existing anti-join, append
+    write) and collect the distinct partition keys: persist() marks the
+    frame and the distinct-collect fills the cache. Replacing the former
+    eager localCheckpoint with persist was MEASURED A WASH on wall and
+    job count (r13 A/B: 10.5 vs 10.0 s min-of-3 on ann_apply_log_ivf2,
+    identical job counts — AQE stage-jobs dominate the counter either
+    way); persist is kept because the caller can now UNPERSIST after its
+    write, releasing the blocks deterministically — a resident ingest
+    stream under the old form accumulated one eager-checkpoint block set
+    per trigger until GC. Recompute-on-eviction falls back to the
+    deterministic assignment lineage, so the cache is an optimization,
+    never a correctness dependency. Returns (cached frame, sorted key
+    list — scalars for one key column, tuples otherwise)."""
+    assigned = assigned.persist()
+    rows = assigned.select(*key_cols).distinct().collect()
+    if len(key_cols) == 1:
+        touched = sorted(r[key_cols[0]] for r in rows)
+    else:
+        touched = sorted(tuple(r[c] for c in key_cols) for r in rows)
+    return assigned, touched
+
+
 def ivf_build_index(
     spark: SparkSession, sf_dir: str, path: str, n_centroids: int | None = None
 ) -> None:
@@ -770,14 +794,12 @@ def ivf_index_incremental_add(
     import os
 
     cent_r = _memo_read(spark, os.path.join(path, "centroids"), schema_memo)
-    assigned = (
+    # one assignment job feeds every use below (_collect_touched)
+    assigned, touched = _collect_touched(
         _ranked_against(batch, cent_r)
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
-        .localCheckpoint(eager=True)  # one assignment job feeds every use below
-    )
-    touched = sorted(
-        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
+        .select("vec_id", "embedding", "centroid_id"),
+        "centroid_id",
     )
     if skip_existing and touched:
         # no broadcast hint: the anti-join's build side is the touched
@@ -789,10 +811,13 @@ def ivf_index_incremental_add(
             .filter(F.col("centroid_id").isin(touched))
             .select("vec_id")
         )
-        assigned = assigned.join(existing, "vec_id", "left_anti")
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        out = assigned.join(existing, "vec_id", "left_anti")
+    else:
+        out = assigned
+    out.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(path, "vectors")
     )
+    assigned.unpersist()
     return touched
 
 
@@ -810,6 +835,7 @@ def ivf_index_delete(
     partition_cols: tuple[str, ...] = ("centroid_id",),
     touched: list | None = None,
     schema_memo: dict | None = None,
+    n_ids_hint: int | None = None,
 ) -> list:
     """Remove vectors from a materialized IVF index by id — the lifecycle
     op incremental_add is missing (takedown / right-to-be-forgotten: at
@@ -852,8 +878,12 @@ def ivf_index_delete(
     (operators/ann_lookup.locate) supplies exactly this, turning the
     delete's one whole-index touch into a bucket-pruned read (the
     ann_index_delete_lookup key drives that composition end to end).
-    Returns the touched centroid ids (key tuples for multi-column
-    layouts)."""
+    ``n_ids_hint`` is an UPPER BOUND on the id count when the caller
+    already knows one (the apply-log fold counts its ops in one fused
+    aggregate) — it replaces the bounded broadcast probe job, never the
+    correctness of the join (an oversized hint only forfeits the
+    broadcast). Returns the touched centroid ids (key tuples for
+    multi-column layouts)."""
     import functools as ft
     import os
 
@@ -862,23 +892,47 @@ def ivf_index_delete(
     vec_dir = os.path.join(path, "vectors")
     idx = _memo_read(spark, vec_dir, schema_memo)
     # One materialization (changeset-sized by contract) serves the probe,
-    # the locate semi-join and the rewrite anti-join — without it the
+    # the locate scan and the rewrite anti-join — without it the
     # delete_ids lineage is fully evaluated three times per call, and in
     # start_ann_delete_stream that re-reads every micro-batch's source
     # twice more; an expensive lineage could cost more than the broadcast
-    # the probe guards.
-    delete_ids = delete_ids.localCheckpoint(eager=True)
-    # Broadcast the id list only when a bounded probe proves it small:
-    # limit(N+1).count() scans at most N+1 rows, so the probe's cost is
-    # capped regardless of how large a takedown batch arrives.
-    if delete_ids.limit(DELETE_BROADCAST_MAX_IDS + 1).count() <= DELETE_BROADCAST_MAX_IDS:
+    # the probe guards. distinct() rides the same job: semi/anti joins
+    # never cared about duplicate ids, but the fused locate below counts
+    # victim ROWS via a left join, which must see each id once.
+    delete_ids = delete_ids.distinct().localCheckpoint(eager=True)
+    # Broadcast the id list only when provably small — via the caller's
+    # bound when given, else a bounded probe (limit(N+1).count() scans at
+    # most N+1 rows, so the probe's cost is capped regardless of how
+    # large a takedown batch arrives).
+    small = (
+        n_ids_hint <= DELETE_BROADCAST_MAX_IDS
+        if n_ids_hint is not None
+        else delete_ids.limit(DELETE_BROADCAST_MAX_IDS + 1).count()
+        <= DELETE_BROADCAST_MAX_IDS
+    )
+    if small:
         delete_ids = F.broadcast(delete_ids)
+    survivors: set | None = None
     if touched is None:
-        victims = idx.join(delete_ids, "vec_id", "left_semi")
-        touched = sorted(
-            tuple(r[c] for c in partition_cols)
-            for r in victims.select(*partition_cols).distinct().collect()
+        # LOCATE, fused (r13): ONE aggregate over the same column-pruned
+        # scan the old semi-join read yields BOTH the victim partitions
+        # AND — via per-key victim/total row counts — which of them keep
+        # survivors, removing the separate post-rewrite distinct-collect
+        # job (guide §1.2: fewer serial driver round-trips per fold).
+        stats = (
+            idx.select(*partition_cols, "vec_id")
+            .join(delete_ids.withColumn("__del", F.lit(1)), "vec_id", "left")
+            .groupBy(*partition_cols)
+            .agg(F.count("*").alias("__total"), F.count("__del").alias("__victims"))
+            .filter(F.col("__victims") > 0)
+            .collect()
         )
+        touched = sorted(tuple(r[c] for c in partition_cols) for r in stats)
+        survivors = {
+            tuple(r[c] for c in partition_cols)
+            for r in stats
+            if r["__victims"] < r["__total"]
+        }
     else:
         touched = sorted(
             k if isinstance(k, tuple) else (k,) for k in touched
@@ -904,16 +958,23 @@ def ivf_index_delete(
     # no projection: the rewrite is layout-agnostic (the IVFPQ vectors
     # table carries its codes column through unchanged; the two-level
     # layout passes partition_cols=("coarse_id", "centroid_id")), so one
-    # delete implementation serves every partitioned index layout
-    remaining = (
-        idx.filter(_keys_filter(touched))
-        .join(delete_ids, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    survivors = {
-        tuple(r[c] for c in partition_cols)
-        for r in remaining.select(*partition_cols).distinct().collect()
-    }
+    # delete implementation serves every partitioned index layout.
+    # When the fused locate already proved EVERY touched partition fully
+    # emptied, there is nothing to rewrite — skip straight to the sweep.
+    if survivors is None or survivors:
+        remaining = (
+            idx.filter(_keys_filter(touched))
+            .join(delete_ids, "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if survivors is None:
+            # caller-supplied ``touched`` (the lookup-table path) skipped
+            # the fused locate, so the survivor set comes from the
+            # rewrite frame
+            survivors = {
+                tuple(r[c] for c in partition_cols)
+                for r in remaining.select(*partition_cols).distinct().collect()
+            }
     if survivors:
         remaining.filter(_keys_filter(sorted(survivors))).write.mode(
             "overwrite"
@@ -2317,15 +2378,13 @@ def ivfpq_index_incremental_add(
         .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
         .select("vec_id", F.transform("bc", lambda s: s["code"]).alias("codes"))
     )
-    assigned = (
+    # one assignment job feeds every use below (_collect_touched)
+    assigned, touched = _collect_touched(
         _ranked_against(batch, cent_r)
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
-        .join(codes_arr, "vec_id")
-        .localCheckpoint(eager=True)
-    )
-    touched = sorted(
-        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
+        .join(codes_arr, "vec_id"),
+        "centroid_id",
     )
     if skip_existing and touched:
         existing = (
@@ -2333,10 +2392,13 @@ def ivfpq_index_incremental_add(
             .filter(F.col("centroid_id").isin(touched))
             .select("vec_id")
         )
-        assigned = assigned.join(existing, "vec_id", "left_anti")
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        out = assigned.join(existing, "vec_id", "left_anti")
+    else:
+        out = assigned
+    out.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(path, "vectors")
     )
+    assigned.unpersist()
     return touched
 
 
@@ -4505,7 +4567,8 @@ def split_index_incremental_add(
     w_vec = Window.partitionBy("vec_id").orderBy(
         F.col("s_sim").desc_nulls_last(), F.col("sub_id")
     )
-    assigned = (
+    # one assignment job feeds every use below (_collect_touched)
+    assigned, touched = _collect_touched(
         a1.join(F.broadcast(sub_r), "centroid_id", "left")
         .select("vec_id", "embedding", "centroid_id", "sub_id", s_sim.alias("s_sim"))
         .withColumn("rn2", F.row_number().over(w_vec))
@@ -4515,12 +4578,9 @@ def split_index_incremental_add(
             "embedding",
             "centroid_id",
             F.coalesce(F.col("sub_id"), F.lit(0)).cast("int").alias("sub_id"),
-        )
-        .localCheckpoint(eager=True)  # one assignment job feeds every use below
-    )
-    touched = sorted(
-        (r["centroid_id"], r["sub_id"])
-        for r in assigned.select("centroid_id", "sub_id").distinct().collect()
+        ),
+        "centroid_id",
+        "sub_id",
     )
     if skip_existing and touched:
         from ..operators.compaction import keys_filter
@@ -4530,10 +4590,13 @@ def split_index_incremental_add(
             .filter(keys_filter(("centroid_id", "sub_id"), touched))
             .select("vec_id")
         )
-        assigned = assigned.join(existing, "vec_id", "left_anti")
-    assigned.write.mode("append").partitionBy("centroid_id", "sub_id").parquet(
+        out = assigned.join(existing, "vec_id", "left_anti")
+    else:
+        out = assigned
+    out.write.mode("append").partitionBy("centroid_id", "sub_id").parquet(
         os.path.join(path, "vectors")
     )
+    assigned.unpersist()
     return touched
 
 
@@ -5531,15 +5594,13 @@ def ivf2_index_incremental_add(
     import os
 
     fine_r = _memo_read(spark, os.path.join(path, "fine"), schema_memo)
-    assigned = (
+    # one assignment job feeds every use below (_collect_touched)
+    assigned, touched = _collect_touched(
         _ranked_against(batch, fine_r.select("centroid_id", "c_emb"))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
-        .join(F.broadcast(fine_r.select("centroid_id", "coarse_id")), "centroid_id")
-        .localCheckpoint(eager=True)
-    )
-    touched = sorted(
-        r["b"] for r in assigned.select(F.col("centroid_id").alias("b")).distinct().collect()
+        .join(F.broadcast(fine_r.select("centroid_id", "coarse_id")), "centroid_id"),
+        "centroid_id",
     )
     if skip_existing and touched:
         existing = (
@@ -5547,10 +5608,13 @@ def ivf2_index_incremental_add(
             .filter(F.col("centroid_id").isin(touched))
             .select("vec_id")
         )
-        assigned = assigned.join(existing, "vec_id", "left_anti")
-    assigned.write.mode("append").partitionBy("coarse_id", "centroid_id").parquet(
+        out = assigned.join(existing, "vec_id", "left_anti")
+    else:
+        out = assigned
+    out.write.mode("append").partitionBy("coarse_id", "centroid_id").parquet(
         os.path.join(path, "vectors")
     )
+    assigned.unpersist()
     return touched
 
 

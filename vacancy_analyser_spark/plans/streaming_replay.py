@@ -90,31 +90,55 @@ def _narrow_stream_width(fn):
     return inner
 
 
+def _stage_batches(frames: list[DataFrame], src: str) -> None:
+    """Write each micro-batch frame into ``src`` as one parquet file with
+    strictly increasing 1-second-spaced mtimes in list order — the
+    FileStreamSource replay contract (the source orders files by
+    MODIFICATION TIME, millisecond-granular on the local FS, so ties
+    would replay in random UUID-filename order; the explicit stamps make
+    replay order a property of the list, not of write speed).
+
+    The writes are INDEPENDENT jobs (each scans its own slice of the
+    source lineage), so they are submitted from a small thread pool and
+    overlap (guide §2.6) instead of serializing ~1 scan+write wall each —
+    at bench scale the fixture writes were a measurable slice of every
+    replay key. Concurrent appends cannot share one target directory
+    (the commit protocol's _temporary dir collides), so each batch writes
+    to its own staging dir and the single data file is then MOVED into
+    ``src`` with its batch's mtime stamp."""
+    import glob
+    import os
+    import shutil
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(src, exist_ok=True)
+    stages = [f"{src.rstrip('/')}__stage{i}" for i in range(len(frames))]
+
+    def _write(i: int) -> None:
+        frames[i].coalesce(1).write.mode("overwrite").parquet(stages[i])
+
+    # 3 in flight: enough to back-fill each write's straggler tail, not so
+    # many that tiny jobs fight for executor slots (guide §2.6)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, range(len(frames))))
+    now = time.time()
+    for i, stage in enumerate(stages):
+        stamp = now - (len(frames) - i) * 1.0
+        for f in sorted(glob.glob(os.path.join(stage, "part-*"))):
+            dest = os.path.join(src, os.path.basename(f))
+            os.rename(f, dest)
+            os.utime(dest, (stamp, stamp))
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _write_batches(df: DataFrame, key: str, src: str) -> None:
     """Write df as three single-file micro-batches (key % 3) in batch
     order — FileStreamSource with maxFilesPerTrigger=1 then replays them
     as three triggers in the same order, which is what makes the
-    prequential oracles below well-defined.
-
-    The source orders files by MODIFICATION TIME, and the local FS mtime
-    is millisecond-granular — two batches written within the same
-    millisecond would tie and replay in random (UUID-filename) order. The
-    os.utime pass pins the contract explicitly: strictly increasing
-    1-second-spaced mtimes in batch order, so replay order never depends
-    on how fast the writes happened to run."""
-    import glob
-    import os
-    import time
-
-    for k in range(3):
-        df.filter((F.col(key) % 3) == k).coalesce(1).write.mode("append").parquet(src)
-        # stamp THIS batch's data files (the ones not yet pinned) with the
-        # batch's own slot; _SUCCESS/metadata files don't matter to the
-        # source but are stamped alongside for tidiness
-        stamp = time.time() - (3 - k) * 1.0
-        for f in glob.glob(os.path.join(src, "*")):
-            if os.path.getmtime(f) > stamp:
-                os.utime(f, (stamp, stamp))
+    prequential oracles below well-defined. Staged + overlapped since
+    r13 (see _stage_batches)."""
+    _stage_batches([df.filter((F.col(key) % 3) == k) for k in range(3)], src)
 
 
 def _await(q, seconds: int = 300) -> None:
@@ -681,8 +705,7 @@ def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch delete's full-chain-minus-deleted statement — a stream that
     dropped a queue entry, double-applied a redelivery, or left a dead
     nested directory serving rows hash-mismatches."""
-    import glob
-    import time
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..plans.similarity import (
         DEL_MOD,
@@ -711,19 +734,20 @@ def ann_stream_delete_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one schema memo for the key's whole index lifetime (see
         # ann_ingest_replay)
         memo: dict = {}
-        ivf2_build_index_frame(vecs, index, k, kc, schema_memo=memo)
         dels = vecs.filter(
             (F.col("vec_id") % DEL_MOD) == DEL_REM
         ).select("vec_id")
-        _write_batches(dels, "vec_id", src)
-        # fourth, latest-mtime file: batch 0's ids again — redelivery
-        dels.filter((F.col("vec_id") % 3) == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        now = time.time()
-        for f in glob.glob(os.path.join(src, "*")):
-            if os.path.getmtime(f) > now - 0.5:
-                os.utime(f, (now, now))
+        batches = [dels.filter((F.col("vec_id") % 3) == b) for b in range(3)]
+        # fourth, latest-mtime batch: batch 0's ids again — redelivery
+        batches.append(batches[0])
+        # build ∥ queue staging — independent job chains (guide §2.6; see
+        # ann_apply_log_replay)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut = pool.submit(
+                ivf2_build_index_frame, vecs, index, k, kc, schema_memo=memo
+            )
+            _stage_batches(batches, src)
+            fut.result()
         stream = (
             spark.readStream.schema(dels.schema)
             .option("maxFilesPerTrigger", 1)
@@ -804,8 +828,7 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned against the standing slice's frozen centroids, minus the
     takedown class. A loop that raced its phases, double-applied a
     redelivery, or dropped a log entry hash-mismatches."""
-    import glob
-    import time
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..plans.similarity import (
         DEL_MOD,
@@ -830,9 +853,6 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one schema memo for the key's whole index lifetime (see
         # ann_ingest_replay)
         memo: dict = {}
-        ivf_build_index_frame(
-            base, index, n_centroids=auto_centroids(n_base), schema_memo=memo
-        )
         add = vecs.select(F.lit("add").alias("op"), "vec_id", "embedding")
         dels = (
             vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM)
@@ -849,13 +869,19 @@ def ann_apply_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             dels,
             dels,  # redelivered takedowns
         ]
-        t_now = time.time()
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            stamp = t_now - (len(batches) - i) * 1.0
-            for f in glob.glob(os.path.join(src, "*")):
-                if os.path.getmtime(f) > stamp:
-                    os.utime(f, (stamp, stamp))
+        # the standing-index build and the log-batch staging are
+        # independent job chains over disjoint output dirs — overlapped
+        # (guide §2.6) instead of paying build-then-writes serially
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut = pool.submit(
+                ivf_build_index_frame,
+                base,
+                index,
+                n_centroids=auto_centroids(n_base),
+                schema_memo=memo,
+            )
+            _stage_batches(batches, src)
+            fut.result()
         stream = (
             spark.readStream.schema("op string, vec_id bigint, embedding array<double>")
             .option("maxFilesPerTrigger", 1)
@@ -934,8 +960,7 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coarse_id, centroid_id) directories, every fold under the lease.
     One applier serves every materialized shape; this key pins the
     nested one end to end against the composed net-effect oracle."""
-    import glob
-    import time
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..plans.similarity import (
         DEL_MOD,
@@ -965,7 +990,6 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one schema memo for the key's whole index lifetime (see
         # ann_ingest_replay)
         memo: dict = {}
-        ivf2_build_index_frame(base, index, k, kc, schema_memo=memo)
         add = vecs.select(F.lit("add").alias("op"), "vec_id", "embedding")
         dels = (
             vecs.filter(F.pmod(F.col("vec_id"), F.lit(DEL_MOD)) == DEL_REM)
@@ -982,13 +1006,14 @@ def ann_apply_log_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
             dels,
             dels,  # redelivered takedowns
         ]
-        t_now = time.time()
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            stamp = t_now - (len(batches) - i) * 1.0
-            for f in glob.glob(os.path.join(src, "*")):
-                if os.path.getmtime(f) > stamp:
-                    os.utime(f, (stamp, stamp))
+        # build ∥ log staging — independent job chains (guide §2.6; see
+        # ann_apply_log_replay)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut = pool.submit(
+                ivf2_build_index_frame, base, index, k, kc, schema_memo=memo
+            )
+            _stage_batches(batches, src)
+            fut.result()
         stream = (
             spark.readStream.schema("op string, vec_id bigint, embedding array<double>")
             .option("maxFilesPerTrigger", 1)

@@ -37,11 +37,22 @@ from ..operators.ixlock import maintenance_lease
 DEFAULT_LEASE_TIMEOUT = 600.0
 
 
-def _leased(index_path: str, owner: str, fold, lease_timeout: float):
-    """Wrap a foreachBatch fold so it runs under the index lease."""
+def _leased(
+    index_path: str, owner: str, fold, lease_timeout: float,
+    probe_empty: bool = True,
+):
+    """Wrap a foreachBatch fold so it runs under the index lease.
+
+    ``probe_empty=False`` skips the pre-lease isEmpty job for folds that
+    detect an empty batch themselves before touching the index (the
+    apply-log fold's fused op-count aggregate): the probe is one driver
+    round-trip PER TRIGGER, and for such folds it only protects the rare
+    empty-batch case from a needlessly-taken (and immediately released)
+    lease. Folds whose empty-input path would still scan the index keep
+    the probe."""
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if probe_empty and batch_df.isEmpty():
             return
         with maintenance_lease(
             batch_df.sparkSession,
@@ -168,16 +179,28 @@ def start_ann_delete_stream(
     memo = {} if schema_memo is None else schema_memo
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE count job doubles as the empty-batch gate (probe_empty=False
+        # below) and the delete's broadcast upper bound (n_ids_hint) —
+        # the isEmpty + bounded-probe pair it replaces was two driver
+        # round-trips per trigger (guide §1.2; r13). Counting an ids-only
+        # micro-batch is parquet-metadata-cheap for file sources.
+        n = batch_df.count()
+        if not n:
+            return
         ivf_index_delete(
             batch_df.sparkSession,
             index_path,
             batch_df.select("vec_id"),
             partition_cols=partition_cols,
             schema_memo=memo,
+            n_ids_hint=n,
         )
 
     writer = deletions.writeStream.foreachBatch(
-        _leased(index_path, "ann-delete", _fold, DEFAULT_LEASE_TIMEOUT)
+        _leased(
+            index_path, "ann-delete", _fold, DEFAULT_LEASE_TIMEOUT,
+            probe_empty=False,
+        )
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -340,20 +363,32 @@ def start_ann_apply_stream(
             batch_df = batch_df.withColumn("seq", F.monotonically_increasing_id())
         # one materialization: the net-effect resolution reads the batch twice
         batch_df = batch_df.localCheckpoint(eager=True)
+        # ONE fused aggregate over the checkpointed batch replaces the two
+        # per-op isEmpty probes — each probe was its own driver round-trip
+        # + stage schedule, and at replay scale the fold's SERIAL JOB
+        # CHAIN is most of its cost (guide §1.2/§2.6; r13). The del count
+        # doubles as the delete's broadcast upper bound (n_ids_hint).
+        ops = batch_df.agg(
+            F.count(F.when(F.col("op") == "del", True)).alias("nd"),
+            F.count(F.when(F.col("op") == "add", True)).alias("na"),
+        ).first()
+        n_del, n_add = ops["nd"], ops["na"]
+        if not n_del and not n_add:
+            return  # empty batch — _leased skips its probe for this fold
         adds = batch_df.filter(batch_df["op"] == "add").select(
             "vec_id", "embedding", "seq"
         )
-        last_del = (
-            batch_df.filter(batch_df["op"] == "del")
-            .groupBy("vec_id")
-            .agg(F.max("seq").alias("__last_del"))
-        )
-        if not last_del.isEmpty():
+        if n_del:
+            last_del = (
+                batch_df.filter(batch_df["op"] == "del")
+                .groupBy("vec_id")
+                .agg(F.max("seq").alias("__last_del"))
+            )
             # deletes first: a re-added id must not be skip_existing-
             # skipped into keeping its pre-delete embedding
             S.ivf_index_delete(
                 spark, index_path, last_del.select("vec_id"), partition_cols=cols,
-                schema_memo=memo,
+                schema_memo=memo, n_ids_hint=n_del,
             )
             adds = (
                 adds.join(F.broadcast(last_del), "vec_id", "left")
@@ -362,23 +397,33 @@ def start_ann_apply_stream(
                 )
                 .drop("__last_del")
             )
-        # serial skip-existing semantics: the FIRST add per id (after its
-        # last del) wins; later duplicates would have been skipped anyway
-        first = Window.partitionBy("vec_id").orderBy("seq")
-        net_adds = (
-            adds.withColumn("__rn", F.row_number().over(first))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "embedding")
-        )
-        if not net_adds.isEmpty():
-            add_fn(spark, index_path, net_adds, skip_existing=True, schema_memo=memo)
+        if n_add:
+            # serial skip-existing semantics: the FIRST add per id (after
+            # its last del) wins; later duplicates would have been
+            # skipped anyway
+            first = Window.partitionBy("vec_id").orderBy("seq")
+            net_adds = (
+                adds.withColumn("__rn", F.row_number().over(first))
+                .filter(F.col("__rn") == 1)
+                .select("vec_id", "embedding")
+            )
+            # net_adds can only be empty when in-batch deletes outlasted
+            # every add — the one case that still needs its own probe
+            if not n_del or not net_adds.isEmpty():
+                add_fn(
+                    spark, index_path, net_adds, skip_existing=True,
+                    schema_memo=memo,
+                )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_partitions(spark, os.path.join(index_path, "vectors"), cols)
 
     return _start_fold_stream(
         commands,
         checkpoint,
-        _leased(index_path, "ann-apply", _fold, DEFAULT_LEASE_TIMEOUT),
+        _leased(
+            index_path, "ann-apply", _fold, DEFAULT_LEASE_TIMEOUT,
+            probe_empty=False,
+        ),
         available_now,
         processing_time,
     )

@@ -33,6 +33,10 @@ from ..plans.dedup import JACCARD_T, _bigrams
 #: precomputed artifacts that keep per-batch text work batch-sized.
 CORPUS_COLUMNS = ("doc_id", "text", "fingerprint", "shingles")
 
+#: How often a stream's memoized corpus read re-infers the footer schema
+#: to verify nothing rewrote the corpus under it (see _read_corpus).
+_DRIFT_CHECK_EVERY = 16
+
 
 def _with_artifacts(df: DataFrame) -> DataFrame:
     """(doc_id, text) → + fingerprint (md5 of normalized text) + shingles
@@ -83,10 +87,16 @@ def dedup_gate(
     # otherwise reaches the tokenize+md5+shingle projection as ONE task with
     # every other core idle (guide §2.5 — measured on corpus_ingest_replay:
     # 2.5-6 s single-task stages per trigger). The exchange carries the
-    # CHANGESET once — never the corpus — and a big backlogged batch is
-    # balanced by the same move, so it is right at every scale.
+    # CHANGESET once — never the corpus. Gated on the batch's own scan
+    # width (the spread_small contract, r12 ADVICE): a backlogged
+    # availableNow batch 0 whose file scan already yields >= cluster-width
+    # partitions is balanced as-is, and the unconditional form would both
+    # pay a full raw-text shuffle and CAP it to defaultParallelism.
     spread = batch.sparkSession.sparkContext.defaultParallelism
-    b = _with_artifacts(batch.select("doc_id", "text").repartition(spread))
+    src = batch.select("doc_id", "text")
+    if src.rdd.getNumPartitions() < spread:
+        src = src.repartition(spread)
+    b = _with_artifacts(src)
     b = (
         b.withColumn(
             "_rn",
@@ -107,7 +117,12 @@ def dedup_gate(
     # pipeline inline (the executed plan carried THREE copies of it —
     # measured 2.5-6 s of duplicated single-task text work per trigger).
     # One changeset-sized localCheckpoint runs it once (the same trick the
-    # ANN add/delete folds use for their read-then-append frames).
+    # ANN add/delete folds use for their read-then-append frames). NOTE
+    # localCheckpoint is non-replayable storage: losing an executor
+    # mid-trigger kills this batch and the STREAM retries it — the
+    # foreachBatch at-least-once contract this loop is already built for
+    # (the fingerprint anti-join absorbs the replay), so cheap local
+    # blocks are the right trade at changeset granularity.
     b = b.localCheckpoint(eager=True)
     c = corpus if "shingles" in corpus.columns else _with_artifacts(
         corpus.select("doc_id", "text")
@@ -160,6 +175,25 @@ def _read_corpus(spark, corpus_path: str, memo: dict | None = None) -> DataFrame
     schema = memo.get(corpus_path) if memo is not None else None
     try:
         if schema is not None:
+            # Drift check (r12 ADVICE): an explicit-schema read of a corpus
+            # some OTHER writer rewrote (migration, column rename) would
+            # silently null the missing columns and disable the dedup gates
+            # with no error. The single-writer contract makes that a
+            # misconfiguration, so it must fail LOUDLY: every Nth memoized
+            # read re-infers the footer schema and compares — one bounded
+            # inference job per N triggers, not per trigger.
+            n = memo["__memo_reads"] = memo.get("__memo_reads", 0) + 1
+            if n % _DRIFT_CHECK_EVERY == 0:
+                fresh = spark.read.parquet(corpus_path).schema
+                if [(f.name, f.dataType) for f in fresh] != [
+                    (f.name, f.dataType) for f in schema
+                ]:
+                    raise RuntimeError(
+                        f"corpus schema at {corpus_path} drifted under the "
+                        f"ingest stream's memo (expected {schema.simpleString()}, "
+                        f"found {fresh.simpleString()}) — a second writer "
+                        "violated the single-writer contract"
+                    )
             return spread_small_path(
                 spark.read.schema(schema).parquet(corpus_path), spark, corpus_path
             )
