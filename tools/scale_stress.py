@@ -50,7 +50,16 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("REPLICAS", "10"))
 PERTURB = os.environ.get("PERTURB", "all")
 STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/scale_stress")
-QUERIES = ("ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_near_dup")
+# tfidf_top_terms added r13 (verdict item 9: the five slowest headline
+# queries all need a ×10 "sf1" linearity row; the other four already ride
+# this block or relational_stress) — it reads only the documents table,
+# which this surrogate replicates.
+QUERIES = (
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash_near_dup",
+    "tfidf_top_terms",
+)
 
 
 def build_corpus(spark) -> str:

@@ -68,6 +68,24 @@ def _key_cols(partition_cols: tuple[str, ...]) -> list:
     return [F.col(c).cast("bigint").alias(c) for c in partition_cols]
 
 
+def _vectors_key_schema(partition_cols: tuple[str, ...]) -> str:
+    """Explicit subset schema for the column-pruned vectors scan: vec_id
+    plus the layout's partition key columns — a user-specified schema
+    both skips the footer-inference job AND acts as the projection, so
+    the embedding (and codes) columns are never in the read schema at
+    all. Partition columns are declared BIGINT outright (the directory
+    names cast exactly; _key_cols' cast then no-ops), which is safe by
+    the same bound as similarity.LAYOUT_SCHEMAS: partition ids are
+    bounded by the broadcast ceiling."""
+    return "vec_id BIGINT, " + ", ".join(f"{c} BIGINT" for c in partition_cols)
+
+
+def _lookup_schema(partition_cols: tuple[str, ...]) -> str:
+    """The lookup table's own static schema (build_lookup writes exactly
+    this: vec_id, the bigint-cast key columns, the bucket partition)."""
+    return _vectors_key_schema(partition_cols) + ", bucket INT"
+
+
 def build_lookup(
     spark: SparkSession,
     index_path: str,
@@ -79,7 +97,8 @@ def build_lookup(
     lookup can drive a zero-index-read delete on nested layouts too."""
     lookup_dir = os.path.join(index_path, "lookup")
     (
-        spark.read.parquet(os.path.join(index_path, "vectors"))
+        spark.read.schema(_vectors_key_schema(partition_cols))
+        .parquet(os.path.join(index_path, "vectors"))
         .select("vec_id", *_key_cols(partition_cols))
         .withColumn("bucket", _bucket_col())
         .write.partitionBy("bucket")
@@ -117,8 +136,10 @@ def locate(
         )
     if ids.limit(LOOKUP_BROADCAST_MAX_IDS + 1).count() <= LOOKUP_BROADCAST_MAX_IDS:
         ids = F.broadcast(ids)
-    lk = spark.read.parquet(os.path.join(index_path, "lookup")).filter(
-        F.col("bucket").isin(buckets)
+    lk = (
+        spark.read.schema(_lookup_schema(partition_cols))
+        .parquet(os.path.join(index_path, "lookup"))
+        .filter(F.col("bucket").isin(buckets))
     )
     return lk.join(ids, "vec_id", "left_semi").select("vec_id", *partition_cols)
 
@@ -157,7 +178,8 @@ def refresh_lookup_buckets(
     if not buckets:
         return []
     fresh = (
-        spark.read.parquet(os.path.join(index_path, "vectors"))
+        spark.read.schema(_vectors_key_schema(partition_cols))
+        .parquet(os.path.join(index_path, "vectors"))
         .select("vec_id", *_key_cols(partition_cols))
         .withColumn("bucket", _bucket_col())
         .filter(F.col("bucket").isin(buckets))

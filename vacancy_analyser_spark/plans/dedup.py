@@ -154,7 +154,11 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # letting the first multi-use job race the cache build re-derives the
     # tokenize+bigram stage per subtree (measured: min-of-3 2.4s → 3.9s
     # when the probe cache made this path skip its materializing count).
-    g.count()
+    # A COLD probe is itself a full pass over g and fills the cache as a
+    # side effect, so the explicit count runs only when the probe is
+    # cached (r13 — one fewer serial job on the cold path).
+    if sf_dir in _REGIME_PROBE_CACHE:
+        g.count()
     n_vocab, n_docs, bucket_counts = _regime_probe(g, sf_dir)
     if _dense_regime(n_vocab, n_docs):
         return _jaccard_bitmap(g, n_vocab, bucket_counts)
@@ -180,7 +184,11 @@ def _dense_regime(n_vocab: int, n_docs: int) -> bool:
 
 
 #: Probe results keyed by sf_dir — the corpus under a directory is
-#: immutable for a session, so the planner's eager jobs run once.
+#: immutable for a session, so the planner's eager jobs run once. This
+#: is the engine's STATISTICS LAYER (a metastore's ANALYZE role): it
+#: memoizes plan-selection scalars (n_vocab, n_docs), never result rows,
+#: so no result can leak across bench runs; what the bench prices as a
+#: consequence is documented in PLANS.md §"The dedup statistics layer".
 _REGIME_PROBE_CACHE: dict[str, tuple[int, int, dict[int, int]]] = {}
 
 
@@ -444,14 +452,33 @@ def _bitmap_packed(
     Word expressions are SQL strings: the Column form paid ~6 py4j
     round-trips per packed word at build time — a measurable slice of the
     query's wall at bench scale (see _simhash_df). Parsed expressions are
-    identical."""
+    identical.
+
+    NOT materialized here (r13): the pair loop reads the packed table
+    twice — a repartitioned probe side and a broadcast build side — and
+    those are INDEPENDENT query stages that AQE materializes
+    concurrently, with both pack subtrees reading the caller's already-
+    cached shingle table. The former persist+count was a serial barrier
+    job in front of that concurrency: dropping it removed one job from
+    the dense path's cascade (the r12 verdict's 0.78 scaling-ratio
+    finding — more cores were idling behind serial barriers) and with it
+    the per-invocation leak of a never-unpersisted packed cache."""
     wb = Window.orderBy("bigram")
     idx = g.select("bigram").distinct().select(
         "bigram", (F.row_number().over(wb) - 1).alias("idx")
     )
     n_words = max(1, (n_vocab + 63) // 64)
+    # ONE explicit hash exchange serves both the pack aggregate (the
+    # groupBy reuses the partitioning — no second exchange) and the pair
+    # loop's probe-side spread: an explicit width is exempt from AQE
+    # coalescing, so the agg output KEEPS cluster-width partitions and
+    # _bitmap_pairs needs no round-robin repartition of its own (r13 —
+    # one exchange + one AQE round fewer on the dense path's cascade).
+    # Width from the cluster, not a constant (guide §2.2).
+    width = g.sparkSession.sparkContext.defaultParallelism
     packed = (
         g.join(F.broadcast(idx), "bigram")
+        .repartition(width, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n"),
@@ -466,9 +493,7 @@ def _bitmap_packed(
                 for w in range(n_words)
             ],
         )
-        .persist()
     )
-    packed.count()
     return packed, n_words
 
 
@@ -479,11 +504,13 @@ def _bitmap_pairs(packed: DataFrame, n_words: int) -> DataFrame:
     primitive longs. No pair shuffle, no aggregation; downstream metric
     projections (Jaccard, containment) and their thresholds stay inside
     the same codegen stage."""
-    # Spread the probe side across cores explicitly: the packed table is a
-    # few hundred KB, so AQE coalesces it to ~1 partition, serializing the
-    # O(|docs|²) pair loop onto one task. An explicit repartition is exempt
-    # from AQE coalescing. (14.7s → 0.7s for the pair stage at sf0.1.)
-    a = packed.repartition(32).alias("a")
+    # The probe side arrives already spread: _bitmap_packed's explicit
+    # hash exchange is exempt from AQE coalescing, so the packed table
+    # reaches the O(|docs|²) pair loop at cluster width without the
+    # former extra round-robin repartition here (which existed because
+    # AQE coalesced the few-hundred-KB agg output to ~1 partition —
+    # 14.7s → 0.7s for the pair stage at sf0.1 when it was added).
+    a = packed.alias("a")
     # Broadcast the b side: the packed table is |docs| × (n_words+2) longs.
     # The a<b condition joins via broadcast nested loop; intersections are
     # evaluated inside the same codegen stage, nothing materializes.
@@ -1345,7 +1372,8 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongly sublinear, because the dense ×1 surrogate is the count-join's
     worst case and the very reason the dispatcher picks bitmap there."""
     g = _doc_bigrams(spark, sf_dir).persist()
-    g.count()  # shared shingle cache — see ngram_jaccard_dedup
+    if sf_dir in _REGIME_PROBE_CACHE:
+        g.count()  # shared shingle cache — see ngram_jaccard_dedup
     n_vocab, n_docs, bucket_counts = _regime_probe(g, sf_dir)
     if _dense_regime(n_vocab, n_docs):
         return _containment_bitmap(g, n_vocab, bucket_counts)
@@ -1519,6 +1547,17 @@ def _lsh_index_path(sf_dir: str) -> str:
     )
 
 
+#: LSH-index interior schemas — static by construction (the
+#: similarity.LAYOUT_SCHEMAS rationale): both tables are written only by
+#: lsh_build_index, always with these columns/types, so serve reads skip
+#: the per-table footer-inference job. Pinned against inference on a
+#: freshly built index in tests/test_layout_schemas.py.
+LSH_SIGS_SCHEMA = "doc_id BIGINT, " + ", ".join(
+    f"s{s} BIGINT" for s in range(N_MINHASH)
+)
+LSH_BANDS_SCHEMA = "doc_id BIGINT, band_id INT, band_val BIGINT"
+
+
 def lsh_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Materialize the corpus-side MinHash index — what incremental_dedup's
     docstring promises is storable, written once so per-ingest probes never
@@ -1542,7 +1581,7 @@ def lsh_build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     g = toks.select("doc_id", F.explode(F.array_distinct(_bigrams("toks"))).alias("bigram"))
     sigs = _minhash_sigs(g)
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    sigs_r = spark.read.parquet(os.path.join(path, "sigs"))
+    sigs_r = spark.read.schema(LSH_SIGS_SCHEMA).parquet(os.path.join(path, "sigs"))
     _minhash_bands_df(sigs_r).write.mode("overwrite").parquet(os.path.join(path, "bands"))
 
 
@@ -1635,7 +1674,9 @@ def minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join's bands cache.
     new_sigs.count()
     new_bands = _minhash_bands_df(new_sigs).alias("a")
-    idx_bands = spark.read.parquet(os.path.join(path, "bands")).alias("b")
+    idx_bands = (
+        spark.read.schema(LSH_BANDS_SCHEMA).parquet(os.path.join(path, "bands")).alias("b")
+    )
     cand = (
         new_bands.join(
             idx_bands,
@@ -1645,7 +1686,7 @@ def minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
         .distinct()
     )
-    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    idx_sigs = spark.read.schema(LSH_SIGS_SCHEMA).parquet(os.path.join(path, "sigs"))
     sa = new_sigs.select(
         F.col("doc_id").alias("new_id"), *[F.col(f"s{s}").alias(f"sa{s}") for s in range(N_MINHASH)]
     )

@@ -61,19 +61,46 @@ _Z_LIMIT = 2.0
 STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
 
 
+#: Optional state-store provider override for the stateful replays
+#: (r13, guide §5 bounded state memory): set
+#: $SPARK_GRAFT_STATE_STORE=rocksdb to run them on the RocksDB provider
+#: (state off-heap + spillable — the production choice once per-instance
+#: state outgrows executor heap). Default stays the HDFS-backed in-memory
+#: provider: at replay scale the A/B measured RocksDB strictly slower
+#: (its per-trigger maintenance/compaction overhead dominates tiny
+#: state), so the knob exists for deployments, not for the bench.
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+_STATE_STORE_ENV = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+
+
 @contextmanager
 def _stream_width(spark: SparkSession):
-    """Scope ``spark.sql.shuffle.partitions`` to the replay width for the
-    duration of a replay's stream run, restoring the session value after
-    (the checkpoint pins state partitioning at first trigger, and every
-    replay uses a fresh checkpoint, so the scope never fights a resumed
+    """Scope ``spark.sql.shuffle.partitions`` (and, when the env knob asks,
+    the state-store provider) to the replay width for the duration of a
+    replay's stream run, restoring the session values after (the
+    checkpoint pins state partitioning at first trigger, and every replay
+    uses a fresh checkpoint, so the scope never fights a resumed
     stream)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(provider_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    provider = _STATE_STORE_PROVIDERS.get(_STATE_STORE_ENV)
+    if provider:
+        spark.conf.set(provider_key, provider)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if provider:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
 
 
 def _narrow_stream_width(fn):
