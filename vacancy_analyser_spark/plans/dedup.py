@@ -753,7 +753,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _minhash_bands_df(sigs).persist()
     # Materialize before the self-join: exchange reuse does not cover the two
     # sides here (verified on the executed plan), so without the cache the
-    # whole shingle→signature pipeline runs twice.
+    # whole shingle→signature pipeline runs twice. r13 re-measured dropping
+    # this barrier (both sides then compute as concurrent map stages):
+    # local wall was a wash (1.09 vs 1.17 s min-of-4) — but the second
+    # signature evaluation is a real 2× of the tokenize+md5 stage's CPU at
+    # scale, so the compute-once barrier stays.
     bands.count()
     a = bands.alias("a")
     b = bands.alias("b")

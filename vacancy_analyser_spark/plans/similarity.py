@@ -691,19 +691,17 @@ def _memo_read(spark: SparkSession, path: str, memo: dict | None = None) -> Data
 def _collect_touched(assigned: DataFrame, *key_cols: str):
     """Materialize a changeset-sized assignment frame once for its three
     consumers (touched-keys collect, skip-existing anti-join, append
-    write) and collect the distinct partition keys: persist() marks the
-    frame and the distinct-collect fills the cache. Replacing the former
-    eager localCheckpoint with persist was MEASURED A WASH on wall and
-    job count (r13 A/B: 10.5 vs 10.0 s min-of-3 on ann_apply_log_ivf2,
-    identical job counts — AQE stage-jobs dominate the counter either
-    way); persist is kept because the caller can now UNPERSIST after its
-    write, releasing the blocks deterministically — a resident ingest
-    stream under the old form accumulated one eager-checkpoint block set
-    per trigger until GC. Recompute-on-eviction falls back to the
-    deterministic assignment lineage, so the cache is an optimization,
-    never a correctness dependency. Returns (cached frame, sorted key
-    list — scalars for one key column, tuples otherwise)."""
-    assigned = assigned.persist()
+    write) and collect the distinct partition keys. The materialization
+    is an EAGER localCheckpoint, and that choice is measured: a persist()
+    variant (tried r13 for deterministic block release) was a wash at
+    sf0.1 but 40-60% SLOWER at the ×10 stress scale (isolated ×10 add
+    min-of-3: 7.5 s from the columnar cache vs 4.7-5.4 s from checkpoint
+    row blocks — the 273-partition append pays a per-task columnar→row
+    conversion when it reads an InMemoryRelation). Checkpoint blocks are
+    freed when the frame is garbage-collected, which at one changeset
+    per fold is bounded. Returns (materialized frame, sorted key list —
+    scalars for one key column, tuples otherwise)."""
+    assigned = assigned.localCheckpoint(eager=True)
     rows = assigned.select(*key_cols).distinct().collect()
     if len(key_cols) == 1:
         touched = sorted(r[key_cols[0]] for r in rows)
@@ -865,7 +863,6 @@ def ivf_index_incremental_add(
     out.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(path, "vectors")
     )
-    assigned.unpersist()
     return touched
 
 
@@ -2446,7 +2443,6 @@ def ivfpq_index_incremental_add(
     out.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(path, "vectors")
     )
-    assigned.unpersist()
     return touched
 
 
@@ -4644,7 +4640,6 @@ def split_index_incremental_add(
     out.write.mode("append").partitionBy("centroid_id", "sub_id").parquet(
         os.path.join(path, "vectors")
     )
-    assigned.unpersist()
     return touched
 
 
@@ -5662,7 +5657,6 @@ def ivf2_index_incremental_add(
     out.write.mode("append").partitionBy("coarse_id", "centroid_id").parquet(
         os.path.join(path, "vectors")
     )
-    assigned.unpersist()
     return touched
 
 
